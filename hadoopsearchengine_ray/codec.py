@@ -1,0 +1,191 @@
+"""Delta-gap + varint posting-list codec, numpy-vectorized.
+
+The reference engine stores postings as LEB128-style varints inside
+zlib-compressed block files (``AddEscapedItem``/``GetEscapedItem``,
+/root/reference/DataStructure.h:2639-2740, block compression at
+:2748-2759) with fixed-size lookup blocks for random access
+(/root/reference/NodeStat.h:28-60).  This module is the Ray/Arrow-native
+re-expression: each term's posting list becomes two binary cells
+(delta-gap varint doc ids; varint term frequencies) plus per-block skip
+metadata (last doc id, byte offsets, block-max tf) enabling block-max
+pruning at query time.  Blobs live in Arrow ``binary`` columns inside
+Parquet (zstd), so the "zlib block file" role is played by Parquet pages.
+
+Everything is numpy/Arrow vectorized — ``encode_term_partition`` encodes
+every term of an index partition in one shot with no per-term Python loop
+(one global varint pass; per-term cells are zero-copy slices of the shared
+byte buffer via Arrow binary offsets).
+
+Per-term layout::
+
+    doc_blob = varint(doc[0]) varint(doc[1]-doc[0]) ... varint(doc[df-1]-doc[df-2])
+    tf_blob  = varint(tf[0]) ... varint(tf[df-1])
+
+Skip metadata every ``SKIP_BLOCK`` docs (one list cell per term)::
+
+    skip_docs[i]    = last doc id of block i
+    skip_doc_off[i] = byte offset of block i within doc_blob
+    skip_tf_off[i]  = byte offset of block i within tf_blob
+    block_max_tf[i] = max tf within block i   (block-max WAND upper bound)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SKIP_BLOCK = 128  # docs per skip block (reference: LOOKUP_DIV_SIZE=1000 hits, FileStorage.h:16)
+
+_THRESH = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Byte length of the LEB128 encoding of each uint64 value."""
+    v = values.astype(np.uint64, copy=False)
+    nb = np.ones(len(v), dtype=np.int64)
+    for t in _THRESH:
+        nb += v >= t
+    return nb
+
+
+def encode_varints(values: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 encode: uint64 array -> uint8 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    nb = varint_sizes(v)
+    offsets = np.cumsum(nb) - nb
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    maxb = int(nb.max())
+    for j in range(maxb):
+        mask = nb > j
+        byte = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    return out
+
+
+def decode_varints(buf: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 decode: uint8 array -> uint64 array (all values)."""
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    gidx = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(is_end[:-1], out=gidx[1:])
+    starts = np.flatnonzero(np.concatenate(([True], is_end[:-1])))
+    within = np.arange(len(b), dtype=np.int64) - starts[gidx]
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (np.uint64(7) * within.astype(np.uint64))
+    return np.bitwise_or.reduceat(contrib, starts)
+
+
+def _binary_from_offsets(data: np.ndarray, cell_offsets: np.ndarray) -> pa.BinaryArray:
+    """Arrow binary array whose cells are slices of one shared byte buffer."""
+    return pa.Array.from_buffers(
+        pa.binary(), len(cell_offsets) - 1,
+        [None, pa.py_buffer(cell_offsets.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
+def _list_from_offsets(values: pa.Array, cell_offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(pa.array(cell_offsets.astype(np.int32), pa.int32()), values)
+
+
+def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
+                          tfs: np.ndarray) -> dict[str, pa.Array]:
+    """Encode ALL terms of a partition at once.
+
+    Input: postings sorted by (term, doc_id); ``term_starts`` = start row of
+    each term (len T+1, last = n_rows).  Returns Arrow columns
+    ``doc_blob, tf_blob, skip_docs, skip_doc_off, skip_tf_off, block_max_tf``
+    (one row per term) built with zero per-term Python work.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(doc_ids)
+    t_start = term_starts[:-1].astype(np.int64)
+    t_end = term_starts[1:].astype(np.int64)
+    dfs = t_end - t_start
+
+    # delta-gap: diff everywhere, reset at term starts to the absolute doc id
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[t_start] = doc_ids[t_start]
+
+    doc_bytes = encode_varints(gaps)
+    tf_bytes = encode_varints(tfs)
+    doc_sz = np.concatenate(([0], np.cumsum(varint_sizes(gaps))))
+    tf_sz = np.concatenate(([0], np.cumsum(varint_sizes(tfs))))
+
+    # global block structure: for each term, blocks of SKIP_BLOCK docs
+    nblocks = (dfs + SKIP_BLOCK - 1) // SKIP_BLOCK
+    blk_term = np.repeat(np.arange(len(dfs)), nblocks)            # owning term of each block
+    blk_offsets = np.concatenate(([0], np.cumsum(nblocks)))       # list offsets per term
+    # ordinal of each block within its term
+    blk_ord = np.arange(len(blk_term)) - blk_offsets[:-1][blk_term]
+    blk_start = t_start[blk_term] + blk_ord * SKIP_BLOCK          # absolute row of block start
+    blk_end = np.minimum(blk_start + SKIP_BLOCK, t_end[blk_term]) - 1
+
+    skip_docs = doc_ids[blk_start + (blk_end - blk_start)] if n else np.empty(0, np.uint64)
+    skip_doc_off = (doc_sz[blk_start] - doc_sz[t_start][blk_term]).astype(np.uint32)
+    skip_tf_off = (tf_sz[blk_start] - tf_sz[t_start][blk_term]).astype(np.uint32)
+    if len(blk_start):
+        block_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.uint32)
+    else:
+        block_max_tf = np.empty(0, np.uint32)
+
+    return {
+        "df": pa.array(dfs.astype(np.uint32), pa.uint32()),
+        "doc_blob": _binary_from_offsets(doc_bytes, doc_sz[term_starts]),
+        "tf_blob": _binary_from_offsets(tf_bytes, tf_sz[term_starts]),
+        "skip_docs": _list_from_offsets(pa.array(skip_docs, pa.uint64()), blk_offsets),
+        "skip_doc_off": _list_from_offsets(pa.array(skip_doc_off, pa.uint32()), blk_offsets),
+        "skip_tf_off": _list_from_offsets(pa.array(skip_tf_off, pa.uint32()), blk_offsets),
+        "block_max_tf": _list_from_offsets(pa.array(block_max_tf, pa.uint32()), blk_offsets),
+    }
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> dict:
+    """Encode one term's postings (doc_ids strictly ascending) -> dict of
+    python values (doc_blob, tf_blob, skip arrays)."""
+    cols = encode_term_partition(np.array([0, len(doc_ids)]), doc_ids, tfs)
+    return {k: v[0].as_py() for k, v in cols.items()}
+
+
+def decode_postings(doc_blob: bytes, tf_blob: bytes, df: int):
+    """Decode blobs back to (doc_ids: uint64[df], tfs: uint64[df])."""
+    gaps = decode_varints(np.frombuffer(doc_blob, dtype=np.uint8))
+    tfs = decode_varints(np.frombuffer(tf_blob, dtype=np.uint8))
+    assert len(gaps) == df and len(tfs) == df, (len(gaps), len(tfs), df)
+    return np.cumsum(gaps, dtype=np.uint64), tfs
+
+
+def decode_blocks(doc_blob: bytes, tf_blob: bytes, df: int, blocks: np.ndarray,
+                  skip_docs, skip_doc_off, skip_tf_off):
+    """Decode only the given block ordinals of one posting list.
+
+    Returns (doc_ids, tfs) concatenated over the selected blocks (ascending
+    block order).  This is the random-access path used by block-max
+    pruning — the analog of the reference's comp-block random reads
+    (``RetrieveCompIndexLookup``, /root/reference/FileStorage.h:1331+).
+    """
+    nblocks = len(skip_docs)
+    dbuf = np.frombuffer(doc_blob, dtype=np.uint8)
+    tbuf = np.frombuffer(tf_blob, dtype=np.uint8)
+    doc_parts, tf_parts = [], []
+    for b in blocks:
+        d0 = int(skip_doc_off[b])
+        d1 = int(skip_doc_off[b + 1]) if b + 1 < nblocks else len(dbuf)
+        t0 = int(skip_tf_off[b])
+        t1 = int(skip_tf_off[b + 1]) if b + 1 < nblocks else len(tbuf)
+        gaps = decode_varints(dbuf[d0:d1])
+        docs = np.cumsum(gaps, dtype=np.uint64)
+        if b > 0:
+            docs += np.uint64(skip_docs[b - 1])
+        doc_parts.append(docs)
+        tf_parts.append(decode_varints(tbuf[t0:t1]))
+    if not doc_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    return np.concatenate(doc_parts), np.concatenate(tf_parts)

@@ -1,0 +1,165 @@
+"""End-to-end index build: corpus Parquet -> on-disk inverted index.
+
+The Ray rebuild of the reference's ``ProcessPipeline()`` driver
+(/root/reference/DyableCommand/DyableCommand.cpp:641-724), with the
+manual stage toggling replaced by a checkpoint manifest
+(state/manifest.py).  Stage layout on disk::
+
+    index_dir/
+      manifest.json
+      tokens/        (doc_id, term, tf)        — the checkpointed tokenize output
+      doclen/        (doc_id, dl)
+      dictionary/    (term, term_id, df, cf)
+      postings/part=<p>/                       — encoded posting rows
+      meta.json      (N, avgdl, hot terms, partitioning params, BM25 consts)
+
+Each stage writes Parquet then records lineage + counts in the manifest;
+a rerun with unchanged inputs skips completed stages (test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..state.manifest import Manifest, lineage_fingerprint
+from ..stages.dictionary import build_dictionary
+from ..stages.ingest import add_sha256, load_corpus, zip_with_index
+from ..stages.postings import (
+    DEFAULT_INDEX_PARTS,
+    DEFAULT_SALTS,
+    DEFAULT_SHARDS,
+    build_postings,
+)
+from ..stages.tokenize import doc_lengths, tokenize_stage
+
+K1 = 1.2
+B = 0.75
+
+
+def build_index(
+    corpus_path: str,
+    index_dir: str,
+    *,
+    id_mode: str = "sorted_rank",       # or "column" when corpus already has doc_id
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    sort_keys: tuple[str, ...] = ("repo", "path", "commit"),
+    hot_df_frac: float = 0.25,           # term is "hot" if df > frac * N
+    num_shards: int = DEFAULT_SHARDS,
+    num_salts: int = DEFAULT_SALTS,
+    num_index_parts: int = DEFAULT_INDEX_PARTS,
+    with_sha256: bool = True,
+    tokenize_batch_size: int = 512,
+) -> dict:
+    """Run (or resume) the full build; returns the meta dict."""
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest.load(os.path.join(index_dir, "manifest.json"))
+    lineage = lineage_fingerprint([corpus_path])
+
+    tokens_dir = os.path.join(index_dir, "tokens")
+    doclen_dir = os.path.join(index_dir, "doclen")
+    dict_dir = os.path.join(index_dir, "dictionary")
+    post_dir = os.path.join(index_dir, "postings")
+    meta_path = os.path.join(index_dir, "meta.json")
+
+    # ---- stage 1: tokenize (+ dense ids + sha256) --------------------
+    if not man.is_done("tokens", lineage, tokens_dir):
+        man.start("tokens", lineage, tokens_dir)
+        shutil.rmtree(tokens_dir, ignore_errors=True)  # write_parquet appends
+        if id_mode == "sorted_rank":
+            corpus = load_corpus(corpus_path)
+            corpus = zip_with_index(corpus, sort_keys=list(sort_keys), id_column=id_col)
+        else:
+            corpus = rd.read_parquet(corpus_path, columns=[id_col, text_col])
+        if with_sha256:
+            corpus = add_sha256(corpus, text_col=text_col)
+            sha_dir = os.path.join(index_dir, "sha256")
+            shutil.rmtree(sha_dir, ignore_errors=True)
+            corpus.select_columns([id_col, "sha256"]).write_parquet(sha_dir)
+            n_corpus_docs = int(pads.dataset(sha_dir).count_rows())
+        else:
+            n_corpus_docs = int(rd.read_parquet(corpus_path).count())
+        tokens = tokenize_stage(corpus, text_col=text_col, id_col=id_col,
+                                batch_size=tokenize_batch_size)
+        tokens.write_parquet(tokens_dir)
+        n_tokens = int(pads.dataset(tokens_dir).count_rows())
+        # corpus row count recorded here: docs whose content tokenizes to
+        # nothing still count toward BM25's N / avgdl (oracle parity)
+        man.finish("tokens", token_rows=n_tokens, corpus_docs=n_corpus_docs)
+
+    tokens = rd.read_parquet(tokens_dir)
+
+    # ---- stage 2: doc lengths ----------------------------------------
+    if not man.is_done("doclen", lineage, doclen_dir):
+        man.start("doclen", lineage, doclen_dir)
+        shutil.rmtree(doclen_dir, ignore_errors=True)
+        doc_lengths(tokens).write_parquet(doclen_dir)
+        man.finish("doclen")
+
+    # ---- stage 3: dictionary -----------------------------------------
+    if not man.is_done("dictionary", lineage, dict_dir):
+        man.start("dictionary", lineage, dict_dir)
+        shutil.rmtree(dict_dir, ignore_errors=True)
+        build_dictionary(tokens).write_parquet(dict_dir)
+        man.finish("dictionary")
+
+    # ---- stage 4: meta (N, avgdl, hot terms) -------------------------
+    if not man.is_done("meta", lineage, meta_path):
+        man.start("meta", lineage, meta_path)
+        dl_ds = pads.dataset(doclen_dir)
+        dl_tbl = dl_ds.to_table(columns=["dl"])
+        # N counts every corpus row, including docs with zero valid tokens
+        # (they appear in no posting list but still shape N and avgdl)
+        n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
+        total_tokens = int(
+            dl_tbl.column("dl").combine_chunks().cast("int64").sum().as_py() or 0
+        )
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+        hot_cut = max(2, int(hot_df_frac * n_docs))
+        hot_tbl = pads.dataset(dict_dir).to_table(
+            columns=["term"], filter=pads.field("df") > hot_cut
+        )
+        hot_terms = {t: i for i, t in
+                     enumerate(sorted(hot_tbl.column("term").to_pylist()))}
+        meta = {
+            "num_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "k1": K1,
+            "b": B,
+            "hot_df_cut": hot_cut,
+            "hot_terms": hot_terms,
+            "num_shards": num_shards,
+            "num_salts": num_salts,
+            "num_index_parts": num_index_parts,
+            "id_col": id_col,
+        }
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(meta_path + ".tmp", meta_path)
+        man.finish("meta", num_docs=n_docs, hot_terms=len(hot_terms))
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+
+    # ---- stage 5: postings -------------------------------------------
+    if not man.is_done("postings", lineage, post_dir):
+        man.start("postings", lineage, post_dir)
+        shutil.rmtree(post_dir, ignore_errors=True)
+        post = build_postings(
+            tokens,
+            hot_terms=meta["hot_terms"],
+            num_docs=meta["num_docs"],
+            num_shards=meta["num_shards"],
+            num_salts=meta["num_salts"],
+            num_index_parts=meta["num_index_parts"],
+        )
+        post.write_parquet(post_dir, partition_cols=["part"])
+        man.finish("postings")
+
+    return meta

@@ -1,0 +1,95 @@
+"""Tokenize stage: corpus rows -> (doc_id, term, tf) token rows.
+
+The Ray-native rebuild of the reference's CreateDocumentIndex stage
+(/root/reference/DyableDocument/DyableIndex/DocumentInstance.h:50-158 and
+the per-client hit streams, Webpage.h:326-361): a stateless
+``map_batches`` over zero-copy Arrow batches.  Term frequencies are
+counted *within* the batch (every document is wholly contained in its
+batch row), so the emitted rows are already the per-(doc, term) partials —
+the downstream groupbys never see raw token occurrences.  This is the
+map-side combine that the reference lacks (it ships every hit to the log
+divisions, LogFile.h:190-200).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..tokenizer import tokenize_column
+
+TOKEN_SCHEMA = pa.schema(
+    [("doc_id", pa.uint64()), ("term", pa.string()), ("tf", pa.uint32())]
+)
+
+
+def tokenize_batch(batch: pa.Table, text_col: str = "content",
+                   id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, text) batch -> unique (doc_id, term, tf) rows."""
+    tokens = tokenize_column(batch[text_col])  # list<string>, one per doc
+    flat = tokens.values
+    ndocs = len(tokens)
+    counts = np.diff(tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.uint64), counts)
+
+    # count (doc, term) pairs vectorized: dictionary-encode terms, pack
+    # (local_doc, code) into one uint64 key, np.unique with counts
+    dict_arr = flat.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    keys = (doc_idx << np.uint64(32)) | codes
+    uniq, cnt = np.unique(keys, return_counts=True)
+    u_doc_local = (uniq >> np.uint64(32)).astype(np.int64)
+    u_code = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int32)
+
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)[u_doc_local]
+    terms = dict_arr.dictionary.take(pa.array(u_code))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "term": terms.cast(pa.string()),
+            "tf": pa.array(cnt.astype(np.uint32), pa.uint32()),
+        }
+    )
+
+
+def tokenize_stage(corpus: rd.Dataset, text_col: str = "content",
+                   id_col: str = "doc_id", batch_size: int = 512) -> rd.Dataset:
+    """corpus (doc_id, content, ...) -> token rows (doc_id, term, tf).
+
+    ``batch_size`` is deliberately small: content rows can be MBs
+    (SURVEY.md §7.4 "wide rows") and the token fan-out is ~100x rows.
+    """
+    ds = corpus.map_batches(
+        lambda b: tokenize_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return ds
+
+
+def doc_length_partials(tokens: rd.Dataset) -> rd.Dataset:
+    """Token rows -> per-batch partial (doc_id, dl); exact after
+    ``groupby('doc_id').sum('dl')`` regardless of block splits."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        dl = np.bincount(inv, weights=tf).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uniq, pa.uint64()),
+                         "dl": pa.array(dl, pa.int64())})
+
+    return tokens.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_lengths(tokens: rd.Dataset) -> rd.Dataset:
+    """(doc_id, dl) — total token count per document (BM25's dl input)."""
+    from ray.data.aggregate import Sum
+
+    return (
+        doc_length_partials(tokens)
+        .groupby("doc_id")
+        .aggregate(Sum("dl", alias_name="dl"))
+    )
