@@ -1,0 +1,271 @@
+"""BM25 top-k query engine: stateful actor-pool scorers over the index.
+
+The Ray rebuild of the reference's query serving path
+(/root/reference/DyableRequest/): each scorer actor is the analog of a
+SearchHitItems server — it loads the dictionary + doc-length array once in
+``__init__`` (the reference's 500 MB posting-block cache, ``CHitItemBlock``,
+FileStorage.h:2105-2170), reads posting partitions on demand with
+term_id-filtered Parquet reads, and caches decoded lists across queries.
+
+Scoring is exact BM25 (k1=1.2, b=0.75, float64, per-term accumulation in
+sorted-term-id order, ties broken by ascending doc_id — matching
+oracle.OracleIndex.bm25_topk and the reference's multi-key comparators,
+CompileRankedList.h:123-163).  The default algorithm is **MaxScore with
+block-max skipping** — the idiomatic equivalent of the reference's
+best-first doc-range bisection pruning (SearchHitItems.h:210-254): terms
+are evaluated in descending score-upper-bound order; once the summed upper
+bounds of the unevaluated terms fall below the running k-th score, the
+remaining (high-df) terms are only decoded for the blocks that contain
+surviving candidates (codec.decode_blocks over the skip arrays).
+Both paths produce identical rankings (asserted in tests).
+
+Scale note: scores accumulate in a dense float64 array over the dense doc
+id space (one partition's doc range per actor at real scale — the
+reference's ``BoundaryPartion`` doc-range slicing, SearchHitItems.h:300-315;
+in this sandbox one actor holds the whole range).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..codec import decode_blocks, decode_postings
+
+
+class IndexReader:
+    """Loads index metadata + provides term posting lookup with caching."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 8192):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.N = self.meta["num_docs"]
+        self.avgdl = self.meta["avgdl"]
+        self.k1 = self.meta["k1"]
+        self.b = self.meta["b"]
+        self.nparts = self.meta["num_index_parts"]
+
+        dl_tbl = pads.dataset(os.path.join(index_dir, "doclen")).to_table()
+        self.dl = np.zeros(self.N, dtype=np.float64)
+        ids = dl_tbl.column("doc_id").to_numpy().astype(np.int64)
+        self.dl[ids] = dl_tbl.column("dl").to_numpy().astype(np.float64)
+
+        d_tbl = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
+            columns=["term", "term_id", "df"]
+        )
+        self._dict: dict[str, tuple[int, int]] = {
+            t: (tid, df)
+            for t, tid, df in zip(
+                d_tbl.column("term").to_pylist(),
+                d_tbl.column("term_id").to_pylist(),
+                d_tbl.column("df").to_pylist(),
+            )
+        }
+        self.post_dir = os.path.join(index_dir, "postings")
+        self._pcache: dict[str, list[dict]] = {}
+        self._cache_cap = cache_terms
+
+    def lookup(self, term: str) -> tuple[int, int] | None:
+        return self._dict.get(term)
+
+    def idf(self, df: int) -> float:
+        return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
+
+    def posting_rows(self, term: str) -> list[dict]:
+        """Raw index rows (salt-ordered) for a term; term_id-filtered
+        Parquet read of just the owning partition directory."""
+        rows = self._pcache.get(term)
+        if rows is not None:
+            return rows
+        ent = self._dict.get(term)
+        if ent is None:
+            return []
+        tid, _ = ent
+        part = tid % self.nparts
+        part_dir = os.path.join(self.post_dir, f"part={part}")
+        tbl = pads.dataset(part_dir).to_table(
+            filter=pads.field("term_id") == pa.scalar(tid, pa.uint64())
+        )
+        rows = tbl.to_pylist()
+        rows.sort(key=lambda r: r["salt"])
+        if len(self._pcache) >= self._cache_cap:
+            self._pcache.clear()  # simple epoch cache (bounded)
+        self._pcache[term] = rows
+        return rows
+
+    def decoded_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full (doc_ids, tfs) for a term, concatenated over salted rows."""
+        rows = self.posting_rows(term)
+        if not rows:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        docs, tfs = [], []
+        for r in rows:
+            d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
+            docs.append(d)
+            tfs.append(f)
+        return np.concatenate(docs), np.concatenate(tfs)
+
+
+def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (-score, doc_id) — deterministic tie-break."""
+    if len(doc_ids) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    k = min(k, len(doc_ids))
+    if len(scores) > 2 * k:
+        # every doc scoring >= the k-th value participates (ties resolved
+        # by doc_id below — never dropped by the partition)
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        part = np.flatnonzero(scores >= kth)
+    else:
+        part = np.arange(len(scores))
+    order = np.lexsort((doc_ids[part], -scores[part]))[:k]
+    sel = part[order]
+    return doc_ids[sel].astype(np.int64), scores[sel]
+
+
+class BM25Scorer:
+    """Callable actor: batch of queries -> top-k rows.
+
+    Query batch columns: qid (int64), terms (list<string>), k (int64).
+    Output columns: qid, rank, doc_id, score.
+    """
+
+    def __init__(self, index_dir: str, use_maxscore: bool = True):
+        self.rd = IndexReader(index_dir)
+        self.use_maxscore = use_maxscore
+
+    # ---- exact dense TAAT (the shadow path) ---------------------------
+    def score_exact(self, terms: list[str], k: int):
+        r = self.rd
+        scores = np.zeros(r.N, dtype=np.float64)
+        touched = np.zeros(r.N, dtype=bool)
+        qterms = sorted(set(terms))
+        for t in qterms:
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = r.idf(df)
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.flatnonzero(touched)
+        return _topk_from_scores(docs, scores[docs], k)
+
+    # ---- MaxScore with block-max skipping -----------------------------
+    def score_maxscore(self, terms: list[str], k: int):
+        r = self.rd
+        # resolve terms; sort by upper bound descending, term_id tiebreak
+        infos = []
+        for t in sorted(set(terms)):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            tid, df = ent
+            w = r.idf(df)
+            infos.append((w * (r.k1 + 1.0), w, t, tid, df))
+        if not infos:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        infos.sort(key=lambda x: (-x[0], x[3]))
+        ubs = np.array([i[0] for i in infos])
+        rem = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
+
+        scores = np.zeros(r.N, dtype=np.float64)
+        touched = np.zeros(r.N, dtype=bool)
+        theta = -np.inf
+        n_touched = 0
+        i = 0
+        # phase 1: essential terms — fully evaluated
+        while i < len(infos):
+            if n_touched >= k and rem[i] + ubs[i] < theta:
+                break  # no untouched doc can reach top-k via remaining terms
+            _, w, t, _, _ = infos[i]
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+            n_touched = int(touched.sum())
+            if n_touched >= k:
+                tdocs = np.flatnonzero(touched)
+                theta = np.partition(scores[tdocs], len(tdocs) - k)[len(tdocs) - k]
+            i += 1
+        # phase 2: non-essential terms — decoded only where candidates live
+        if i < len(infos):
+            tdocs = np.flatnonzero(touched)
+            cand = tdocs[scores[tdocs] + rem[i - 1] >= theta] if n_touched >= k else tdocs
+            for j in range(i, len(infos)):
+                _, w, t, _, _ = infos[j]
+                rows = r.posting_rows(t)
+                for row in rows:
+                    sd = np.asarray(row["skip_docs"], dtype=np.uint64)
+                    if len(sd) == 0:
+                        continue
+                    # blocks whose doc range intersects a candidate
+                    blk = np.unique(np.searchsorted(sd, cand.astype(np.uint64)))
+                    blk = blk[blk < len(sd)]
+                    if len(blk) == 0:
+                        continue
+                    d, tf = decode_blocks(
+                        row["doc_blob"], row["tf_blob"], row["df"], blk,
+                        sd, row["skip_doc_off"], row["skip_tf_off"],
+                    )
+                    d = d.astype(np.int64)
+                    keep = touched[d]
+                    d, tf = d[keep], tf[keep].astype(np.float64)
+                    if len(d) == 0:
+                        continue
+                    denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+                    scores[d] += w * tf * (r.k1 + 1.0) / denom
+        docs = np.flatnonzero(touched)
+        return _topk_from_scores(docs, scores[docs], k)
+
+    def score(self, terms: list[str], k: int):
+        if self.use_maxscore:
+            return self.score_maxscore(terms, k)
+        return self.score_exact(terms, k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, terms, k in zip(
+            batch["qid"].to_pylist(),
+            batch["terms"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            d, s = self.score(list(terms), int(k))
+            for rank, (di, si) in enumerate(zip(d, s), start=1):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(int(di))
+                scores.append(float(si))
+        return pa.table({
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        })
+
+
+def run_queries(index_dir: str, queries: list[dict], concurrency: int = 4,
+                use_maxscore: bool = True) -> rd.Dataset:
+    """Replay a query set through the scorer actor pool -> Dataset of
+    (qid, rank, doc_id, score)."""
+    qds = rd.from_items(
+        [{"qid": q["qid"], "terms": q["terms"], "k": q.get("k", 10)} for q in queries]
+    )
+    return qds.map_batches(
+        BM25Scorer,
+        fn_constructor_args=(index_dir, use_maxscore),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )

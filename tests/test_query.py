@@ -1,0 +1,58 @@
+"""BM25 top-k rank-identity vs the oracle (the north-rule gate), plus
+MaxScore == exact-dense equivalence and the empty/unknown-term contract."""
+
+import numpy as np
+
+from hadoopsearchengine_ray import oracle
+from hadoopsearchengine_ray.pipelines.query import BM25Scorer, run_queries
+
+
+def _gold(idx, q):
+    gold = idx.bm25_topk(q["terms"], q["k"])
+    return [g[0] for g in gold], [g[1] for g in gold]
+
+
+def test_topk_rank_identical_to_oracle(t1_index_dir, t1_oracle):
+    idx, _ = t1_oracle
+    queries = oracle.make_queries(idx, 200)
+    sc = BM25Scorer(t1_index_dir)
+    for q in queries:
+        d_ms, s_ms = sc.score_maxscore(q["terms"], q["k"])
+        d_ex, s_ex = sc.score_exact(q["terms"], q["k"])
+        gd, gs = _gold(idx, q)
+        assert list(d_ms) == list(d_ex) == gd, q["terms"]
+        assert np.allclose(s_ms, s_ex)
+        assert np.allclose(s_ms, gs, atol=1e-6), q["terms"]
+
+
+def test_unknown_terms_empty_result(t1_index_dir):
+    sc = BM25Scorer(t1_index_dir)
+    d, s = sc.score(["zzqqxxnotaterm0", "alsonotaterm"], 10)
+    assert len(d) == 0 and len(s) == 0
+
+
+def test_actor_pool_run_queries(t1_index_dir, t1_oracle):
+    idx, _ = t1_oracle
+    queries = oracle.make_queries(idx, 40)
+    out = run_queries(t1_index_dir, queries, concurrency=2).to_pandas()
+    for q in queries:
+        gd, gs = _gold(idx, q)
+        sub = out[out.qid == q["qid"]].sort_values("rank")
+        assert list(sub.doc_id) == gd, q
+        assert np.allclose(sub.score.to_numpy(), gs, atol=1e-6)
+
+
+def test_hot_term_query_uses_salted_rows(t1_index_dir, t1_oracle):
+    """A query on a keyword (present in >40% of docs) must still be
+    rank-identical — exercises multi-salt concatenation."""
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    hot = sc.rd.meta["hot_terms"]
+    assert hot
+    term = next(iter(hot))
+    rows = sc.rd.posting_rows(term)
+    assert len(rows) > 1  # actually salted
+    d, s = sc.score([term], 10)
+    gd, gs = _gold(idx, {"terms": [term], "k": 10})
+    assert list(d) == gd
+    assert np.allclose(s, gs, atol=1e-6)
