@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is a Ray-Data pipeline from
+hadoopsearchengine_ray, paired (where SQL-expressible) with an exact
+DuckDB oracle in ``oracle_sql()``.  Column names and types match on both
+sides; comparable outputs avoid floats except explicitly rounded
+aggregates.  The shared tokenizer spec (tokenizer.py) appears in SQL as
+the ``tok`` CTE below.
 """
 
 from __future__ import annotations
@@ -18,27 +16,478 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror hadoopsearchengine_ray/tokenizer.py)
+# ---------------------------------------------------------------------------
+
+TOK_CTE = """
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+    FROM documents
+  ) WHERE length(t) BETWEEN 2 AND 16
+    AND (NOT regexp_full_match(t, '[0-9]+') OR length(t) BETWEEN 4 AND 5)
+)
+"""
+
+# ordered variant (for bigrams): token sequence per doc with dense rank
+TOK_ORDERED_CTE = """
+raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t,
+         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+  FROM documents
+),
+toko AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM raw
+  WHERE length(t) BETWEEN 2 AND 16
+    AND (NOT regexp_full_match(t, '[0-9]+') OR length(t) BETWEEN 4 AND 5)
+)
+"""
+
+BM25_TERMS = ["spark", "window", "merge"]
+KNN_QUERY_IDS = [0, 1, 2]
+
+_LANG_SW_VALUES = (
+    "('the','en'),('and','en'),('is','en'),('of','en'),('to','en'),"
+    "('le','fr'),('la','fr'),('et','fr'),('les','fr'),('des','fr'),"
+    "('el','es'),('los','es'),('las','es'),('una','es'),('que','es'),"
+    "('der','de'),('die','de'),('und','de'),('das','de'),('ein','de')"
+)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the full inverted index over sf0.001 documents and
+    serve the fixed BM25 query set — returns the top-k result table."""
+    import pandas as pd
+
+    from hadoopsearchengine_ray.functions.search import bm25_topk_table, index_for
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    index_dir = index_for(path)
+    scorer = BM25Scorer(index_dir)
+    frames = []
+    for qid, terms in enumerate([BM25_TERMS, ["data"], ["batch", "stream"]]):
+        d, s = scorer.score(terms, 10)
+        frames.append(pd.DataFrame({
+            "qid": qid,
+            "rank": range(1, len(d) + 1),
+            "doc_id": [int(x) for x in d],
+            "score": s,
+        }))
+    return pd.concat(frames, ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from hadoopsearchengine_ray.functions import dedup, similarity, text
+    from hadoopsearchengine_ray.functions.search import bm25_topk_table
+    from hadoopsearchengine_ray.pipelines import relational as rel
+    from hadoopsearchengine_ray.pipelines.pagerank import pagerank_dataset
+
+    # ---- full-text index family (documents table) --------------------
+    def q_tokenize(sf):
+        return text.token_table(_docs(sf))
+
+    def q_dictionary(sf):
+        return text.dictionary_table(_docs(sf))
+
+    def q_doc_lengths(sf):
+        return text.doc_length_table(_docs(sf))
+
+    def q_bm25(sf):
+        return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
+
+    def q_sha256(sf):
+        from hadoopsearchengine_ray.stages.ingest import add_sha256
+
+        ds = add_sha256(_docs(sf), text_col="text")
+        return ds.select_columns(["doc_id", "sha256"])
+
+    def q_quality(sf):
+        return text.quality_table(_docs(sf))
+
+    def q_lang_id(sf):
+        return text.lang_id_table(_docs(sf))
+
+    def q_bigrams(sf):
+        return text.bigram_table(_docs(sf), k=100)
+
+    def q_cf_p95(sf):
+        d = text.dictionary_table(_docs(sf))
+        val = rel.kth_percentile(d, "cf", 0.95)
+        return pd.DataFrame({"cf_p95": pd.array([int(val)], dtype="int64")})
+
+    # ---- dedup family -------------------------------------------------
+    def q_exact_dedup(sf):
+        return dedup.exact_dedup(_docs(sf))
+
+    def q_shingle_pairs(sf):
+        return dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5, max_df=50)
+
+    def q_minhash(sf):
+        return dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
+
+    def q_simhash(sf):
+        return dedup.simhash_dup_pairs(_docs(sf), max_hamming=3)
+
+    def q_fingerprints(sf):
+        return text.fingerprint_table(_docs(sf))
+
+    # ---- similarity over embeddings -----------------------------------
+    def _emb(sf):
+        return rd.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def q_knn(sf):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/embeddings.parquet")
+        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                    tbl["embedding"].to_pylist())}
+        qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+        out = similarity.knn_cosine(_emb(sf), qm, k=10)
+        out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
+        return out
+
+    def q_emb_near_dup(sf):
+        # the embeddings table has no natural near-dups (max pairwise
+        # cosine ~0.51), so append 50 deterministic near-copies
+        # (vec_id 10_000+i = vec i + tiny noise) to give the operator a
+        # non-trivial, reproducible answer: exactly one pair per copy.
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        rng = np.random.default_rng(21)
+        copies = m[:50] + rng.normal(0, 1e-3, (50, m.shape[1]))
+        aug = pa.table({
+            "vec_id": pa.array(
+                list(tbl["vec_id"].to_pylist()) + [10_000 + i for i in range(50)],
+                pa.int64()),
+            "embedding": pa.array(
+                list(tbl["embedding"].to_pylist()) + [r.tolist() for r in copies],
+                pa.list_(pa.float32())),
+        })
+        return similarity.embedding_near_dup(rd.from_arrow(aug),
+                                             sim_threshold=0.98)
+
+    # ---- relational primitives (TPC-H-ish tables) ---------------------
+    def q_key_occurrence(sf):
+        ds = rd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey"])
+        return rel.key_occurrence(ds, "o_custkey", alias="n")
+
+    def q_revenue(sf):
+        ds = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_discount"])
+
+        def _rev(b: pa.Table) -> pa.Table:
+            rev = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            return pa.table({"l_returnflag": b["l_returnflag"], "rev": rev})
+
+        agg = rel.key_weight(
+            ds.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True),
+            "l_returnflag", "rev", alias="revenue")
+
+        def _round(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("revenue"), "revenue",
+                pc.round(b["revenue"], 2))
+
+        return agg.map_batches(_round, batch_format="pyarrow")
+
+    def q_annotate(sf):
+        ds = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+        return rel.annotate_key_count(ds, "o_custkey", alias="cust_orders")
+
+    def q_merge_set(sf):
+        ds = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"])
+        return rel.merge_set(ds, "l_orderkey", "l_partkey", alias="partkeys")
+
+    def q_cnr_join(sf):
+        import pyarrow.parquet as pq
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_nationkey", "c_acctbal"])
+        nation = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+        region = pq.read_table(f"{sf}/region.parquet").to_pandas()
+        dim = nation.merge(region, left_on="n_regionkey",
+                           right_on="r_regionkey")[["n_nationkey", "n_name", "r_name"]]
+        dim = dim.rename(columns={"n_nationkey": "c_nationkey"})
+        joined = rel.broadcast_join(cust, dim, on="c_nationkey")
+        from ray.data.aggregate import Count, Sum
+
+        agg = joined.groupby(["r_name", "n_name"]).aggregate(
+            Count(alias_name="customers"), Sum("c_acctbal", alias_name="acctbal"))
+
+        def _round(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("acctbal"), "acctbal",
+                pc.round(b["acctbal"], 2))
+
+        return agg.map_batches(_round, batch_format="pyarrow")
+
+    def q_topk_orders(sf):
+        ds = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        return rel.top_k(ds, ["o_totalprice", "o_orderkey"],
+                         descending=[True, False], k=20)
+
+    def q_events_hourly(sf):
+        ds = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+        def _hour(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64())
+            hour = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+            return pa.table({"event_type": b["event_type"],
+                             "hour_epoch": hour.cast(pa.int64()),
+                             "value": b["value"]})
+
+        from ray.data.aggregate import Count, Sum
+
+        agg = (ds.map_batches(_hour, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby(["event_type", "hour_epoch"])
+               .aggregate(Count(alias_name="n"), Sum("value", alias_name="total")))
+
+        def _round(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("total"), "total",
+                pc.round(b["total"], 2))
+
+        return agg.map_batches(_round, batch_format="pyarrow")
+
+    # ---- graph (rows-only: iterative, not SQL-expressible) ------------
+    def q_pagerank(sf):
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.corpus import links_table
+
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        links = rd.from_arrow(links_table(n))
+        return pagerank_dataset(links, n)
+
+    # ---- multimodal plumbing (rows-only) ------------------------------
+    def q_media_features(sf):
+        from hadoopsearchengine_ray.functions.multimodal import (
+            extract_features,
+            synthetic_media,
+        )
+
+        media = rd.from_arrow(synthetic_media(200))
+        return extract_features(media)
+
+    return {
+        "tokenize_tf": q_tokenize,
+        "dictionary": q_dictionary,
+        "doc_lengths": q_doc_lengths,
+        "bm25_topk": q_bm25,
+        "sha256_docs": q_sha256,
+        "quality_metrics": q_quality,
+        "lang_id": q_lang_id,
+        "bigram_top100": q_bigrams,
+        "term_cf_p95": q_cf_p95,
+        "exact_dedup": q_exact_dedup,
+        "shingle_pairs": q_shingle_pairs,
+        "minhash_near_dup": q_minhash,
+        "simhash_near_dup": q_simhash,
+        "doc_fingerprints": q_fingerprints,
+        "knn_cosine": q_knn,
+        "embedding_near_dup": q_emb_near_dup,
+        "key_occurrence": q_key_occurrence,
+        "revenue_by_flag": q_revenue,
+        "annotate_key_count": q_annotate,
+        "merge_set_partkeys": q_merge_set,
+        "cnr_join": q_cnr_join,
+        "topk_orders": q_topk_orders,
+        "events_hourly": q_events_hourly,
+        "pagerank": q_pagerank,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    terms_values = ",".join(f"('{t}')" for t in BM25_TERMS)
+    knn_ids = ",".join(str(i) for i in KNN_QUERY_IDS)
+    return {
+        "tokenize_tf": f"""
+            WITH {TOK_CTE}
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        """,
+        "dictionary": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+        """,
+        "doc_lengths": f"""
+            WITH {TOK_CTE}
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        """,
+        "bm25_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "sha256_docs": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "quality_metrics": f"""
+            WITH {TOK_CTE}
+            SELECT doc_id, count(*) AS n_tokens, CAST(sum(length(term)) AS BIGINT) AS total_chars,
+                   count(DISTINCT term) AS n_distinct
+            FROM tok GROUP BY doc_id
+        """,
+        "lang_id": f"""
+            WITH {TOK_CTE},
+            sw(term, lang) AS (VALUES {_LANG_SW_VALUES}),
+            hits AS (
+              SELECT doc_id, lang, count(*) AS c
+              FROM tok JOIN sw USING (term) GROUP BY doc_id, lang
+            ),
+            best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, lang) AS rnk
+              FROM hits
+            )
+            SELECT d.doc_id,
+                   coalesce(b.lang, 'und') AS lang_pred
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, lang FROM best WHERE rnk = 1) b
+              USING (doc_id)
+        """,
+        "bigram_top100": f"""
+            WITH {TOK_ORDERED_CTE},
+            big AS (
+              SELECT a.t || ' ' || b.t AS bigram
+              FROM toko a JOIN toko b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            )
+            SELECT bigram, count(*) AS n FROM big
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
+        """,
+        "term_cf_p95": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            d AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term)
+            SELECT CAST(quantile_disc(cf, 0.95) AS BIGINT) AS cf_p95 FROM d
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "shingle_pairs": f"""
+            WITH {TOK_ORDERED_CTE},
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.t || ' ' || b.t || ' ' || c.t AS shingle
+              FROM toko a
+              JOIN toko b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              JOIN toko c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+            ),
+            keep AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) BETWEEN 2 AND 50
+            ),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+              FROM sh a JOIN keep USING (shingle)
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT d1, d2, common FROM pairs WHERE common >= 5
+        """,
+        "knn_cosine": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id IN ({knn_ids})),
+            sims AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM ranked WHERE rank <= 10
+        """,
+        "key_occurrence": "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
+        "revenue_by_flag": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "annotate_key_count": """
+            SELECT o_orderkey, o_custkey,
+                   count(*) OVER (PARTITION BY o_custkey) AS cust_orders
+            FROM orders
+        """,
+        "merge_set_partkeys": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey)
+                     AS partkeys
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "cnr_join": """
+            SELECT r_name, n_name, count(*) AS customers,
+                   round(sum(c_acctbal), 2) AS acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (``ray.put``), every batch computes a numpy matmul and
+emits only its local top-k candidates per query (map-side combine), and a
+final small sort picks the global top-k.  The LSH-bucketed variant is the
+scale path: random-hyperplane signatures bucket vectors so each query
+probes only its bucket (+ multiprobe neighbors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_cosine(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k: returns (qid, rank, vec_id) int64 columns.
+
+    Ties broken by ascending vec_id; scores float64 internally only (kept
+    out of the comparable output)."""
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        m = _norm_rows(m)
+        sims = m @ qm.T                       # (batch, nq)
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            out_q.append(np.full(len(part), qi, np.int64))
+            out_id.append(ids[part])
+            out_s.append(s[part])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    cand = embeddings.map_batches(_local_topk, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    rows = []
+    for qi, g in cand.groupby("qid"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, vid in enumerate(g["vec_id"], start=1):
+            rows.append((int(qi), rank, int(vid)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
+
+
+def lsh_buckets(embeddings: rd.Dataset, num_planes: int = 8, seed: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                dim: int = 64) -> rd.Dataset:
+    """Random-hyperplane LSH bucket id per vector (the IVF/LSH scale path:
+    a query probes one bucket instead of the full set)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    p_ref = ray.put(planes)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(p_ref)
+        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        bits = (m @ pl.T) > 0
+        bucket = bits @ (1 << np.arange(pl.shape[0]))
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+        })
+
+    return embeddings.map_batches(_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def embedding_near_dup(embeddings: rd.Dataset, sim_threshold: float = 0.98,
+                       num_planes: int = 10, num_tables: int = 4, seed: int = 5,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id", dim: int = 64) -> rd.Dataset:
+    """Near-duplicate vector pairs by cosine >= threshold, LSH-bucketed:
+    ``num_tables`` independent hyperplane signatures (union of buckets
+    recovers pairs split by any single table's boundary), all-pairs
+    verification inside buckets only."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    p_ref = ray.put(planes)
+
+    def _with_bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(p_ref)
+        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        mn = _norm_rows(m)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_bucket, out_vec = [], [], []
+        for t in range(pl.shape[0]):
+            bits = (mn @ pl[t].T) > 0
+            bucket = bits @ (1 << np.arange(pl.shape[1]))
+            out_id.append(ids)
+            out_bucket.append(t * (1 << pl.shape[1]) + bucket.astype(np.int64))
+            out_vec.extend(r.tolist() for r in mn)
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "vec": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2 or len(ids) > 1000:
+            return pd.DataFrame({"d1": [], "d2": [], "sim": []})
+        m = np.asarray(list(g["vec"]), dtype=np.float64)
+        sims = m @ m.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= sim_threshold
+        order = np.argsort(ids)
+        return pd.DataFrame({
+            "d1": np.minimum(ids[i][keep], ids[j][keep]),
+            "d2": np.maximum(ids[i][keep], ids[j][keep]),
+            "sim": np.round(sims[i, j][keep], 4),
+        })
+
+    from ray.data.aggregate import Max
+
+    pairs = (embeddings.map_batches(_with_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+             .groupby("bucket")
+             .map_groups(_pairs, batch_format="pandas"))
+    return pairs.groupby(["d1", "d2"]).aggregate(Max("sim", alias_name="sim"))

@@ -1,0 +1,203 @@
+"""Text-analysis operators over a (doc_id, text) table.
+
+Backs the driver ``queries()`` entries on the testdata ``documents``
+table and doubles as the training-data-pipeline toolkit: token stats,
+quality metrics, language ID, bigram associations
+(/root/reference/DyableAssociations/CreateAssociations.cpp:24-48),
+rolling-hash document fingerprints.
+All column types are chosen to hash-match the DuckDB oracle SQL
+(int64/string only — no floats in comparable outputs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..stages.tokenize import tokenize_batch
+from ..tokenizer import tokenize_column
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; inlined identically in the oracle SQL (VALUES list)
+LANG_STOPWORDS: list[tuple[str, str]] = [
+    ("the", "en"), ("and", "en"), ("is", "en"), ("of", "en"), ("to", "en"),
+    ("le", "fr"), ("la", "fr"), ("et", "fr"), ("les", "fr"), ("des", "fr"),
+    ("el", "es"), ("los", "es"), ("las", "es"), ("una", "es"), ("que", "es"),
+    ("der", "de"), ("die", "de"), ("und", "de"), ("das", "de"), ("ein", "de"),
+]
+
+
+def _docs(ds_or_path, text_col="text", id_col="doc_id") -> rd.Dataset:
+    if isinstance(ds_or_path, str):
+        return rd.read_parquet(ds_or_path, columns=[id_col, text_col])
+    return ds_or_path
+
+
+def token_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, term, tf) with int64 tf (hash-parity with SQL count(*))."""
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        t = tokenize_batch(batch, text_col=text_col, id_col="doc_id")
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "term": t["term"],
+            "tf": t["tf"].cast(pa.int64()),
+        })
+
+    return docs.map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dictionary_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(term, df, cf) global term stats (A1/A2 shape, map-side combined)."""
+    tok = token_table(docs, text_col)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        d = batch["term"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d.dictionary)
+        return pa.table({
+            "term": d.dictionary.cast(pa.string()),
+            "df": pa.array(np.bincount(codes, minlength=n).astype(np.int64)),
+            "cf": pa.array(np.bincount(codes, weights=tf, minlength=n).astype(np.int64)),
+        })
+
+    return (tok.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
+
+
+def doc_length_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, dl) for docs with >=1 valid token."""
+    tok = token_table(docs, text_col)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "dl": pa.array(np.bincount(inv, weights=tf).astype(np.int64)),
+        })
+
+    return (tok.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("doc_id").aggregate(Sum("dl", alias_name="dl")))
+
+
+def quality_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Integer quality metrics per doc: token count, total token chars,
+    distinct terms (doc-size gates, the M7 analog of
+    /root/reference/DyableDocument/DyableIndex/DocumentInstance.h:464-474)."""
+
+    def _quality(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        total_chars = np.add.reduceat(
+            np.concatenate([lens, [0]]), offs[:-1])
+        total_chars[counts == 0] = 0
+        ndoc = len(toks)
+        # distinct terms per doc via (doc, code) unique
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.uint64), counts)
+        uniq = np.unique((doc_idx << np.uint64(32)) | codes)
+        n_distinct = np.bincount(
+            (uniq >> np.uint64(32)).astype(np.int64), minlength=ndoc)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "total_chars": pa.array(total_chars, pa.int64()),
+            "n_distinct": pa.array(n_distinct.astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(_quality, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Stopword-vote language ID: argmax language by stopword hits,
+    ties broken by language code asc, no hits -> 'und'."""
+    sw = {}
+    for term, lang in LANG_STOPWORDS:
+        sw.setdefault(term, []).append(lang)
+    langs = sorted({l for _, l in LANG_STOPWORDS})
+    lang_ix = {l: i for i, l in enumerate(langs)}
+
+    def _langid(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        out = []
+        for tl in toks.to_pylist():
+            votes = [0] * len(langs)
+            for t in tl:
+                for l in sw.get(t, ()):
+                    votes[lang_ix[l]] += 1
+            best = max(range(len(langs)), key=lambda i: (votes[i], -i))
+            out.append(langs[best] if votes[best] > 0 else "und")
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang_pred": pa.array(out, pa.string()),
+        })
+
+    return docs.map_batches(_langid, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_table(docs: rd.Dataset, text_col: str = "text",
+                 k: int = 100) -> rd.Dataset:
+    """Top-k adjacent-token bigrams by count (association counting,
+    /root/reference/DyableAssociations/CreateAssociations.cpp:24-48 +
+    KeyOccurrence).  Deterministic order: count desc, bigram asc."""
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # pair (i, i+1) valid iff both in same doc
+        valid = np.ones(n - 1, dtype=bool) if n > 1 else np.zeros(0, bool)
+        ends = offs[1:-1] - 1  # last token index of each doc (nonempty handling)
+        ends = ends[(ends >= 0) & (ends < n - 1)]
+        valid[ends] = False
+        left = pc.array_filter(flat.slice(0, n - 1), pa.array(valid))
+        right = pc.array_filter(flat.slice(1), pa.array(valid))
+        big = pc.binary_join_element_wise(left, right, " ")
+        d = big.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"bigram": d.dictionary.cast(pa.string()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    agg = (docs.map_batches(_bigrams, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Order-sensitive rolling-hash fingerprint of each doc's token
+    sequence (FNV-1a over the joined token stream) — the D2 excerpt
+    checksum analog (/root/reference/DyableRequest/HitScore.h:262-267).
+    Non-SQL-expressible; covered by the rows-only driver check + pytest."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        fps = []
+        for tl in toks.to_pylist():
+            h = np.uint64(0xCBF29CE484222325)
+            for t in tl:
+                for b in t.encode():
+                    h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                h = np.uint64((int(h) ^ 0x20) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            fps.append(int(h) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "fingerprint": pa.array(fps, pa.int64()),
+        })
+
+    return docs.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -112,7 +112,7 @@ def build_index(
     if not man.is_done("meta", lineage, meta_path):
         man.start("meta", lineage, meta_path)
         dl_ds = pads.dataset(doclen_dir)
-        dl_tbl = dl_ds.to_table(columns=["dl"])
+        dl_tbl = dl_ds.to_table()
         # N counts every corpus row, including docs with zero valid tokens
         # (they appear in no posting list but still shape N and avgdl)
         n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
@@ -126,8 +126,15 @@ def build_index(
         )
         hot_terms = {t: i for i, t in
                      enumerate(sorted(hot_tbl.column("term").to_pylist()))}
+        import pyarrow.compute as pc
+
+        dl_size = (
+            int(pc.max(dl_tbl.column("doc_id")).as_py()) + 1
+            if dl_tbl.num_rows else 0
+        )
         meta = {
             "num_docs": n_docs,
+            "doc_id_space": max(dl_size, n_docs),
             "total_tokens": total_tokens,
             "avgdl": avgdl,
             "k1": K1,

@@ -49,9 +49,11 @@ class IndexReader:
         self.k1 = self.meta["k1"]
         self.b = self.meta["b"]
         self.nparts = self.meta["num_index_parts"]
+        # doc_id space may be sparse / non-dense (generic doc tables)
+        self.doc_space = self.meta.get("doc_id_space", self.N)
 
         dl_tbl = pads.dataset(os.path.join(index_dir, "doclen")).to_table()
-        self.dl = np.zeros(self.N, dtype=np.float64)
+        self.dl = np.zeros(self.doc_space, dtype=np.float64)
         ids = dl_tbl.column("doc_id").to_numpy().astype(np.int64)
         self.dl[ids] = dl_tbl.column("dl").to_numpy().astype(np.float64)
 
@@ -142,8 +144,8 @@ class BM25Scorer:
     # ---- exact dense TAAT (the shadow path) ---------------------------
     def score_exact(self, terms: list[str], k: int):
         r = self.rd
-        scores = np.zeros(r.N, dtype=np.float64)
-        touched = np.zeros(r.N, dtype=bool)
+        scores = np.zeros(r.doc_space, dtype=np.float64)
+        touched = np.zeros(r.doc_space, dtype=bool)
         qterms = sorted(set(terms))
         for t in qterms:
             ent = r.lookup(t)
@@ -178,8 +180,8 @@ class BM25Scorer:
         ubs = np.array([i[0] for i in infos])
         rem = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
 
-        scores = np.zeros(r.N, dtype=np.float64)
-        touched = np.zeros(r.N, dtype=bool)
+        scores = np.zeros(r.doc_space, dtype=np.float64)
+        touched = np.zeros(r.doc_space, dtype=bool)
         theta = -np.inf
         n_touched = 0
         i = 0

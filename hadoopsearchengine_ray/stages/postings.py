@@ -135,7 +135,7 @@ def build_postings(tokens: rd.Dataset, hot_terms: dict[str, int], num_docs: int,
         fn_constructor_args=(hot_terms, num_docs, num_shards, num_salts),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or (2, 8),
+        concurrency=concurrency or (1, 8),
     )
     return sharded.groupby("shard").map_groups(
         lambda g: _encode_group(g, num_index_parts),

@@ -1,0 +1,155 @@
+"""Operator-library checks: dedup / similarity / text / relational /
+multimodal against independent in-process computations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from hadoopsearchengine_ray.functions import dedup, multimodal, similarity, text
+from hadoopsearchengine_ray.pipelines import relational as rel
+from hadoopsearchengine_ray.tokenizer import tokenize_py
+
+
+def _doc_ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "alpha beta gamma delta epsilon zeta eta theta",          # exact dup of 0
+    "alpha beta gamma delta epsilon zeta eta iota",           # near dup of 0
+    "completely different words nothing shared here at all",
+    "the quick brown fox jumps over the lazy dog again",
+    "le chat et la souris et les des la le",                  # french-ish
+]
+
+
+def test_exact_dedup():
+    out = dedup.exact_dedup(_doc_ds(TEXTS)).to_pandas().sort_values("doc_id")
+    got = dict(zip(out.doc_id, out.n_dups))
+    assert got[0] == 2 and 1 not in got
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_minhash_finds_near_dups():
+    out = dedup.minhash_lsh_pairs(_doc_ds(TEXTS), n=2, jaccard_threshold=0.5).to_pandas()
+    pairs = set(zip(out.d1, out.d2))
+    assert (0, 1) in pairs          # exact dup -> jaccard 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_dups():
+    out = dedup.simhash_dup_pairs(_doc_ds(TEXTS), max_hamming=10).to_pandas()
+    pairs = set(zip(out.d1, out.d2))
+    assert (0, 1) in pairs
+    ham = dict(zip(zip(out.d1, out.d2), out.hamming))
+    assert ham[(0, 1)] == 0
+
+
+def test_shingle_overlap_pairs():
+    out = dedup.shingle_overlap_pairs(
+        _doc_ds(TEXTS), n=3, min_common=3, max_df=50).to_pandas()
+    pairs = {(a, b): c for a, b, c in zip(out.d1, out.d2, out.common)}
+    # docs 0,1 identical: all 6 shingles shared (each shingle has df=2 <= cap)
+    assert pairs.get((0, 1)) == 6
+
+
+def test_knn_cosine_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((300, 16))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    }))
+    q = m[:3]
+    out = similarity.knn_cosine(emb, q, k=5, vec_col="embedding")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    m32 = np.asarray(np.asarray(m, dtype=np.float32), dtype=np.float64)
+    m32n = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = m32n @ m32n[qi]
+        exp = np.lexsort((np.arange(300), -sims))[:5]
+        got = out[out.qid == qi].sort_values("rank").vec_id.to_numpy()
+        assert list(got) == list(exp), qi
+
+
+def test_text_metrics_match_python():
+    ds = _doc_ds(TEXTS)
+    q = text.quality_table(ds).to_pandas().set_index("doc_id")
+    fp = text.fingerprint_table(ds).to_pandas().set_index("doc_id")
+    for i, t in enumerate(TEXTS):
+        toks = tokenize_py(t)
+        assert q.loc[i, "n_tokens"] == len(toks)
+        assert q.loc[i, "total_chars"] == sum(len(x) for x in toks)
+        assert q.loc[i, "n_distinct"] == len(set(toks))
+    # identical docs -> identical fingerprints; different docs differ
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]
+    assert fp.loc[0, "fingerprint"] != fp.loc[3, "fingerprint"]
+
+
+def test_lang_id():
+    out = text.lang_id_table(_doc_ds(TEXTS)).to_pandas().set_index("doc_id")
+    assert out.loc[4, "lang_pred"] == "en"
+    assert out.loc[5, "lang_pred"] == "fr"
+    assert out.loc[0, "lang_pred"] == "und"
+
+
+def test_bigram_table():
+    out = text.bigram_table(_doc_ds(["aa bb aa bb", "aa bb"]), k=10).to_pandas()
+    top = dict(zip(out.bigram, out.n))
+    assert top["aa bb"] == 3 and top["bb aa"] == 1
+
+
+def test_relational_primitives():
+    df = pa.table({
+        "k": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+        "w": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+    })
+    ds = rd.from_arrow(df)
+    occ = rel.key_occurrence(ds, "k").to_pandas().set_index("k")["n"].to_dict()
+    assert occ == {1: 2, 2: 3, 3: 1}
+    kw = rel.key_weight(ds, "k", "w").to_pandas().set_index("k")["w"].to_dict()
+    assert kw == {1: 3.0, 2: 12.0, 3: 6.0}
+    ann = rel.annotate_key_count(ds, "k").to_pandas()
+    assert len(ann) == 6 and set(ann[ann.k == 2].n) == {3}
+    ms = rel.merge_set(ds, "k", "w").to_pandas().set_index("k")["vals"].to_dict()
+    assert ms[2] == "3.0,4.0,5.0"
+    assert rel.kth_percentile(ds, "w", 0.5) == 3.0
+
+
+def test_kth_percentile_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1000, 777).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    con = duckdb.connect()
+    for q in (0.5, 0.9, 0.95, 0.99):
+        exp = con.execute(
+            "SELECT quantile_disc(v, ?) FROM (SELECT unnest(?) AS v)",
+            [q, vals.tolist()],
+        ).fetchone()[0]
+        assert rel.kth_percentile(ds, "v", q) == exp, q
+
+
+def test_multimodal_plumbing():
+    media = rd.from_arrow(multimodal.synthetic_media(50))
+    out = multimodal.extract_features(media, concurrency=1).to_pandas()
+    assert len(out) == 50
+    assert all(len(f) == multimodal.MediaFeatureExtractor.FEAT_DIM
+               for f in out.feature)
+    # deterministic: same payload -> same feature
+    out2 = multimodal.extract_features(
+        rd.from_arrow(multimodal.synthetic_media(50)), concurrency=1).to_pandas()
+    assert [list(a) for a in out.sort_values("media_id").feature] == \
+           [list(a) for a in out2.sort_values("media_id").feature]
+    # real codecs are stubbed
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaFeatureExtractor(codec="pil")
