@@ -1,0 +1,186 @@
+"""Headline benchmark: index build + BM25 latency + auxiliary pipelines.
+
+Default run:
+    python bench.py
+prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec / stats...}, "sf": ..., "num_cpus": N}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_BENCH_DOCS (bench corpus size, default 100_000).
+
+Scaling mode (the sandbox proxy for N-node vs 4N-node clusters,
+BASELINE.md §3):
+    python bench.py --scaling
+runs the same job in two FRESH processes at num_cpus=8 and 32 on the
+same cached input and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_QUERIES = 200
+
+
+def _quiet_ctx():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def ensure_bench_corpus(n_docs: int) -> str:
+    """Generate-and-cache the synthetic source-code corpus (untimed)."""
+    out = f"/tmp/hse_bench_corpus_{n_docs}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    from hadoopsearchengine_ray.corpus import write_corpus
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_corpus(out, n_docs)
+    open(marker, "w").close()
+    return out
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _quiet_ctx()
+
+    import ray.data as rd
+
+    from hadoopsearchengine_ray import oracle
+    from hadoopsearchengine_ray.functions import dedup, text
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.pagerank import pagerank
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer, run_queries
+
+    corpus_dir = ensure_bench_corpus(n_docs)
+    # warm the page cache so we measure compute + shuffle, not first I/O
+    rd.read_parquet(corpus_dir).count()
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: full index build ----------------------------------
+    index_dir = f"/tmp/hse_bench_index_{n_docs}_{ncpu}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    meta = build_index(corpus_dir, index_dir, hot_df_frac=0.25)
+    t_index = time.perf_counter() - t0
+    timings["index_build"] = round(t_index, 3)
+    timings["index_docs_per_sec"] = round(n_docs / t_index, 1)
+    timings["index_tokens_per_sec"] = round(meta["total_tokens"] / t_index, 1)
+
+    # ---- BM25 query latency (p50/p99 per query, single scorer) -------
+    d_tbl = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
+        columns=["term", "df"])
+    terms = d_tbl.column("term").to_pylist()
+    dfs = np.asarray(d_tbl.column("df").to_pylist())
+    order = np.argsort(terms)
+    qs = oracle.queries_from_dictionary(
+        [terms[i] for i in order], dfs[order], BENCH_QUERIES)
+    scorer = BM25Scorer(index_dir)
+    lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        scorer.score(q["terms"], q["k"])
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1000
+    timings["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
+    timings["bm25_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 3)
+
+    # actor-pool throughput over the same query set
+    t0 = time.perf_counter()
+    run_queries(index_dir, qs, concurrency=max(2, ncpu // 4)).count()
+    timings["bm25_pool_200q"] = round(time.perf_counter() - t0, 3)
+
+    # ---- auxiliary pipelines over $GRAFT_SF_DIR ----------------------
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    text.dictionary_table(docs).count()
+    timings["documents_dictionary"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+    timings["minhash_near_dup"] = round(time.perf_counter() - t0, 3)
+
+    from hadoopsearchengine_ray.corpus import links_table
+
+    links = rd.from_arrow(links_table(n_docs))
+    t0 = time.perf_counter()
+    pagerank(links, n_docs)
+    timings["pagerank_20c"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "index-build sec (synthetic source-code corpus) "
+                  "+ BM25 p50/p99 + aux pipelines",
+        "value": timings["index_build"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "bench_docs": n_docs,
+        "num_cpus": ncpu,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes, num_cpus=8 then 32."""
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+    ensure_bench_corpus(n_docs)  # shared, pre-generated
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["queries"]["index_docs_per_sec"]
+    thr_hi = r_hi["queries"]["index_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "docs_per_sec_lo": thr_lo,
+        "docs_per_sec_hi": thr_hi,
+        "index_sec_lo": r_lo["queries"]["index_build"],
+        "index_sec_hi": r_hi["queries"]["index_build"],
+        "bm25_p50_ms_lo": r_lo["queries"]["bm25_p50_ms"],
+        "bm25_p50_ms_hi": r_hi["queries"]["bm25_p50_ms"],
+        "bm25_p99_ms_lo": r_lo["queries"]["bm25_p99_ms"],
+        "bm25_p99_ms_hi": r_hi["queries"]["bm25_p99_ms"],
+        "bench_docs": int(os.environ.get("GRAFT_BENCH_DOCS", "100000")),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

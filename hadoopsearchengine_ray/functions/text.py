@@ -65,7 +65,7 @@ def dictionary_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
             "cf": pa.array(np.bincount(codes, weights=tf, minlength=n).astype(np.int64)),
         })
 
-    return (tok.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (tok.map_batches(_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             .groupby("term")
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
 
@@ -83,7 +83,7 @@ def doc_length_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
             "dl": pa.array(np.bincount(inv, weights=tf).astype(np.int64)),
         })
 
-    return (tok.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (tok.map_batches(_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             .groupby("doc_id").aggregate(Sum("dl", alias_name="dl")))
 
 

@@ -27,12 +27,13 @@ B = 0.75
 
 
 def term_id64(term: str) -> int:
-    """Deterministic 64-bit term id (blake2b-8); identical in the engine.
+    """Deterministic SIGNED 64-bit term id (blake2b-8 two's-complement);
+    identical in the engine (signed so Arrow/Ray groupby keys stay int64).
 
     Replaces the reference's sequential global word ids (division prefix
     sums, /root/reference/DyableLexonWords/LexonWords.cpp:110-153) with an
     order-free deterministic id — no cross-partition dependency."""
-    return int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big")
+    return int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big", signed=True)
 
 
 def sha256_hex(text: str) -> str:
@@ -118,9 +119,17 @@ def make_queries(index: OracleIndex, n_total: int = 200, seed: int = 42,
     """Fixed query set drawn from the index dictionary (FIXTURES.md §2):
     80 single-term (40 mid-df / 20 high-df / 20 rare), 80 two-term,
     30 three-to-five-term, 10 with unknown terms."""
-    rng = np.random.Generator(np.random.PCG64(seed))
-    terms = sorted(self_t for self_t in index.postings)
+    terms = sorted(index.postings)
     dfs = np.array([len(index.postings[t]) for t in terms])
+    return queries_from_dictionary(terms, dfs, n_total, seed, k)
+
+
+def queries_from_dictionary(terms: list[str], dfs: np.ndarray,
+                            n_total: int = 200, seed: int = 42,
+                            k: int = 10) -> list[dict]:
+    """Same query-set recipe, driven by a (term, df) dictionary table —
+    used by the bench where the oracle index would be too large."""
+    rng = np.random.Generator(np.random.PCG64(seed))
     order = np.argsort(dfs)
     n = len(terms)
     rare = [terms[i] for i in order[: max(1, n // 10)]]

@@ -27,7 +27,11 @@ import pyarrow.dataset as pads
 import ray.data as rd
 
 from ..state.manifest import Manifest, lineage_fingerprint
-from ..stages.dictionary import build_dictionary
+from ..stages.dictionary import (
+    dictionary_from_postings,
+    hot_terms_from_vocab,
+    vocab_table,
+)
 from ..stages.ingest import add_sha256, load_corpus, zip_with_index
 from ..stages.postings import (
     DEFAULT_INDEX_PARTS,
@@ -39,6 +43,11 @@ from ..stages.tokenize import doc_lengths, tokenize_stage
 
 K1 = 1.2
 B = 0.75
+
+# bumped whenever stage layout / on-disk schema changes: folded into the
+# lineage fingerprint so indexes built by older code rebuild cleanly
+# instead of resuming into mixed-schema state
+INDEX_FORMAT_VERSION = 2
 
 
 def build_index(
@@ -59,7 +68,7 @@ def build_index(
     """Run (or resume) the full build; returns the meta dict."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest.load(os.path.join(index_dir, "manifest.json"))
-    lineage = lineage_fingerprint([corpus_path])
+    lineage = f"v{INDEX_FORMAT_VERSION}:{lineage_fingerprint([corpus_path])}"
 
     tokens_dir = os.path.join(index_dir, "tokens")
     doclen_dir = os.path.join(index_dir, "doclen")
@@ -77,10 +86,12 @@ def build_index(
         else:
             corpus = rd.read_parquet(corpus_path, columns=[id_col, text_col])
         if with_sha256:
-            corpus = add_sha256(corpus, text_col=text_col)
+            # separate chain: keeps sha256 OUT of the tokenize lineage
+            # (otherwise the tokens execution recomputes every hash)
+            sha = add_sha256(corpus, text_col=text_col)
             sha_dir = os.path.join(index_dir, "sha256")
             shutil.rmtree(sha_dir, ignore_errors=True)
-            corpus.select_columns([id_col, "sha256"]).write_parquet(sha_dir)
+            sha.select_columns([id_col, "sha256"]).write_parquet(sha_dir)
             n_corpus_docs = int(pads.dataset(sha_dir).count_rows())
         else:
             n_corpus_docs = int(rd.read_parquet(corpus_path).count())
@@ -93,6 +104,7 @@ def build_index(
         man.finish("tokens", token_rows=n_tokens, corpus_docs=n_corpus_docs)
 
     tokens = rd.read_parquet(tokens_dir)
+    n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
 
     # ---- stage 2: doc lengths ----------------------------------------
     if not man.is_done("doclen", lineage, doclen_dir):
@@ -101,33 +113,34 @@ def build_index(
         doc_lengths(tokens).write_parquet(doclen_dir)
         man.finish("doclen")
 
-    # ---- stage 3: dictionary -----------------------------------------
-    if not man.is_done("dictionary", lineage, dict_dir):
-        man.start("dictionary", lineage, dict_dir)
-        shutil.rmtree(dict_dir, ignore_errors=True)
-        build_dictionary(tokens).write_parquet(dict_dir)
-        man.finish("dictionary")
+    # ---- stage 3: vocab + sampled df (one scan) ----------------------
+    # replaces a full dictionary pass on the critical path; the exact
+    # dictionary is derived from the posting rows afterwards (stage 6)
+    vocab_dir = os.path.join(index_dir, "vocab")
+    if not man.is_done("vocab", lineage, vocab_dir):
+        man.start("vocab", lineage, vocab_dir)
+        shutil.rmtree(vocab_dir, ignore_errors=True)
+        vocab_table(tokens).write_parquet(vocab_dir)
+        hot_ids = hot_terms_from_vocab(
+            rd.read_parquet(vocab_dir), n_docs, hot_df_frac)
+        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
+            json.dump({str(k): v for k, v in hot_ids.items()}, f)
+        man.finish("vocab", hot_terms=len(hot_ids))
+    with open(os.path.join(index_dir, "hot_terms.json")) as f:
+        hot_ids = {int(k): v for k, v in json.load(f).items()}
 
     # ---- stage 4: meta (N, avgdl, hot terms) -------------------------
     if not man.is_done("meta", lineage, meta_path):
         man.start("meta", lineage, meta_path)
-        dl_ds = pads.dataset(doclen_dir)
-        dl_tbl = dl_ds.to_table()
+        import pyarrow.compute as pc
+
+        dl_tbl = pads.dataset(doclen_dir).to_table()
         # N counts every corpus row, including docs with zero valid tokens
         # (they appear in no posting list but still shape N and avgdl)
-        n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
         total_tokens = int(
             dl_tbl.column("dl").combine_chunks().cast("int64").sum().as_py() or 0
         )
         avgdl = total_tokens / n_docs if n_docs else 0.0
-        hot_cut = max(2, int(hot_df_frac * n_docs))
-        hot_tbl = pads.dataset(dict_dir).to_table(
-            columns=["term"], filter=pads.field("df") > hot_cut
-        )
-        hot_terms = {t: i for i, t in
-                     enumerate(sorted(hot_tbl.column("term").to_pylist()))}
-        import pyarrow.compute as pc
-
         dl_size = (
             int(pc.max(dl_tbl.column("doc_id")).as_py()) + 1
             if dl_tbl.num_rows else 0
@@ -139,8 +152,8 @@ def build_index(
             "avgdl": avgdl,
             "k1": K1,
             "b": B,
-            "hot_df_cut": hot_cut,
-            "hot_terms": hot_terms,
+            "hot_df_frac": hot_df_frac,
+            "hot_term_ids": {str(k): v for k, v in hot_ids.items()},
             "num_shards": num_shards,
             "num_salts": num_salts,
             "num_index_parts": num_index_parts,
@@ -149,7 +162,7 @@ def build_index(
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(meta_path + ".tmp", meta_path)
-        man.finish("meta", num_docs=n_docs, hot_terms=len(hot_terms))
+        man.finish("meta", num_docs=n_docs, hot_terms=len(hot_ids))
 
     with open(meta_path) as f:
         meta = json.load(f)
@@ -160,7 +173,7 @@ def build_index(
         shutil.rmtree(post_dir, ignore_errors=True)
         post = build_postings(
             tokens,
-            hot_terms=meta["hot_terms"],
+            hot_term_ids={int(k): v for k, v in meta["hot_term_ids"].items()},
             num_docs=meta["num_docs"],
             num_shards=meta["num_shards"],
             num_salts=meta["num_salts"],
@@ -168,5 +181,14 @@ def build_index(
         )
         post.write_parquet(post_dir, partition_cols=["part"])
         man.finish("postings")
+
+    # ---- stage 7: dictionary (derived from posting rows) -------------
+    if not man.is_done("dictionary", lineage, dict_dir):
+        man.start("dictionary", lineage, dict_dir)
+        shutil.rmtree(dict_dir, ignore_errors=True)
+        dictionary_from_postings(
+            rd.read_parquet(post_dir), rd.read_parquet(vocab_dir)
+        ).write_parquet(dict_dir)
+        man.finish("dictionary")
 
     return meta

@@ -91,7 +91,7 @@ class IndexReader:
         part = tid % self.nparts
         part_dir = os.path.join(self.post_dir, f"part={part}")
         tbl = pads.dataset(part_dir).to_table(
-            filter=pads.field("term_id") == pa.scalar(tid, pa.uint64())
+            filter=pads.field("term_id") == pa.scalar(tid, pa.int64())
         )
         rows = tbl.to_pylist()
         rows.sort(key=lambda r: r["salt"])

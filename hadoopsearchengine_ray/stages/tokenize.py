@@ -81,15 +81,28 @@ def doc_length_partials(tokens: rd.Dataset) -> rd.Dataset:
         return pa.table({"doc_id": pa.array(uniq, pa.uint64()),
                          "dl": pa.array(dl, pa.int64())})
 
-    return tokens.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return tokens.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
 
 
-def doc_lengths(tokens: rd.Dataset) -> rd.Dataset:
-    """(doc_id, dl) — total token count per document (BM25's dl input)."""
+def doc_lengths(tokens: rd.Dataset, combine_blocks: int = 32) -> rd.Dataset:
+    """(doc_id, dl) — total token count per document (BM25's dl input).
+
+    Two-level combine before the groupby: the aggregate's cost scales
+    with input block count, so partials are coalesced first."""
     from ray.data.aggregate import Sum
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        return pa.table({"doc_id": pa.array(uniq, pa.uint64()),
+                         "dl": pa.array(np.bincount(inv, weights=dl).astype(np.int64))})
 
     return (
         doc_length_partials(tokens)
+        .repartition(combine_blocks)
+        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
         .groupby("doc_id")
         .aggregate(Sum("dl", alias_name="dl"))
     )

@@ -53,9 +53,13 @@ def test_postings_decode_identical(t1_index_dir, t1_oracle):
         .to_table()
         .to_pandas()
     )
+    # postings store only term_id (no strings in the shuffle); join the
+    # dictionary to recover terms
+    d = pads.dataset(f"{t1_index_dir}/dictionary").to_table().to_pandas()
+    tid2term = dict(zip(d.term_id, d.term))
     byterm = collections.defaultdict(list)
     for r in post.itertuples():
-        byterm[r.term].append(r)
+        byterm[tid2term[r.term_id]].append(r)
     assert set(byterm) == set(idx.postings)
     meta = json.load(open(f"{t1_index_dir}/meta.json"))
     n_salted_terms = 0
@@ -75,7 +79,7 @@ def test_postings_decode_identical(t1_index_dir, t1_oracle):
         assert np.array_equal(f, np.array([y for _, y in exp], dtype=np.uint64)), term
     # the skew fixture must actually exercise the salted path
     assert n_salted_terms > 0
-    assert len(meta["hot_terms"]) > 0
+    assert len(meta["hot_term_ids"]) > 0
 
 
 def test_sha256_per_row(t1_index_dir, t1_oracle):

@@ -47,9 +47,10 @@ def test_hot_term_query_uses_salted_rows(t1_index_dir, t1_oracle):
     rank-identical — exercises multi-salt concatenation."""
     idx, _ = t1_oracle
     sc = BM25Scorer(t1_index_dir)
-    hot = sc.rd.meta["hot_terms"]
+    hot = sc.rd.meta["hot_term_ids"]
     assert hot
-    term = next(iter(hot))
+    tid2term = {tid: t for t, (tid, _) in sc.rd._dict.items()}
+    term = tid2term[int(next(iter(hot)))]
     rows = sc.rd.posting_rows(term)
     assert len(rows) > 1  # actually salted
     d, s = sc.score([term], 10)

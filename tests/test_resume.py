@@ -18,9 +18,11 @@ from hadoopsearchengine_ray.state.manifest import Manifest
 
 def _decoded_index(index_dir):
     post = pads.dataset(f"{index_dir}/postings", partitioning="hive").to_table().to_pandas()
+    d = pads.dataset(f"{index_dir}/dictionary").to_table().to_pandas()
+    tid2term = dict(zip(d.term_id, d.term))
     byterm = collections.defaultdict(list)
     for r in post.itertuples():
-        byterm[r.term].append(r)
+        byterm[tid2term[r.term_id]].append(r)
     out = {}
     for term, rows in byterm.items():
         rows.sort(key=lambda r: r.salt)
