@@ -179,6 +179,47 @@ def bigram_table(docs: rd.Dataset, text_col: str = "text",
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def association_map(docs: rd.Dataset, text_col: str = "text",
+                    top_m: int = 3, max_bigrams: int = 10_000) -> dict[str, list[str]]:
+    """Per-term top co-occurring partners from adjacent-bigram counts —
+    the reference's association map for query expansion
+    (CreateAssociationMapSet, /root/reference/DyableCommand/DyableCommand.cpp:290-304).
+    Returns {term: [partners ranked by count desc, partner asc]}."""
+    big = bigram_table(docs, text_col, k=max_bigrams).to_pandas()
+    assoc: dict[str, list[tuple[int, str]]] = {}
+    for bigram, n in zip(big["bigram"], big["n"]):
+        a, b = bigram.split(" ", 1)
+        assoc.setdefault(a, []).append((-n, b))
+        assoc.setdefault(b, []).append((-n, a))
+    out = {}
+    for t, partners in assoc.items():
+        partners.sort()
+        seen, ranked = set(), []
+        for _, p in partners:
+            if p != t and p not in seen:
+                seen.add(p)
+                ranked.append(p)
+            if len(ranked) >= top_m:
+                break
+        out[t] = ranked
+    return out
+
+
+def expand_query(terms: list[str], assoc: dict[str, list[str]],
+                 per_term: int = 1) -> list[str]:
+    """Append each query term's top association partners (dedup, original
+    terms first) — the query-expansion hook of the reference's
+    TextStringServer (/root/reference/DyableRequest/TextStringServer.h:40-116)."""
+    out = list(terms)
+    seen = set(terms)
+    for t in terms:
+        for p in assoc.get(t, [])[:per_term]:
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
+    return out
+
+
 def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Order-sensitive rolling-hash fingerprint of each doc's token
     sequence (FNV-1a over the joined token stream) — the D2 excerpt

@@ -1,0 +1,144 @@
+"""Document store + snippet assembly — the serving-side doc database.
+
+Rebuilds the reference's ``CFileStorage`` document DB (append + 3-byte
+block/offset lookup stream, /root/reference/FileStorage.h:3375-3630) and
+``CDocumentDatabase`` random retrieval (DocumentDatabase.h:17-290) as
+range-partitioned Parquet: one directory per doc-id range, so a doc fetch
+prunes to one partition + row-group statistics, and a failed write can
+resume per range.  Snippets mirror the excerpt assembly of the query
+front-end (/root/reference/DyableRequest/ DocumentQuery / HitScore.h
+excerpt buffers): a window around the highest-density query-term region.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from ..tokenizer import MAX_LEN, MIN_LEN, SPLIT_RE
+
+DEFAULT_RANGE = 65_536  # docs per partition dir
+
+
+def write_docstore(corpus: rd.Dataset, out_dir: str, id_col: str = "doc_id",
+                   range_size: int = DEFAULT_RANGE) -> str:
+    """Corpus rows -> range-partitioned parquet doc store."""
+
+    def _with_range(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rng = pc.divide(batch[id_col].cast(pa.int64()), range_size)
+        return batch.append_column("doc_range", rng.cast(pa.int32()))
+
+    (corpus.map_batches(_with_range, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+     .write_parquet(out_dir, partition_cols=["doc_range"]))
+    return out_dir
+
+
+class DocStore:
+    """Random-access reader over the range-partitioned store."""
+
+    def __init__(self, store_dir: str, id_col: str = "doc_id",
+                 range_size: int = DEFAULT_RANGE):
+        self.dir = store_dir
+        self.id_col = id_col
+        self.range_size = range_size
+
+    def fetch(self, doc_ids: list[int]) -> pa.Table:
+        """Fetch full rows for the given ids (partition + row-group pruned)."""
+        if not doc_ids:
+            return pa.table({})
+        parts = sorted({d // self.range_size for d in doc_ids})
+        tables = []
+        for p in parts:
+            part_dir = os.path.join(self.dir, f"doc_range={p}")
+            if not os.path.isdir(part_dir):
+                continue
+            ids = [d for d in doc_ids if d // self.range_size == p]
+            tbl = pads.dataset(part_dir).to_table(
+                filter=pads.field(self.id_col).isin(ids))
+            tables.append(tbl)
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+
+_WORD_RE = re.compile(SPLIT_RE)
+
+
+def make_snippet(content: str, terms: list[str], window: int = 160,
+                 mark: str = "**") -> str:
+    """Excerpt around the densest query-term region with terms marked.
+
+    Scans lowercase word boundaries (same split as the tokenizer), finds
+    the window containing the most distinct query terms (first such
+    window on ties — deterministic), and returns +-window/2 chars around
+    it with matched words wrapped in ``mark``."""
+    tset = {t.lower() for t in terms}
+    lower = content.lower()
+    hits: list[tuple[int, int, str]] = []   # (start, end, word)
+    pos = 0
+    for frag in _WORD_RE.split(lower):
+        if not frag:
+            continue
+        start = lower.index(frag, pos)
+        pos = start + len(frag)
+        if MIN_LEN <= len(frag) <= MAX_LEN and frag in tset:
+            hits.append((start, start + len(frag), frag))
+    if not hits:
+        return content[:window] + ("..." if len(content) > window else "")
+    # densest window: most distinct terms within `window` chars
+    best_i, best_score = 0, -1
+    for i in range(len(hits)):
+        seen = set()
+        for j in range(i, len(hits)):
+            if hits[j][0] - hits[i][0] > window:
+                break
+            seen.add(hits[j][2])
+        if len(seen) > best_score:
+            best_i, best_score = i, len(seen)
+    lo = max(0, hits[best_i][0] - window // 4)
+    hi = min(len(content), lo + window)
+    out = []
+    cur = lo
+    for s, e, _ in hits:
+        if s < lo or e > hi:
+            continue
+        out.append(content[cur:s])
+        out.append(mark + content[s:e] + mark)
+        cur = e
+    out.append(content[cur:hi])
+    prefix = "..." if lo > 0 else ""
+    suffix = "..." if hi < len(content) else ""
+    return prefix + "".join(out) + suffix
+
+
+def search_with_snippets(index_dir: str, store_dir: str, terms: list[str],
+                         k: int = 10) -> pa.Table:
+    """Full serving path: BM25 top-k -> doc fetch -> snippets.
+
+    The batch analog of the reference's CGI flow (query servers ->
+    DocumentQuery servers -> rendered excerpts, SURVEY.md §3.3)."""
+    from .query import BM25Scorer
+
+    scorer = BM25Scorer(index_dir)
+    doc_ids, scores = scorer.score(terms, k)
+    store = DocStore(store_dir)
+    docs = store.fetch([int(d) for d in doc_ids])
+    content = {r["doc_id"]: r for r in docs.to_pylist()} if docs.num_rows else {}
+    rows = []
+    for rank, (d, s) in enumerate(zip(doc_ids, scores), start=1):
+        rec = content.get(int(d), {})
+        rows.append({
+            "rank": rank,
+            "doc_id": int(d),
+            "score": float(s),
+            "repo": rec.get("repo", ""),
+            "path": rec.get("path", ""),
+            "snippet": make_snippet(rec.get("content", ""), terms),
+        })
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"rank": pa.array([], pa.int64())})

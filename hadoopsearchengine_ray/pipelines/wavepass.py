@@ -1,0 +1,164 @@
+"""WavePass label-propagation clustering (G2).
+
+Rebuilds the reference's stochastic label propagation
+(/root/reference/DyableWebGraph/WavePass.h:57-120; K=3 classes and 6
+cycles per ``WAVE_PASS_CLASS_NUM``/``WAVE_PASS_CYCLES``,
+DyableCommand/DyableCommand.cpp:33-35) deterministically:
+
+- node state: a distribution over K classes, seeded one-hot by
+  ``node % K``;
+- per cycle: scatter ``dist[src] * weight`` to dst over the link set,
+  gather-sum per node (same dataflow as PulseRank — pinned edge blocks +
+  dense per-class partials), then **amplify the majority class**
+  (winner weight x (1+amp), the reference's majority amplification) and
+  renormalize per node;
+- **global class rebalance**: divide each class column by its global
+  mass so no class absorbs the graph (WavePass.h's global class-weight
+  rebalancing).
+
+``wavepass`` returns hard labels (argmax, ties -> lowest class).
+``cluster_graph`` iterates coarsening rounds (G3's hierarchy shape): run
+WavePass, contract each cluster to a super-node, rebuild the link set via
+``groupby(src_cluster, dst_cluster).sum``, repeat until <= target nodes
+or max levels — the reference's ClusterGraph driver loop
+(DyableClusterGraph/DyableCommand/DyableCommand.cpp:106-128).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+CLASSES = 3     # WAVE_PASS_CLASS_NUM
+CYCLES = 6      # WAVE_PASS_CYCLES
+AMPLIFY = 0.5
+
+
+@ray.remote
+def _scatter_dist(block: pa.Table, dist: np.ndarray, num_nodes: int) -> np.ndarray:
+    src = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = block["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out = np.zeros_like(dist)
+    contrib = dist[src] * w[:, None]
+    np.add.at(out, dst, contrib)
+    return out
+
+
+def wavepass_dist(links: rd.Dataset, num_nodes: int, k: int = CLASSES,
+                  cycles: int = CYCLES, amplify: float = AMPLIFY) -> np.ndarray:
+    """Per-node class distribution after `cycles` propagation rounds."""
+    links = links.materialize()
+    block_refs = []
+    for b in links.iter_internal_ref_bundles():
+        block_refs.extend(b.block_refs)
+
+    dist = np.zeros((num_nodes, k), dtype=np.float64)
+    dist[np.arange(num_nodes), np.arange(num_nodes) % k] = 1.0
+    for _ in range(cycles):
+        dist_ref = ray.put(dist)
+        parts = ray.get([_scatter_dist.remote(b, dist_ref, num_nodes)
+                         for b in block_refs])
+        nxt = np.sum(parts, axis=0) if parts else np.zeros_like(dist)
+        # isolated nodes keep their previous distribution
+        dead = nxt.sum(axis=1) == 0
+        nxt[dead] = dist[dead]
+        # amplify majority class per node (ties -> lowest class id)
+        winner = np.argmax(nxt, axis=1)
+        nxt[np.arange(num_nodes), winner] *= 1.0 + amplify
+        # normalize per node
+        norm = nxt.sum(axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        nxt /= norm
+        # global class rebalance
+        mass = nxt.sum(axis=0)
+        mass[mass == 0] = 1.0
+        nxt = nxt / mass * (num_nodes / k)
+        norm = nxt.sum(axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        nxt /= norm
+        dist = nxt
+    return dist
+
+
+def wavepass(links: rd.Dataset, num_nodes: int, k: int = CLASSES,
+             cycles: int = CYCLES, amplify: float = AMPLIFY) -> np.ndarray:
+    """Hard cluster labels (argmax of the final distribution)."""
+    return np.argmax(wavepass_dist(links, num_nodes, k, cycles, amplify), axis=1)
+
+
+def wavepass_oracle(src, dst, weight, num_nodes, k=CLASSES, cycles=CYCLES,
+                    amplify=AMPLIFY) -> np.ndarray:
+    """Single-process shadow (dual-implementation test, SURVEY.md §5)."""
+    dist = np.zeros((num_nodes, k), dtype=np.float64)
+    dist[np.arange(num_nodes), np.arange(num_nodes) % k] = 1.0
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(weight, np.float64)
+    for _ in range(cycles):
+        nxt = np.zeros_like(dist)
+        np.add.at(nxt, dst, dist[src] * w[:, None])
+        dead = nxt.sum(axis=1) == 0
+        nxt[dead] = dist[dead]
+        winner = np.argmax(nxt, axis=1)
+        nxt[np.arange(num_nodes), winner] *= 1.0 + amplify
+        norm = nxt.sum(axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        nxt /= norm
+        mass = nxt.sum(axis=0)
+        mass[mass == 0] = 1.0
+        nxt = nxt / mass * (num_nodes / k)
+        norm = nxt.sum(axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        nxt /= norm
+        dist = nxt
+    return np.argmax(dist, axis=1)
+
+
+def cluster_graph(links: rd.Dataset, num_nodes: int, target_nodes: int = 1000,
+                  max_levels: int = 25, k: int = CLASSES,
+                  cycles: int = CYCLES) -> list[np.ndarray]:
+    """Hierarchy build (G3 shape): iterate WavePass + cluster contraction
+    until <= target_nodes or max_levels.  Returns per-level node->cluster
+    maps (composable into the reference's forward_clus_map renumbering)."""
+    from ray.data.aggregate import Sum
+
+    maps: list[np.ndarray] = []
+    cur_links = links
+    cur_n = num_nodes
+    for _ in range(max_levels):
+        if cur_n <= target_nodes:
+            break
+        labels = wavepass(cur_links, cur_n, k=k, cycles=cycles)
+        # contract: cluster ids = dense-ranked (label, node % groups)
+        # keep granularity: cluster key = label * groups + node-range bucket
+        groups = max(1, cur_n // (2 * k))
+        buckets = (np.arange(cur_n) * groups // max(1, cur_n))
+        cluster = labels * groups + buckets
+        _, dense = np.unique(cluster, return_inverse=True)
+        maps.append(dense)
+        nxt_n = int(dense.max()) + 1
+        if nxt_n >= cur_n:
+            break
+        lab_ref = ray.put(dense)
+
+        def _contract(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+            lab = ray.get(_ref)
+            src = lab[batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
+            dst = lab[batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
+            w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+            keep = src != dst
+            return pa.table({
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "weight": pa.array(w[keep], pa.float32()),
+            })
+
+        cur_links = (cur_links.map_batches(_contract, batch_format="pyarrow",
+                                           batch_size=None)
+                     .groupby(["src", "dst"])
+                     .aggregate(Sum("weight", alias_name="weight")))
+        cur_n = nxt_n
+    return maps

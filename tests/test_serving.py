@@ -1,0 +1,113 @@
+"""Doc store / snippets / spell check / WavePass / query expansion."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from hadoopsearchengine_ray import corpus
+from hadoopsearchengine_ray.functions.spellcheck import SpellIndex
+from hadoopsearchengine_ray.pipelines.docstore import (
+    DocStore,
+    make_snippet,
+    search_with_snippets,
+    write_docstore,
+)
+from hadoopsearchengine_ray.pipelines.wavepass import (
+    cluster_graph,
+    wavepass,
+    wavepass_oracle,
+)
+
+
+def test_docstore_roundtrip(tmp_path, t1_corpus_dir, t1_index_dir):
+    from hadoopsearchengine_ray.stages.ingest import load_corpus, zip_with_index
+
+    store = str(tmp_path / "store")
+    ds = zip_with_index(load_corpus(t1_corpus_dir),
+                        sort_keys=["repo", "path", "commit"])
+    write_docstore(ds, store, range_size=128)  # force multiple partitions
+    st = DocStore(store, range_size=128)
+    got = st.fetch([0, 5, 599])
+    assert got.num_rows == 3
+    by_id = {r["doc_id"]: r for r in got.to_pylist()}
+    assert by_id[5]["content"]
+    assert by_id[599]["repo"].startswith("org")
+    assert st.fetch([]).num_rows == 0
+
+
+def test_search_with_snippets(tmp_path, t1_corpus_dir, t1_index_dir):
+    from hadoopsearchengine_ray.stages.ingest import load_corpus, zip_with_index
+
+    store = str(tmp_path / "store2")
+    ds = zip_with_index(load_corpus(t1_corpus_dir),
+                        sort_keys=["repo", "path", "commit"])
+    write_docstore(ds, store)
+    out = search_with_snippets(t1_index_dir, store, ["def", "return"], k=5)
+    assert out.num_rows == 5
+    rows = out.to_pylist()
+    assert rows[0]["rank"] == 1 and rows[0]["score"] >= rows[-1]["score"]
+    assert any("**" in r["snippet"] for r in rows)
+
+
+def test_make_snippet_marks_terms():
+    text = "alpha beta gamma " * 20 + "needle here omega " + "alpha beta " * 20
+    s = make_snippet(text, ["needle", "omega"], window=60)
+    assert "**needle**" in s and "**omega**" in s
+    assert len(s) < len(text)
+    # no hits -> head of doc
+    s2 = make_snippet(text, ["zzz"], window=40)
+    assert s2.startswith("alpha beta")
+
+
+def test_spellcheck_suggestions(t1_index_dir):
+    sp = SpellIndex.from_index_dir(t1_index_dir)
+    # exact term passes through
+    assert sp.suggest("def") == ["def"]
+    # single-char typo of a very common term is corrected
+    sug = sp.suggest("retorn")
+    assert "return" in sug
+    assert sp.correct_query(["retorn"]) == ["return"]
+    # garbage stays put
+    assert sp.correct_query(["qqqqqqqqqq"]) == ["qqqqqqqqqq"]
+
+
+def test_wavepass_matches_oracle():
+    links = corpus.links_table(200)
+    gold = wavepass_oracle(links["src"].to_numpy(), links["dst"].to_numpy(),
+                           links["weight"].to_numpy(), 200)
+    got = wavepass(rd.from_arrow(links), 200)
+    assert np.array_equal(got, gold)
+    assert len(np.unique(gold)) > 1  # not collapsed into one class
+
+
+def test_association_expansion():
+    from hadoopsearchengine_ray.functions.text import association_map, expand_query
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "machine learning model training",
+            "machine learning deep networks",
+            "machine learning rocks",
+            "unrelated words entirely",
+        ]),
+    }))
+    assoc = association_map(docs, top_m=2)
+    assert assoc["machine"][0] == "learning"
+    expanded = expand_query(["machine"], assoc)
+    assert expanded[0] == "machine" and "learning" in expanded
+    # unknown term expands to itself only
+    assert expand_query(["zzz"], assoc) == ["zzz"]
+
+
+def test_cluster_graph_coarsens():
+    links = corpus.links_table(400)
+    maps = cluster_graph(rd.from_arrow(links), 400, target_nodes=50,
+                         max_levels=5)
+    assert maps, "no coarsening happened"
+    n = 400
+    for m in maps:
+        assert len(m) == n
+        n = int(m.max()) + 1
+        assert n < len(m)
+    assert n <= 400 // 2
