@@ -279,6 +279,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_round, batch_format="pyarrow")
 
+    def q_sessionize(sf):
+        ds = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        out = rel.sessionize(ds, "user_id", "ts", gap_seconds=1800,
+                             tiebreak="event_id")
+
+        def _shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "session_id": b["session_id"].cast(pa.int64()),
+            })
+
+        return out.map_batches(_shape, batch_format="pyarrow", batch_size=None)
+
+    def q_asof_signup(sf):
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+        sg = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+
+        def _signups(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["event_type"], "signup")
+            f = b.filter(m)
+            return pa.table({
+                "user_id": f["user_id"],
+                "ts": f["ts"],
+                "signup_us": f["ts"].cast(pa.int64()),
+            })
+
+        right = sg.map_batches(_signups, batch_format="pyarrow", batch_size=None)
+        joined = rel.asof_join(ev, right, by="user_id", on="ts",
+                               value_cols=["signup_us"])
+
+        def _shape(b: pd.DataFrame) -> pd.DataFrame:
+            import pandas as _pd
+
+            return _pd.DataFrame({
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "last_signup_us": _pd.to_numeric(b["signup_us"], errors="coerce")
+                                  .fillna(-1).astype("int64"),
+            })
+
+        import pandas as pd
+
+        return joined.map_batches(_shape, batch_format="pandas", batch_size=None)
+
+    def q_top3_orders_per_cust(sf):
+        ds = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        return rel.top_k_per_group(ds, "o_custkey", "o_totalprice", 3)
+
     # ---- graph (rows-only: iterative, not SQL-expressible) ------------
     def q_pagerank(sf):
         import pyarrow.parquet as pq
@@ -323,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cnr_join": q_cnr_join,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "asof_last_signup": q_asof_signup,
+        "top3_orders_per_cust": q_top3_orders_per_cust,
         "pagerank": q_pagerank,
         "media_features": q_media_features,
     }
@@ -489,5 +545,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    count(*) AS n, round(sum(value), 2) AS total
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch_us(ts) - epoch_us(
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
+            FROM e
+        """,
+        "asof_last_signup": """
+            SELECT e.event_id, e.user_id,
+                   coalesce(CAST(epoch_us(s.ts) AS BIGINT), -1) AS last_signup_us
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'signup') s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "top3_orders_per_cust": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) <= 3
         """,
     }

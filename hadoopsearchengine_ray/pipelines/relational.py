@@ -88,6 +88,85 @@ def top_k(ds: rd.Dataset, sort_cols: list[str], descending: list[bool],
     return ds.sort(sort_cols, descending=descending).limit(k)
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
+              value_cols: list[str], combine_blocks: int = 16) -> rd.Dataset:
+    """As-of join: for each left row, the latest right row with the same
+    ``by`` key and ``right.on <= left.on``.
+
+    Ray Data has no native as-of join; this is the documented composition
+    (ray_guide "As-of / range join"): co-partition both sides by the
+    ``by`` key via one groupby over the union (sides tagged), then
+    ``pd.merge_asof`` per group on the sorted ``on`` column.  Partitioning
+    assumption: one key's rows fit one task (salt by time range if not)."""
+    import pyarrow as pa
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in batch.column_names}
+            cols["__side"] = pa.array(np.full(batch.num_rows, side, np.int8))
+            return pa.table(cols)
+        return _t
+
+    lt = left.map_batches(_tag(0), batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(_tag(1), batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    left_cols = left.schema().names
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][left_cols].sort_values(on)
+        rg = g[g["__side"] == 1][[by, on] + value_cols].sort_values(on)
+        if len(lg) == 0:
+            return pd.DataFrame(columns=left_cols + value_cols)
+        if len(rg) == 0:
+            out = lg.copy()
+            for c in value_cols:
+                out[c] = pd.NA
+            return out
+        rg = rg.rename(columns={on: "__r_on"})
+        out = pd.merge_asof(lg, rg.drop(columns=[by]), left_on=on,
+                            right_on="__r_on", direction="backward")
+        return out.drop(columns=["__r_on"])
+
+    return both.groupby(by).map_groups(_asof, batch_format="pandas")
+
+
+def sessionize(events: rd.Dataset, key: str, ts_col: str,
+               gap_seconds: int = 1800,
+               tiebreak: str | None = None) -> rd.Dataset:
+    """Session ids per key: a new session starts when the gap since the
+    previous event exceeds ``gap_seconds`` (the streaming-window analog,
+    SURVEY.md §2.10 — Ray Data has no event-time windows, so windows are
+    per-key sorted ``map_groups``; ordering contract: sorted by
+    (ts, tiebreak) within key).  Gap compares native microseconds — no
+    truncation, exact parity with SQL ``epoch_us`` arithmetic."""
+    gap_us = gap_seconds * 1_000_000
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + ([tiebreak] if tiebreak else [])
+        g = g.sort_values(order).reset_index(drop=True)
+        ts = g[ts_col].astype("int64")  # microseconds
+        new = (ts.diff().fillna(0) > gap_us).astype("int64")
+        g["session_id"] = new.cumsum()
+        return g
+
+    return events.groupby(key).map_groups(_sessions, batch_format="pandas")
+
+
+def top_k_per_group(ds: rd.Dataset, key: str, sort_col: str, k: int,
+                    descending: bool = True) -> rd.Dataset:
+    """Top-k rows per key (window row_number <= k analog): per-group sort
+    with (sort_col, then remaining columns) deterministic order."""
+
+    def _head(g: pd.DataFrame) -> pd.DataFrame:
+        other = [c for c in g.columns if c != sort_col]
+        g = g.sort_values([sort_col] + other,
+                          ascending=[not descending] + [True] * len(other))
+        return g.head(k)
+
+    return ds.groupby(key).map_groups(_head, batch_format="pandas")
+
+
 def kth_percentile(ds: rd.Dataset, col: str, q: float) -> float:
     """Exact discrete percentile (KthOrderStat / FindOccurrenceThreshold,
     /root/reference/DyableLexonWords/LexonWords.cpp:87-102).
