@@ -116,6 +116,59 @@ def make_snippet(content: str, terms: list[str], window: int = 160,
     return prefix + "".join(out) + suffix
 
 
+def proximity_score(content: str, terms: list[str]) -> tuple[int, int]:
+    """(matched_term_count, min_window) over the doc's token sequence.
+
+    The re-rank signal of the reference's hit scorer
+    (/root/reference/DyableRequest/HitScore.h:139-291: forward runs with
+    gap thresholds, priority by unique terms in the run): the smallest
+    token window containing every matched query term.  Deterministic;
+    window = 10**9 when fewer than 2 terms match."""
+    from ..tokenizer import tokenize_py
+
+    tset = {t.lower() for t in terms}
+    toks = tokenize_py(content)
+    occs = [(i, t) for i, t in enumerate(toks) if t in tset]
+    matched = len({t for _, t in occs})
+    if matched < 2:
+        return matched, 10**9
+    best = 10**9
+    last_pos: dict[str, int] = {}
+    for i, t in occs:
+        last_pos[t] = i
+        if len(last_pos) == matched:
+            best = min(best, i - min(last_pos.values()) + 1)
+    return matched, best
+
+
+def proximity_rerank(index_dir: str, store_dir: str, terms: list[str],
+                     k: int = 10, k_prime: int = 50) -> pa.Table:
+    """Two-stage retrieval: BM25 top-k' candidates, then proximity
+    re-rank by (matched terms desc, min window asc, bm25 desc, doc_id) —
+    the reference's multi-key final comparator shape
+    (CompileRankedList.h:123-163), computed at serving time from the doc
+    store instead of positional postings (positions stay out of the
+    index; the candidate set is small)."""
+    from .query import BM25Scorer
+
+    scorer = BM25Scorer(index_dir)
+    doc_ids, scores = scorer.score(terms, k_prime)
+    store = DocStore(store_dir)
+    docs = store.fetch([int(d) for d in doc_ids])
+    content = {r["doc_id"]: r.get("content", "") for r in docs.to_pylist()} \
+        if docs.num_rows else {}
+    ranked = []
+    for d, s in zip(doc_ids, scores):
+        m, w = proximity_score(content.get(int(d), ""), terms)
+        ranked.append((-m, w, -float(s), int(d)))
+    ranked.sort()
+    rows = [{"rank": i + 1, "doc_id": d, "matched_terms": -nm,
+             "min_window": w if w < 10**9 else -1, "bm25": -ns}
+            for i, (nm, w, ns, d) in enumerate(ranked[:k])]
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"rank": pa.array([], pa.int64())})
+
+
 def search_with_snippets(index_dir: str, store_dir: str, terms: list[str],
                          k: int = 10) -> pa.Table:
     """Full serving path: BM25 top-k -> doc fetch -> snippets.

@@ -137,9 +137,21 @@ class BM25Scorer:
     Output columns: qid, rank, doc_id, score.
     """
 
-    def __init__(self, index_dir: str, use_maxscore: bool = True):
+    def __init__(self, index_dir: str, use_maxscore: bool = True,
+                 pagerank_dir: str | None = None, pr_weight: float = 0.0):
         self.rd = IndexReader(index_dir)
         self.use_maxscore = use_maxscore
+        # PageRank-weighted ranking: the reference attaches pulse_score to
+        # every posting (SHitItem.pulse_score, FileStorage.h:329) and adds
+        # it during ranking; we blend a broadcast score vector instead:
+        # final = bm25 + pr_weight * pr[doc]
+        self.pr_weight = pr_weight
+        self.pr: np.ndarray | None = None
+        if pagerank_dir is not None and pr_weight != 0.0:
+            pr_tbl = pads.dataset(pagerank_dir).to_table()
+            self.pr = np.zeros(self.rd.doc_space, dtype=np.float64)
+            ids = pr_tbl.column("doc_id").to_numpy().astype(np.int64)
+            self.pr[ids] = pr_tbl.column("pr_score").to_numpy().astype(np.float64)
 
     # ---- exact dense TAAT (the shadow path) ---------------------------
     def score_exact(self, terms: list[str], k: int):
@@ -232,9 +244,34 @@ class BM25Scorer:
         return _topk_from_scores(docs, scores[docs], k)
 
     def score(self, terms: list[str], k: int):
+        if self.pr is not None:
+            return self.score_blended(terms, k)
         if self.use_maxscore:
             return self.score_maxscore(terms, k)
         return self.score_exact(terms, k)
+
+    def score_blended(self, terms: list[str], k: int):
+        """BM25 + pr_weight * pagerank over the BM25 candidate set (docs
+        matching >=1 query term — the reference also only ranks posting
+        candidates).  Exact dense path so the additive blend stays exact."""
+        r = self.rd
+        scores = np.zeros(r.doc_space, dtype=np.float64)
+        touched = np.zeros(r.doc_space, dtype=bool)
+        for t in sorted(set(terms)):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = r.idf(df)
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.flatnonzero(touched)
+        blended = scores[docs] + self.pr_weight * self.pr[docs]
+        return _topk_from_scores(docs, blended, k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
