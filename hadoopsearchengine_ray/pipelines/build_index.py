@@ -50,6 +50,32 @@ B = 0.75
 INDEX_FORMAT_VERSION = 2
 
 
+def _write_empty_index(index_dir, num_shards, num_salts, num_index_parts,
+                       id_col, hot_df_frac) -> dict:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for sub, schema in {
+        "doclen": pa.schema([("doc_id", pa.uint64()), ("dl", pa.int64())]),
+        "dictionary": pa.schema([("term", pa.string()), ("term_id", pa.int64()),
+                                 ("df", pa.int64()), ("cf", pa.int64())]),
+        "sha256": pa.schema([(id_col, pa.uint64()), ("sha256", pa.string())]),
+    }.items():
+        d = os.path.join(index_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
+    os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
+    meta = {
+        "num_docs": 0, "doc_id_space": 0, "total_tokens": 0, "avgdl": 0.0,
+        "k1": K1, "b": B, "hot_df_frac": hot_df_frac, "hot_term_ids": {},
+        "num_shards": num_shards, "num_salts": num_salts,
+        "num_index_parts": num_index_parts, "id_col": id_col,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
 def build_index(
     corpus_path: str,
     index_dir: str,
@@ -70,6 +96,13 @@ def build_index(
     man = Manifest.load(os.path.join(index_dir, "manifest.json"))
     lineage = f"v{INDEX_FORMAT_VERSION}:{lineage_fingerprint([corpus_path])}"
 
+    # empty corpus -> valid empty index (write_parquet of an empty Dataset
+    # creates no directory at all, so every stage would 404)
+    n_input_rows = pads.dataset(corpus_path).count_rows()
+    if n_input_rows == 0:
+        return _write_empty_index(index_dir, num_shards, num_salts,
+                                  num_index_parts, id_col, hot_df_frac)
+
     tokens_dir = os.path.join(index_dir, "tokens")
     doclen_dir = os.path.join(index_dir, "doclen")
     dict_dir = os.path.join(index_dir, "dictionary")
@@ -85,47 +118,97 @@ def build_index(
             corpus = zip_with_index(corpus, sort_keys=list(sort_keys), id_column=id_col)
         else:
             corpus = rd.read_parquet(corpus_path, columns=[id_col, text_col])
+        # sha256 and tokenize are independent consumers of the corpus —
+        # run both Dataset executions CONCURRENTLY (each alone
+        # under-utilizes the cluster; wall = max, not sum).  The sha chain
+        # is separate so hashes stay OUT of the tokenize lineage.
+        import threading
+
+        errs: list[BaseException] = []
+
+        def _sha_job():
+            try:
+                sha = add_sha256(corpus, text_col=text_col)
+                sha_dir = os.path.join(index_dir, "sha256")
+                shutil.rmtree(sha_dir, ignore_errors=True)
+                sha.select_columns([id_col, "sha256"]).write_parquet(sha_dir)
+            except BaseException as e:  # surfaced after join
+                errs.append(e)
+
+        sha_thread = None
         if with_sha256:
-            # separate chain: keeps sha256 OUT of the tokenize lineage
-            # (otherwise the tokens execution recomputes every hash)
-            sha = add_sha256(corpus, text_col=text_col)
-            sha_dir = os.path.join(index_dir, "sha256")
-            shutil.rmtree(sha_dir, ignore_errors=True)
-            sha.select_columns([id_col, "sha256"]).write_parquet(sha_dir)
-            n_corpus_docs = int(pads.dataset(sha_dir).count_rows())
-        else:
-            n_corpus_docs = int(rd.read_parquet(corpus_path).count())
+            sha_thread = threading.Thread(target=_sha_job, daemon=True)
+            sha_thread.start()
         tokens = tokenize_stage(corpus, text_col=text_col, id_col=id_col,
                                 batch_size=tokenize_batch_size)
         tokens.write_parquet(tokens_dir)
+        if sha_thread is not None:
+            sha_thread.join()
+            if errs:
+                raise errs[0]
+            n_corpus_docs = int(
+                pads.dataset(os.path.join(index_dir, "sha256")).count_rows())
+        else:
+            n_corpus_docs = int(rd.read_parquet(corpus_path).count())
         n_tokens = int(pads.dataset(tokens_dir).count_rows())
         # corpus row count recorded here: docs whose content tokenizes to
         # nothing still count toward BM25's N / avgdl (oracle parity)
         man.finish("tokens", token_rows=n_tokens, corpus_docs=n_corpus_docs)
 
-    tokens = rd.read_parquet(tokens_dir)
+    # read the token table in ~cluster-core-count blocks: every downstream
+    # aggregate's cost scales with input block count (BASELINE.md) — at
+    # real scale pick total_bytes / ~512MB instead of a constant
+    tokens = rd.read_parquet(tokens_dir, override_num_blocks=32)
     n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
 
-    # ---- stage 2: doc lengths ----------------------------------------
-    if not man.is_done("doclen", lineage, doclen_dir):
-        man.start("doclen", lineage, doclen_dir)
-        shutil.rmtree(doclen_dir, ignore_errors=True)
-        doc_lengths(tokens).write_parquet(doclen_dir)
-        man.finish("doclen")
-
-    # ---- stage 3: vocab + sampled df (one scan) ----------------------
-    # replaces a full dictionary pass on the critical path; the exact
-    # dictionary is derived from the posting rows afterwards (stage 6)
+    # ---- stages 2+3: doc lengths ∥ vocab+hot-sample ------------------
+    # independent scans of the token table — run concurrently (wall = max)
     vocab_dir = os.path.join(index_dir, "vocab")
-    if not man.is_done("vocab", lineage, vocab_dir):
-        man.start("vocab", lineage, vocab_dir)
-        shutil.rmtree(vocab_dir, ignore_errors=True)
-        vocab_table(tokens).write_parquet(vocab_dir)
-        hot_ids = hot_terms_from_vocab(
-            rd.read_parquet(vocab_dir), n_docs, hot_df_frac)
-        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
-            json.dump({str(k): v for k, v in hot_ids.items()}, f)
-        man.finish("vocab", hot_terms=len(hot_ids))
+    run_doclen = not man.is_done("doclen", lineage, doclen_dir)
+    run_vocab = not man.is_done("vocab", lineage, vocab_dir)
+    if run_doclen or run_vocab:
+        import threading
+
+        errs: list[BaseException] = []
+
+        def _doclen_job():
+            try:
+                shutil.rmtree(doclen_dir, ignore_errors=True)
+                # combine_blocks=0: tokens already read in 32 blocks
+                doc_lengths(tokens, combine_blocks=0).write_parquet(doclen_dir)
+            except BaseException as e:
+                errs.append(e)
+
+        def _vocab_job():
+            try:
+                shutil.rmtree(vocab_dir, ignore_errors=True)
+                # string-keyed groupby: the combine level pays here
+                vocab_table(tokens, combine_blocks=8).write_parquet(vocab_dir)
+                hot = hot_terms_from_vocab(
+                    rd.read_parquet(vocab_dir), n_docs, hot_df_frac)
+                with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
+                    json.dump({str(k): v for k, v in hot.items()}, f)
+            except BaseException as e:
+                errs.append(e)
+
+        threads = []
+        if run_doclen:
+            man.start("doclen", lineage, doclen_dir)
+            threads.append(threading.Thread(target=_doclen_job, daemon=True))
+        if run_vocab:
+            man.start("vocab", lineage, vocab_dir)
+            threads.append(threading.Thread(target=_vocab_job, daemon=True))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
+        if run_doclen:
+            man.finish("doclen")
+        if run_vocab:
+            with open(os.path.join(index_dir, "hot_terms.json")) as f:
+                man.finish("vocab", hot_terms=len(json.load(f)))
     with open(os.path.join(index_dir, "hot_terms.json")) as f:
         hot_ids = {int(k): v for k, v in json.load(f).items()}
 
@@ -178,8 +261,16 @@ def build_index(
             num_shards=meta["num_shards"],
             num_salts=meta["num_salts"],
             num_index_parts=meta["num_index_parts"],
+            # tokens are already read in ~32 blocks; an extra Repartition
+            # operator would reserve executor resources for nothing
+            coalesce_blocks=0,
         )
-        post.write_parquet(post_dir, partition_cols=["part"])
+        # global term_id sort -> row-group statistics prune query-time
+        # term lookups inside each part directory
+        post.sort("term_id").write_parquet(
+            post_dir, partition_cols=["part"],
+            row_group_size=2048,
+        )
         man.finish("postings")
 
     # ---- stage 7: dictionary (derived from posting rows) -------------

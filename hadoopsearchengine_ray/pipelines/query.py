@@ -71,6 +71,7 @@ class IndexReader:
         self.post_dir = os.path.join(index_dir, "postings")
         self._pcache: dict[str, list[dict]] = {}
         self._cache_cap = cache_terms
+        self._part_ds: dict[int, pads.Dataset] = {}  # opened part dirs
 
     def lookup(self, term: str) -> tuple[int, int] | None:
         return self._dict.get(term)
@@ -89,8 +90,11 @@ class IndexReader:
             return []
         tid, _ = ent
         part = tid % self.nparts
-        part_dir = os.path.join(self.post_dir, f"part={part}")
-        tbl = pads.dataset(part_dir).to_table(
+        ds = self._part_ds.get(part)
+        if ds is None:  # open each part directory once per actor
+            ds = pads.dataset(os.path.join(self.post_dir, f"part={part}"))
+            self._part_ds[part] = ds
+        tbl = ds.to_table(
             filter=pads.field("term_id") == pa.scalar(tid, pa.int64())
         )
         rows = tbl.to_pylist()

@@ -118,15 +118,14 @@ def vocab_table(tokens: rd.Dataset, combine_blocks: int = 8,
                 np.bincount(codes, weights=df, minlength=n).astype(np.int64)),
         })
 
-    return (
-        tokens.map_batches(_partial, batch_format="pyarrow",
-                           batch_size=None, zero_copy_batch=True)
-        .repartition(combine_blocks)
-        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
-        .groupby("term")
-        .aggregate(Sum("df_sample", alias_name="df_sample"))
-        .map_batches(_add_id, batch_format="pyarrow", batch_size=None)
-    )
+    ds = tokens.map_batches(_partial, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    if combine_blocks:  # needed when the input arrives in many blocks
+        ds = (ds.repartition(combine_blocks)
+              .map_batches(_combine, batch_format="pyarrow", batch_size=None))
+    return (ds.groupby("term")
+            .aggregate(Sum("df_sample", alias_name="df_sample"))
+            .map_batches(_add_id, batch_format="pyarrow", batch_size=None))
 
 
 def hot_terms_from_vocab(vocab: rd.Dataset, num_docs: int, hot_df_frac: float,
@@ -138,6 +137,8 @@ def hot_terms_from_vocab(vocab: rd.Dataset, num_docs: int, hot_df_frac: float,
     (correctness unaffected)."""
     cut = max(2.0, hot_df_frac * num_docs / sample_mod)
     hot_tbl = vocab.filter(expr=f"df_sample >= {cut}").to_pandas()
+    if "term_id" not in hot_tbl.columns:  # empty result loses the schema
+        return {}
     return {int(t): i for i, t in enumerate(sorted(hot_tbl["term_id"]))}
 
 
@@ -157,7 +158,6 @@ def dictionary_from_postings(postings: rd.Dataset,
         })
 
     agg = (small.map_batches(_cast, batch_format="pyarrow", batch_size=None)
-           .repartition(8)
            .groupby("term_id")
            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
 

@@ -99,10 +99,8 @@ def doc_lengths(tokens: rd.Dataset, combine_blocks: int = 32) -> rd.Dataset:
         return pa.table({"doc_id": pa.array(uniq, pa.uint64()),
                          "dl": pa.array(np.bincount(inv, weights=dl).astype(np.int64))})
 
-    return (
-        doc_length_partials(tokens)
-        .repartition(combine_blocks)
-        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
-        .groupby("doc_id")
-        .aggregate(Sum("dl", alias_name="dl"))
-    )
+    ds = doc_length_partials(tokens)
+    if combine_blocks:  # needed when the input arrives in many blocks
+        ds = (ds.repartition(combine_blocks)
+              .map_batches(_combine, batch_format="pyarrow", batch_size=None))
+    return ds.groupby("doc_id").aggregate(Sum("dl", alias_name="dl"))
