@@ -82,25 +82,90 @@ def shingle_table(docs: rd.Dataset, text_col: str = "text",
     return docs.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pairs_from_grouped(keys: np.ndarray, doc_ids: np.ndarray,
+                        max_df: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (d1 < d2) pairs per key group + LOCAL pair counts.
+
+    Input sorted by key; emits partial (d1, d2, count) aggregated within
+    the bucket — the map-side combine for the final (d1, d2) groupby."""
+    starts = np.flatnonzero(np.diff(keys)) + 1
+    bounds = np.concatenate(([0], starts, [len(keys)]))
+    p1, p2 = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        m = b - a
+        if m < 2 or m > max_df:
+            continue
+        ids = np.sort(doc_ids[a:b])
+        i, j = np.triu_indices(m, k=1)
+        p1.append(ids[i])
+        p2.append(ids[j])
+    if not p1:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    d1 = np.concatenate(p1).astype(np.int64)
+    d2 = np.concatenate(p2).astype(np.int64)
+    # local combine: pack (d1, d2) into one key, unique-count
+    packed = (d1.astype(np.uint64) << np.uint64(32)) | d2.astype(np.uint64)
+    uniq, cnt = np.unique(packed, return_counts=True)
+    return ((uniq >> np.uint64(32)).astype(np.int64),
+            (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            cnt.astype(np.int64))
+
+
 def shingle_overlap_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
-                          min_common: int = 5, max_df: int = 50) -> rd.Dataset:
+                          min_common: int = 5, max_df: int = 50,
+                          num_buckets: int = 32) -> rd.Dataset:
     """n-gram-overlap candidate pairs: (d1 < d2, common shingle count).
 
     Shingles shared by more than ``max_df`` docs are excluded on BOTH the
     engine and oracle side (skew cap — a keyword-only shingle would
-    otherwise pair half the corpus quadratically)."""
+    otherwise pair half the corpus quadratically).
+
+    Shuffle shape: shingles are hash-bucketed so the groupby sees
+    ``num_buckets`` groups, not one per shingle — per-shingle pair
+    emission happens vectorized inside each bucket task with local
+    (d1, d2) pre-aggregation (thousands of tiny map_groups calls cost
+    more than the pairs themselves; see BASELINE.md)."""
     sh = shingle_table(docs, text_col, n)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_df:
-            return pd.DataFrame({"d1": [], "d2": []}, dtype=np.int64)
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"d1": ids[i], "d2": ids[j]})
+    def _bucket(batch: pa.Table) -> pa.Table:
+        s = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((s % np.uint64(num_buckets)).astype(np.int64)))
 
-    pairs = sh.groupby("shingle").map_groups(_pairs, batch_format="pandas")
-    agg = pairs.groupby(["d1", "d2"]).aggregate(Count(alias_name="common"))
-    return agg.filter(expr=f"common >= {min_common}")
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["shingle"].to_numpy(), kind="stable")
+        keys = g["shingle"].to_numpy()[order]
+        ids = g["doc_id"].to_numpy()[order]
+        d1, d2, cnt = _pairs_from_grouped(keys, ids, max_df)
+        packed = (d1.astype(np.uint64) << np.uint64(32)) | d2.astype(np.uint64)
+        return pd.DataFrame({
+            "pair": packed.astype(np.int64),
+            "pbucket": (packed % np.uint64(num_buckets)).astype(np.int64),
+            "c": cnt,
+        })
+
+    # second bucketed combine: a plain groupby over ~1M distinct pairs is
+    # dominated by per-group overhead (measured 200s for 3s of compute);
+    # 32 pair-buckets with a vectorized in-bucket reduction instead
+    def _combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g["pair"].to_numpy().astype(np.uint64)
+        c = g["c"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(pair, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        keep = tot >= min_common
+        uniq = uniq[keep]
+        return pd.DataFrame({
+            "d1": (uniq >> np.uint64(32)).astype(np.int64),
+            "d2": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "common": tot[keep],
+        })
+
+    return (sh.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(_pairs, batch_format="pandas")
+            .groupby("pbucket")
+            .map_groups(_combine_pairs, batch_format="pandas"))
 
 
 def minhash_signatures(docs: rd.Dataset, text_col: str = "text", n: int = 3,
@@ -161,17 +226,31 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    def _cands(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
-        if len(ids) < 2 or len(ids) > 200:
-            return pd.DataFrame({"d1": [], "d2": []}, dtype=np.int64)
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"d1": ids[i], "d2": ids[j]})
+    # hash-bucketed candidate generation: 32 groups instead of one per
+    # (band, bhash) — per-bucket tasks emit pairs vectorized over their
+    # many band groups with local pre-aggregation (BASELINE.md pattern)
+    def _bucket(batch: pa.Table) -> pa.Table:
+        b = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = batch["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array(((b * np.uint64(0x9E3779B9) ^ h)
+                                % np.uint64(32)).astype(np.int64)))
 
-    cands = (banded.groupby(["band", "bhash"])
+    def _cands(g: pd.DataFrame) -> pd.DataFrame:
+        key = (g["band"].to_numpy().astype(np.uint64) << np.uint64(48)) \
+            | g["bhash"].to_numpy().astype(np.uint64) >> np.uint64(16)
+        order = np.argsort(key, kind="stable")
+        d1, d2, cnt = _pairs_from_grouped(
+            key[order], g["doc_id"].to_numpy()[order], max_df=200)
+        return pd.DataFrame({"d1": d1, "d2": d2, "c": cnt})
+
+    from ray.data.aggregate import Sum
+
+    cands = (banded.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+             .groupby("bucket")
              .map_groups(_cands, batch_format="pandas")
              .groupby(["d1", "d2"])
-             .aggregate(Count(alias_name="nbands")))
+             .aggregate(Sum("c", alias_name="nbands")))
 
     # verify candidates against full signatures (broadcast: signatures of
     # candidate docs only — small side)
@@ -242,24 +321,51 @@ def simhash_dup_pairs(docs: rd.Dataset, text_col: str = "text",
             "simhash": pa.array(np.concatenate(full), pa.uint64()),
         })
 
+    # hash-bucketed verification: 32 groups instead of one per 16-bit
+    # block value (BASELINE.md pattern)
+    def _bucket(batch: pa.Table) -> pa.Table:
+        b = batch["block"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch["bval"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((((b << np.uint64(16)) | v)
+                                % np.uint64(32)).astype(np.int64)))
+
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 500:
-            return pd.DataFrame({"d1": [], "d2": [], "hamming": []}, dtype=np.int64)
-        i, j = np.triu_indices(len(ids), k=1)
-        x = hs[i] ^ hs[j]
-        ham = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            ham += (x & 1).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"d1": ids[i][keep], "d2": ids[j][keep],
-                             "hamming": ham[keep]})
+        key = (g["block"].to_numpy().astype(np.uint64) << np.uint64(16)) \
+            | g["bval"].to_numpy().astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = g["doc_id"].to_numpy()[order]
+        hs = g["simhash"].to_numpy().astype(np.uint64)[order]
+        starts = np.flatnonzero(np.diff(key)) + 1
+        bounds = np.concatenate(([0], starts, [len(key)]))
+        o1, o2, oh = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            m = b - a
+            if m < 2 or m > 500:
+                continue
+            gi = np.argsort(ids[a:b])
+            gid, ghs = ids[a:b][gi], hs[a:b][gi]
+            i, j = np.triu_indices(m, k=1)
+            x = ghs[i] ^ ghs[j]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & 1).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            o1.append(gid[i][keep])
+            o2.append(gid[j][keep])
+            oh.append(ham[keep])
+        if not o1:
+            e = np.empty(0, np.int64)
+            return pd.DataFrame({"d1": e, "d2": e, "hamming": e})
+        return pd.DataFrame({"d1": np.concatenate(o1).astype(np.int64),
+                             "d2": np.concatenate(o2).astype(np.int64),
+                             "hamming": np.concatenate(oh)})
 
     pairs = (sh.map_batches(_blocks, batch_format="pyarrow")
-             .groupby(["block", "bval"])
+             .map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+             .groupby("bucket")
              .map_groups(_pairs, batch_format="pandas"))
     # a pair can match in multiple blocks -> dedup with min
     return pairs.groupby(["d1", "d2"]).aggregate(Min("hamming", alias_name="hamming"))
