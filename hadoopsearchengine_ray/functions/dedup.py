@@ -270,6 +270,42 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
     return cands.map_batches(_verify, batch_format="pandas")
 
 
+def dedup_clusters(pairs: rd.Dataset, num_docs: int,
+                   max_rounds: int = 50) -> np.ndarray:
+    """Connected components over near-dup pairs: min-label propagation
+    (each doc's cluster id = smallest doc id reachable through pair
+    edges).  Same pinned-edge-blocks + dense-partial iteration shape as
+    PageRank; converges in O(component diameter) rounds.  Returns an
+    array mapping doc_id -> cluster representative (min doc id)."""
+    import ray
+
+    pairs = pairs.materialize()
+    block_refs = []
+    for b in pairs.iter_internal_ref_bundles():
+        block_refs.extend(b.block_refs)
+
+    @ray.remote
+    def _minprop(block: pa.Table, label: np.ndarray, n: int) -> np.ndarray:
+        d1 = block["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = block["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(out, d1, label[d2])
+        np.minimum.at(out, d2, label[d1])
+        return out
+
+    label = np.arange(num_docs, dtype=np.int64)
+    for _ in range(max_rounds):
+        ref = ray.put(label)
+        parts = ray.get([_minprop.remote(b, ref, num_docs) for b in block_refs])
+        if not parts:
+            break
+        nxt = np.minimum.reduce(parts + [label])
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    return label
+
+
 def simhash_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """64-bit SimHash per doc over term hashes weighted by tf."""
 

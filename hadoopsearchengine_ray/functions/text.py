@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..stages.tokenize import tokenize_batch
 from ..tokenizer import tokenize_column

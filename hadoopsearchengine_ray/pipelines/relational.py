@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
+
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -55,17 +55,32 @@ def annotate_key_count(ds: rd.Dataset, key: str, alias: str = "n") -> rd.Dataset
 
 
 def merge_set(ds: rd.Dataset, key: str, value_col: str,
-              alias: str = "vals") -> rd.Dataset:
+              alias: str = "vals", num_buckets: int = 32) -> rd.Dataset:
     """Co-locate and sort all values of a key into one comma-joined string
     (MergeSortedSet).  String form keeps the result hash-comparable with
-    DuckDB's ordered string_agg."""
+    DuckDB's ordered string_agg.
+
+    Keys are hash-bucketed so the shuffle sees ``num_buckets`` groups;
+    the per-key joins run vectorized inside each bucket (a map_groups per
+    key pays ~1ms of overhead per group — BASELINE.md)."""
+    import pyarrow as pa
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        h = pd.util.hash_array(k.to_pandas().to_numpy())
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value_col].to_numpy())
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             alias: [",".join(map(str, vals))]})
+        g = g.sort_values([key, value_col])
+        out = (g.groupby(key, sort=True)[value_col]
+               .agg(lambda v: ",".join(map(str, v)))
+               .reset_index())
+        return out.rename(columns={value_col: alias})
 
-    return ds.groupby(key).map_groups(_merge, batch_format="pandas")
+    return (ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("__bucket")
+            .map_groups(_merge, batch_format="pandas"))
 
 
 def broadcast_join(big: rd.Dataset, small: pd.DataFrame, on: str,
@@ -154,17 +169,28 @@ def sessionize(events: rd.Dataset, key: str, ts_col: str,
 
 
 def top_k_per_group(ds: rd.Dataset, key: str, sort_col: str, k: int,
-                    descending: bool = True) -> rd.Dataset:
-    """Top-k rows per key (window row_number <= k analog): per-group sort
-    with (sort_col, then remaining columns) deterministic order."""
+                    descending: bool = True,
+                    num_buckets: int = 32) -> rd.Dataset:
+    """Top-k rows per key (window row_number <= k analog): per-key sort
+    with (sort_col, then remaining columns) deterministic order.  Keys are
+    hash-bucketed; the per-key heads run vectorized inside each bucket."""
+    import pyarrow as pa
 
-    def _head(g: pd.DataFrame) -> pd.DataFrame:
-        other = [c for c in g.columns if c != sort_col]
-        g = g.sort_values([sort_col] + other,
-                          ascending=[not descending] + [True] * len(other))
-        return g.head(k)
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(batch[key].to_pandas().to_numpy())
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
 
-    return ds.groupby(key).map_groups(_head, batch_format="pandas")
+    def _heads(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        other = [c for c in g.columns if c not in (sort_col, key)]
+        g = g.sort_values([key, sort_col] + other,
+                          ascending=[True, not descending] + [True] * len(other))
+        return g.groupby(key, sort=False).head(k)
+
+    return (ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("__bucket")
+            .map_groups(_heads, batch_format="pandas"))
 
 
 def kth_percentile(ds: rd.Dataset, col: str, q: float) -> float:

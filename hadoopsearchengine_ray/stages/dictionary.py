@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 from .postings import term_ids_for
 

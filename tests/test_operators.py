@@ -59,6 +59,16 @@ def test_shingle_overlap_pairs():
     assert pairs.get((0, 1)) == 6
 
 
+def test_dedup_clusters_connected_components():
+    # chain 0-1-2, pair 5-6, singleton 3,4
+    pairs = rd.from_arrow(pa.table({
+        "d1": pa.array([0, 1, 5], pa.int64()),
+        "d2": pa.array([1, 2, 6], pa.int64()),
+    }))
+    lab = dedup.dedup_clusters(pairs, 7)
+    assert lab.tolist() == [0, 0, 0, 3, 4, 5, 5]
+
+
 def test_knn_cosine_matches_bruteforce():
     rng = np.random.default_rng(3)
     m = rng.standard_normal((300, 16))
