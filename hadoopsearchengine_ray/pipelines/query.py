@@ -72,6 +72,12 @@ class IndexReader:
         self._pcache: dict[str, list[dict]] = {}
         self._cache_cap = cache_terms
         self._part_ds: dict[int, pads.Dataset] = {}  # opened part dirs
+        # parts smaller than this are loaded whole into an in-memory
+        # term_id -> rows map on first touch (the reference's 500MB
+        # posting-block cache budget, FileStorage.h:2107); bigger parts
+        # fall back to filtered row-group reads
+        self._part_cache_bytes = 64 * 1024 * 1024
+        self._part_rows: dict[int, dict[int, list[dict]]] = {}
 
     def lookup(self, term: str) -> tuple[int, int] | None:
         return self._dict.get(term)
@@ -90,15 +96,30 @@ class IndexReader:
             return []
         tid, _ = ent
         part = tid % self.nparts
-        ds = self._part_ds.get(part)
-        if ds is None:  # open each part directory once per actor
-            ds = pads.dataset(os.path.join(self.post_dir, f"part={part}"))
-            self._part_ds[part] = ds
-        tbl = ds.to_table(
-            filter=pads.field("term_id") == pa.scalar(tid, pa.int64())
-        )
-        rows = tbl.to_pylist()
-        rows.sort(key=lambda r: r["salt"])
+        loaded = self._part_rows.get(part)
+        if loaded is not None:
+            rows = loaded.get(tid, [])
+        else:
+            ds = self._part_ds.get(part)
+            if ds is None:  # open each part directory once per actor
+                ds = pads.dataset(os.path.join(self.post_dir, f"part={part}"))
+                self._part_ds[part] = ds
+            part_bytes = sum(os.path.getsize(f) for f in ds.files)
+            if part_bytes <= self._part_cache_bytes:
+                # small part: load once, serve every term from memory
+                by_tid: dict[int, list[dict]] = {}
+                for r in ds.to_table().to_pylist():
+                    by_tid.setdefault(r["term_id"], []).append(r)
+                for v in by_tid.values():
+                    v.sort(key=lambda r: r["salt"])
+                self._part_rows[part] = by_tid
+                rows = by_tid.get(tid, [])
+            else:
+                tbl = ds.to_table(
+                    filter=pads.field("term_id") == pa.scalar(tid, pa.int64())
+                )
+                rows = tbl.to_pylist()
+                rows.sort(key=lambda r: r["salt"])
         if len(self._pcache) >= self._cache_cap:
             self._pcache.clear()  # simple epoch cache (bounded)
         self._pcache[term] = rows
