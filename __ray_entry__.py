@@ -342,6 +342,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         links = rd.from_arrow(links_table(n))
         return pagerank_dataset(links, n)
 
+    def q_wavepass(sf):
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.corpus import links_table
+        from hadoopsearchengine_ray.pipelines.wavepass import wavepass
+
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        labels = wavepass(rd.from_arrow(links_table(n)), n)
+        return pd.DataFrame({
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "cluster": pd.array(labels, dtype="int64"),
+        })
+
+    def q_dedup_clusters(sf):
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        pairs = dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5,
+                                            max_df=50)
+        labels = dedup.dedup_clusters(pairs.select_columns(["d1", "d2"]), n)
+        return pd.DataFrame({
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "cluster": pd.array(labels, dtype="int64"),
+        })
+
     # ---- multimodal plumbing (rows-only) ------------------------------
     def q_media_features(sf):
         from hadoopsearchengine_ray.functions.multimodal import (
@@ -380,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_signup": q_asof_signup,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "pagerank": q_pagerank,
+        "wavepass_clusters": q_wavepass,
+        "dedup_clusters": q_dedup_clusters,
         "media_features": q_media_features,
     }
 

@@ -1,0 +1,23 @@
+"""Internal: format-agnostic access to Ray Data block columns.
+
+Blocks obtained via ``iter_internal_ref_bundles`` are Arrow tables OR
+pandas DataFrames depending on which operator produced them (e.g.
+``map_groups(batch_format="pandas")`` yields pandas blocks).  The
+iterative pipelines (PageRank, WavePass, dedup components) consume raw
+blocks, so they go through this shim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def column_np(block, name: str, dtype=None) -> np.ndarray:
+    """Column of an Arrow-or-pandas block as a numpy array."""
+    import pyarrow as pa
+
+    if isinstance(block, pa.Table):
+        arr = block[name].to_numpy(zero_copy_only=False)
+    else:  # pandas DataFrame
+        arr = block[name].to_numpy()
+    return arr.astype(dtype) if dtype is not None else arr

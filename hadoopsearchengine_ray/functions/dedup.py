@@ -284,10 +284,12 @@ def dedup_clusters(pairs: rd.Dataset, num_docs: int,
     for b in pairs.iter_internal_ref_bundles():
         block_refs.extend(b.block_refs)
 
+    from .._block import column_np
+
     @ray.remote
-    def _minprop(block: pa.Table, label: np.ndarray, n: int) -> np.ndarray:
-        d1 = block["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d2 = block["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def _minprop(block, label: np.ndarray, n: int) -> np.ndarray:
+        d1 = column_np(block, "d1", np.int64)
+        d2 = column_np(block, "d2", np.int64)
         out = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(out, d1, label[d2])
         np.minimum.at(out, d2, label[d1])

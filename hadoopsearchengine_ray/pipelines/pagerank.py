@@ -33,11 +33,14 @@ CYCLES = 20             # PULSE_RANK_CYCLES
 DENSE_MAX_NODES = 4_000_000   # 32 MB float64 vector per task
 
 
+from .._block import column_np
+
+
 @ray.remote
-def _scatter_dense(block: pa.Table, score: np.ndarray, num_nodes: int) -> np.ndarray:
-    src = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    w = block["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+def _scatter_dense(block, score: np.ndarray, num_nodes: int) -> np.ndarray:
+    src = column_np(block, "src", np.int64)
+    dst = column_np(block, "dst", np.int64)
+    w = column_np(block, "weight", np.float64)
     return np.bincount(dst, weights=score[src] * w, minlength=num_nodes)
 
 

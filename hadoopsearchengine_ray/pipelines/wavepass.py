@@ -36,11 +36,14 @@ CYCLES = 6      # WAVE_PASS_CYCLES
 AMPLIFY = 0.5
 
 
+from .._block import column_np
+
+
 @ray.remote
-def _scatter_dist(block: pa.Table, dist: np.ndarray, num_nodes: int) -> np.ndarray:
-    src = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dst = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    w = block["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+def _scatter_dist(block, dist: np.ndarray, num_nodes: int) -> np.ndarray:
+    src = column_np(block, "src", np.int64)
+    dst = column_np(block, "dst", np.int64)
+    w = column_np(block, "weight", np.float64)
     out = np.zeros_like(dist)
     contrib = dist[src] * w[:, None]
     np.add.at(out, dst, contrib)

@@ -54,6 +54,37 @@ def test_identical_index_across_layouts(tmp_path):
     assert f1[3] == f2[3], "meta differs"
 
 
+def test_identical_index_across_num_cpus(tmp_path):
+    """FIXTURES §4.3 exactly: build in two FRESH Ray processes at
+    different num_cpus -> logically identical index."""
+    import subprocess
+    import sys
+    import textwrap
+
+    c = str(tmp_path / "corpus")
+    corpus.write_corpus(c, 300)
+    script = textwrap.dedent("""
+        import sys, ray
+        ray.init(address="local", num_cpus=int(sys.argv[1]),
+                 include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from hadoopsearchengine_ray.pipelines.build_index import build_index
+        build_index(sys.argv[2], sys.argv[3])
+        ray.shutdown()
+    """)
+    for ncpu, out in ((2, tmp_path / "cpu2"), (8, tmp_path / "cpu8")):
+        subprocess.run(
+            [sys.executable, "-c", script, str(ncpu), c, str(out)],
+            check=True, capture_output=True, cwd="/root/repo",
+        )
+    f1 = _index_fingerprint(str(tmp_path / "cpu2"))
+    f2 = _index_fingerprint(str(tmp_path / "cpu8"))
+    assert f1[0] == f2[0], "dictionary differs across num_cpus"
+    assert f1[1] == f2[1], "decoded postings differ across num_cpus"
+    assert f1[2] == f2[2] and f1[3] == f2[3]
+
+
 def test_skew_fixture_term_in_half_the_docs(tmp_path):
     """FIXTURES §4.4: a term present in ~50% of docs must be salted and
     still decode to the exact postings."""
