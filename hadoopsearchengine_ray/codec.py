@@ -82,6 +82,13 @@ def decode_varints(buf: np.ndarray) -> np.ndarray:
 
 def _binary_from_offsets(data: np.ndarray, cell_offsets: np.ndarray) -> pa.BinaryArray:
     """Arrow binary array whose cells are slices of one shared byte buffer."""
+    if len(data) >= 1 << 31:
+        # int32 offsets would wrap silently; a partition this big means
+        # the shard count is undersized for the corpus — fail with the fix
+        raise ValueError(
+            f"index partition holds {len(data)} posting bytes (> 2 GiB); "
+            "raise num_shards/num_salts so shards stay under the Arrow "
+            "binary 2 GiB offset limit")
     return pa.Array.from_buffers(
         pa.binary(), len(cell_offsets) - 1,
         [None, pa.py_buffer(cell_offsets.astype(np.int32)), pa.py_buffer(data)],

@@ -104,7 +104,12 @@ def _pairs_from_grouped(keys: np.ndarray, doc_ids: np.ndarray,
         return e, e, e
     d1 = np.concatenate(p1).astype(np.int64)
     d2 = np.concatenate(p2).astype(np.int64)
-    # local combine: pack (d1, d2) into one key, unique-count
+    # local combine: pack (d1, d2) into one key, unique-count.
+    # Packing needs doc ids < 2^32; beyond that, shard the corpus by doc
+    # range before pairing (ids are per-shard) — fail loudly, not wrongly.
+    if len(d2) and int(d2.max()) >= 1 << 32:
+        raise ValueError("pair packing requires doc ids < 2^32; "
+                         "run near-dup pairing per doc-id range shard")
     packed = (d1.astype(np.uint64) << np.uint64(32)) | d2.astype(np.uint64)
     uniq, cnt = np.unique(packed, return_counts=True)
     return ((uniq >> np.uint64(32)).astype(np.int64),
@@ -205,7 +210,10 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
     verify estimated Jaccard (signature agreement) >= threshold.
     Returns (d1, d2, jaccard_est: double rounded to 4dp)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, n, num_perm, seed)
+    # materialize: the signature pipeline (tokenize + shingle + minhash,
+    # the dominant cost) is consumed by BOTH banding and verification —
+    # without this it would execute twice
+    sigs = minhash_signatures(docs, text_col, n, num_perm, seed).materialize()
 
     def _bands(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -252,30 +260,40 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
              .groupby(["d1", "d2"])
              .aggregate(Sum("c", alias_name="nbands")))
 
-    # verify candidates against full signatures (broadcast: signatures of
-    # candidate docs only — small side)
-    sig_pdf = sigs.to_pandas().set_index("doc_id")["sig"]
-    import ray
-    sig_ref = ray.put({int(k): np.asarray(v, np.uint64)
-                       for k, v in sig_pdf.items()})
+    # verify candidates against full signatures: collect the (small)
+    # candidate pair set to the driver and fetch ONLY the signatures of
+    # docs that appear in a candidate pair (not the full N-doc table)
+    cand_pdf = cands.to_pandas()
+    if len(cand_pdf) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64"),
+             "jaccard_est": pd.Series(dtype="float64")}))
+    needed = set(cand_pdf["d1"]) | set(cand_pdf["d2"])
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(sig_ref)
-        est = [float((lut[d1] == lut[d2]).mean())
-               for d1, d2 in zip(batch["d1"], batch["d2"])]
-        batch = batch.assign(jaccard_est=np.round(est, 4))
-        return batch[batch["jaccard_est"] >= jaccard_threshold][
-            ["d1", "d2", "jaccard_est"]]
+    def _only_needed(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].isin(needed)]
 
-    return cands.map_batches(_verify, batch_format="pandas")
+    sig_pdf = (sigs.map_batches(_only_needed, batch_format="pandas",
+                                batch_size=None)
+               .to_pandas().set_index("doc_id")["sig"])
+    lut = {int(k): np.asarray(v, np.uint64) for k, v in sig_pdf.items()}
+    est = np.round([float((lut[d1] == lut[d2]).mean())
+                    for d1, d2 in zip(cand_pdf["d1"], cand_pdf["d2"])], 4)
+    out = cand_pdf.assign(jaccard_est=est)
+    out = out[out["jaccard_est"] >= jaccard_threshold][
+        ["d1", "d2", "jaccard_est"]].reset_index(drop=True)
+    return rd.from_pandas(out)
 
 
 def dedup_clusters(pairs: rd.Dataset, num_docs: int,
-                   max_rounds: int = 50) -> np.ndarray:
+                   max_rounds: int = 10_000) -> np.ndarray:
     """Connected components over near-dup pairs: min-label propagation
-    (each doc's cluster id = smallest doc id reachable through pair
-    edges).  Same pinned-edge-blocks + dense-partial iteration shape as
-    PageRank; converges in O(component diameter) rounds.  Returns an
+    with pointer-jumping (each doc's cluster id = smallest doc id
+    reachable through pair edges).  Same pinned-edge-blocks +
+    dense-partial iteration shape as PageRank; the driver-side pointer
+    jumps (label = label[label]) compress paths so long duplicate chains
+    converge in O(log n) rounds, not O(diameter).  Runs to convergence
+    (max_rounds is a runaway backstop, not a precision cap).  Returns an
     array mapping doc_id -> cluster representative (min doc id)."""
     import ray
 
@@ -302,6 +320,14 @@ def dedup_clusters(pairs: rd.Dataset, num_docs: int,
         if not parts:
             break
         nxt = np.minimum.reduce(parts + [label])
+        # pointer jumping: follow representative chains to their fixpoint
+        # (cheap dense driver step; turns path graphs from O(n) rounds
+        # into O(log n))
+        while True:
+            jumped = np.minimum(nxt, nxt[nxt])
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
         if np.array_equal(nxt, label):
             break
         label = nxt

@@ -55,6 +55,18 @@ def _write_empty_index(index_dir, num_shards, num_salts, num_index_parts,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # clear every stage output first: this dir may hold a previous
+    # non-empty build whose stale files would otherwise sit beside the
+    # empty markers and corrupt the scorer
+    for sub in ("tokens", "doclen", "dictionary", "sha256", "vocab",
+                "postings"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    for p in ("manifest.json", "hot_terms.json"):
+        try:
+            os.remove(os.path.join(index_dir, p))
+        except FileNotFoundError:
+            pass
+
     for sub, schema in {
         "doclen": pa.schema([("doc_id", pa.uint64()), ("dl", pa.int64())]),
         "dictionary": pa.schema([("term", pa.string()), ("term_id", pa.int64()),
@@ -145,7 +157,12 @@ def build_index(
         if sha_thread is not None:
             sha_thread.join()
             if errs:
-                raise errs[0]
+                # concurrent Dataset executions can fail transiently under
+                # saturation — retry the side job serially once
+                errs.clear()
+                _sha_job()
+                if errs:
+                    raise errs[0]
             n_corpus_docs = int(
                 pads.dataset(os.path.join(index_dir, "sha256")).count_rows())
         else:
@@ -203,7 +220,15 @@ def build_index(
         for t in threads:
             t.join()
         if errs:
-            raise errs[0]
+            # transient failure under concurrent executions: rerun both
+            # jobs serially once before giving up
+            errs.clear()
+            if run_doclen:
+                _doclen_job()
+            if run_vocab:
+                _vocab_job()
+            if errs:
+                raise errs[0]
         if run_doclen:
             man.finish("doclen")
         if run_vocab:

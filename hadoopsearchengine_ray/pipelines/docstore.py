@@ -66,28 +66,25 @@ class DocStore:
         return pa.concat_tables(tables) if tables else pa.table({})
 
 
-_WORD_RE = re.compile(SPLIT_RE)
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
 
 def make_snippet(content: str, terms: list[str], window: int = 160,
                  mark: str = "**") -> str:
     """Excerpt around the densest query-term region with terms marked.
 
-    Scans lowercase word boundaries (same split as the tokenizer), finds
-    the window containing the most distinct query terms (first such
-    window on ties — deterministic), and returns +-window/2 chars around
-    it with matched words wrapped in ``mark``."""
+    Scans word spans on the ORIGINAL string (case-insensitive ASCII
+    alnum runs — offsets into ``content.lower()`` would drift when
+    lowercasing changes string length, e.g. 'İ' -> 'i̇'), finds the
+    window containing the most distinct query terms (first such window
+    on ties — deterministic), and returns +-window/2 chars around it
+    with matched words wrapped in ``mark``."""
     tset = {t.lower() for t in terms}
-    lower = content.lower()
     hits: list[tuple[int, int, str]] = []   # (start, end, word)
-    pos = 0
-    for frag in _WORD_RE.split(lower):
-        if not frag:
-            continue
-        start = lower.index(frag, pos)
-        pos = start + len(frag)
+    for m in _WORD_RE.finditer(content):
+        frag = m.group().lower()
         if MIN_LEN <= len(frag) <= MAX_LEN and frag in tset:
-            hits.append((start, start + len(frag), frag))
+            hits.append((m.start(), m.end(), frag))
     if not hits:
         return content[:window] + ("..." if len(content) > window else "")
     # densest window: most distinct terms within `window` chars

@@ -74,9 +74,12 @@ class IndexReader:
         self._part_ds: dict[int, pads.Dataset] = {}  # opened part dirs
         # parts smaller than this are loaded whole into an in-memory
         # term_id -> rows map on first touch (the reference's 500MB
-        # posting-block cache budget, FileStorage.h:2107); bigger parts
-        # fall back to filtered row-group reads
+        # posting-block cache budget, FileStorage.h:2107); bigger parts —
+        # or any part once the GLOBAL budget is spent — fall back to
+        # filtered row-group reads
         self._part_cache_bytes = 64 * 1024 * 1024
+        self._part_cache_budget = 512 * 1024 * 1024   # across all parts
+        self._part_cache_used = 0
         self._part_rows: dict[int, dict[int, list[dict]]] = {}
 
     def lookup(self, term: str) -> tuple[int, int] | None:
@@ -105,7 +108,10 @@ class IndexReader:
                 ds = pads.dataset(os.path.join(self.post_dir, f"part={part}"))
                 self._part_ds[part] = ds
             part_bytes = sum(os.path.getsize(f) for f in ds.files)
-            if part_bytes <= self._part_cache_bytes:
+            if (part_bytes <= self._part_cache_bytes
+                    and self._part_cache_used + part_bytes
+                    <= self._part_cache_budget):
+                self._part_cache_used += part_bytes
                 # small part: load once, serve every term from memory
                 by_tid: dict[int, list[dict]] = {}
                 for r in ds.to_table().to_pylist():

@@ -70,6 +70,14 @@ def zip_with_index(ds: rd.Dataset, sort_keys: list[str] | None = None,
     key_tbl = ranked.to_pandas()
     lut = {tuple(row): i for *row, i in
            key_tbl.itertuples(index=False, name=None)}
+    if len(lut) != len(key_tbl):
+        # silently collapsing duplicate keys would assign one doc_id to
+        # multiple rows and corrupt df/dl/postings — fail loudly instead
+        raise ValueError(
+            f"zip_with_index: sort keys {sort_keys} are not unique "
+            f"({len(key_tbl) - len(lut)} duplicate rows); deduplicate the "
+            "corpus or extend the key (the reference renames duplicate "
+            "base URLs, IndexLogFile.h:46-53 — see functions/dedup.py)")
     lut_ref = ray.put(lut)
 
     def _attach_ids(batch: pa.Table) -> pa.Table:

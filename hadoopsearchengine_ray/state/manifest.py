@@ -22,20 +22,30 @@ from typing import Any
 
 
 def lineage_fingerprint(paths: list[str]) -> str:
-    """Stable fingerprint of a set of input files: sorted (path, size)."""
+    """Stable fingerprint of a set of input files: globally sorted
+    (path, size, mtime_ns).
+
+    mtime catches in-place rewrites that happen to keep the byte size
+    (at the cost of a spurious rebuild after a copy — the safe
+    direction); the file list is sorted as a whole so os.walk's
+    filesystem-dependent directory order cannot change the fingerprint."""
+
+    def _stat(fp: str) -> str:
+        st = os.stat(fp)
+        return f"{fp}:{st.st_size}:{st.st_mtime_ns}"
+
     entries = []
     for p in sorted(paths):
         if os.path.isdir(p):
             for root, _, files in os.walk(p):
-                for f in sorted(files):
-                    fp = os.path.join(root, f)
-                    entries.append(f"{fp}:{os.path.getsize(fp)}")
+                entries.extend(os.path.join(root, f) for f in files)
         elif os.path.exists(p):
-            entries.append(f"{p}:{os.path.getsize(p)}")
+            entries.append(p)
         else:
             entries.append(f"{p}:absent")
-    h = hashlib.sha256("\n".join(entries).encode()).hexdigest()
-    return h
+    lines = sorted(_stat(e) if not e.endswith(":absent") else e
+                   for e in entries)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
 @dataclass

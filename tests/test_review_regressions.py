@@ -1,0 +1,92 @@
+"""Regressions for code-review findings (round 1 review pass)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from hadoopsearchengine_ray.functions import dedup
+from hadoopsearchengine_ray.pipelines.build_index import build_index
+from hadoopsearchengine_ray.pipelines.docstore import make_snippet
+from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+from hadoopsearchengine_ray.stages.ingest import load_corpus, zip_with_index
+
+
+def _corpus_table(rows):
+    return pa.table({
+        "repo": [r[0] for r in rows], "path": [r[1] for r in rows],
+        "commit": ["c"] * len(rows), "lang": ["py"] * len(rows),
+        "content": [r[2] for r in rows],
+    })
+
+
+def test_rebuild_over_stale_dir_with_empty_corpus(tmp_path):
+    """A now-empty corpus must clear the previous build's files, not
+    leave a corrupt mix (review finding 1)."""
+    c = str(tmp_path / "c.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(_corpus_table(
+        [(f"r/{i:03d}", f"p{i:03d}", f"alpha beta doc{i}") for i in range(50)]), c)
+    build_index(c, idx)
+    pq.write_table(_corpus_table([]), c)
+    meta = build_index(c, idx)
+    assert meta["num_docs"] == 0
+    sc = BM25Scorer(idx)
+    d, s = sc.score(["alpha"], 5)
+    assert len(d) == 0
+
+
+def test_dedup_clusters_long_chain():
+    """A 120-doc duplicate chain is ONE component (review finding 2:
+    the old round cap silently split long chains)."""
+    pairs = rd.from_arrow(pa.table({
+        "d1": pa.array(list(range(119)), pa.int64()),
+        "d2": pa.array(list(range(1, 120)), pa.int64()),
+    }))
+    lab = dedup.dedup_clusters(pairs, 120)
+    assert (lab == 0).all()
+
+
+def test_zip_with_index_rejects_duplicate_keys(tmp_path):
+    c = str(tmp_path / "dup.parquet")
+    pq.write_table(_corpus_table(
+        [("r/a", "same", "one"), ("r/a", "same", "two")]), c)
+    with pytest.raises(ValueError, match="not unique"):
+        zip_with_index(load_corpus(c),
+                       sort_keys=["repo", "path", "commit"]).count()
+
+
+def test_make_snippet_offsets_survive_case_length_changes():
+    s = make_snippet("İİİİ needle in the haystack İ", ["needle"], window=60)
+    assert "**needle**" in s
+    # marks wrap exactly the word, not a shifted span
+    assert "need**le" not in s
+
+
+def test_lineage_detects_same_size_content_change(tmp_path):
+    """Same-byte-size rewrite must invalidate the manifest (mtime in the
+    fingerprint — review finding 7)."""
+    from hadoopsearchengine_ray.state.manifest import lineage_fingerprint
+
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"a" * 100)
+    f1 = lineage_fingerprint([str(p)])
+    os.utime(p, ns=(1, 1))  # same size, different mtime
+    f2 = lineage_fingerprint([str(p)])
+    assert f1 != f2
+
+
+def test_minhash_single_pass_and_candidate_only_lut():
+    texts = ["common words shared here fully"] * 3 + ["totally different junk"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = dedup.minhash_lsh_pairs(docs, n=2, jaccard_threshold=0.9).to_pandas()
+    pairs = set(zip(out.d1, out.d2))
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert not any(3 in p for p in pairs)
