@@ -297,12 +297,9 @@ def dedup_clusters(pairs: rd.Dataset, num_docs: int,
     array mapping doc_id -> cluster representative (min doc id)."""
     import ray
 
-    pairs = pairs.materialize()
-    block_refs = []
-    for b in pairs.iter_internal_ref_bundles():
-        block_refs.extend(b.block_refs)
+    from .._block import column_np, nonempty_block_refs
 
-    from .._block import column_np
+    block_refs = nonempty_block_refs(pairs.materialize())
 
     @ray.remote
     def _minprop(block, label: np.ndarray, n: int) -> np.ndarray:

@@ -45,10 +45,9 @@ def _scatter_dense(block, score: np.ndarray, num_nodes: int) -> np.ndarray:
 
 
 def _pagerank_dense(links: rd.Dataset, num_nodes: int, cycles: int) -> np.ndarray:
-    links = links.materialize()
-    block_refs = []
-    for bundle in links.iter_internal_ref_bundles():
-        block_refs.extend(bundle.block_refs)
+    from .._block import nonempty_block_refs
+
+    block_refs = nonempty_block_refs(links.materialize())
     score = np.ones(num_nodes, dtype=np.float64)
     for _ in range(cycles):
         score_ref = ray.put(score)

@@ -53,10 +53,9 @@ def _scatter_dist(block, dist: np.ndarray, num_nodes: int) -> np.ndarray:
 def wavepass_dist(links: rd.Dataset, num_nodes: int, k: int = CLASSES,
                   cycles: int = CYCLES, amplify: float = AMPLIFY) -> np.ndarray:
     """Per-node class distribution after `cycles` propagation rounds."""
-    links = links.materialize()
-    block_refs = []
-    for b in links.iter_internal_ref_bundles():
-        block_refs.extend(b.block_refs)
+    from .._block import nonempty_block_refs
+
+    block_refs = nonempty_block_refs(links.materialize())
 
     dist = np.zeros((num_nodes, k), dtype=np.float64)
     dist[np.arange(num_nodes), np.arange(num_nodes) % k] = 1.0

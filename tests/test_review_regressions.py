@@ -90,3 +90,42 @@ def test_minhash_single_pass_and_candidate_only_lut():
     pairs = set(zip(out.d1, out.d2))
     assert {(0, 1), (0, 2), (1, 2)} <= pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_dedup_clusters_with_pairs_fewer_than_buckets():
+    """Round-1 driver failure: shingle_overlap_pairs ends in a 32-bucket
+    map_groups; with ~2 pairs most buckets emit schema-less EMPTY pandas
+    blocks, and dedup_clusters' per-block tasks crashed on block["d1"].
+    nonempty_block_refs must skip those blocks."""
+    texts = (["alpha beta gamma delta epsilon zeta eta theta"] * 2
+             + [f"unique{i} solo{i} text{i} words{i} here{i} only{i}"
+                for i in range(6)])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    pairs = dedup.shingle_overlap_pairs(docs, n=3, min_common=2, max_df=50)
+    labels = dedup.dedup_clusters(pairs.select_columns(["d1", "d2"]),
+                                  num_docs=len(texts))
+    assert labels[1] == labels[0] == 0
+    assert all(labels[i] == i for i in range(2, len(texts)))
+
+
+def test_nonempty_block_refs_filters_empty_pandas_blocks():
+    import pandas as pd
+
+    from hadoopsearchengine_ray._block import nonempty_block_refs
+
+    ds = rd.from_items([{"bucket": 0, "v": 1}, {"bucket": 0, "v": 2}])
+
+    def _grp(g: pd.DataFrame) -> pd.DataFrame:
+        return g
+
+    # groupby with a single real group but high output parallelism can
+    # produce empty blocks; simulate directly with union of an empty ds
+    empty = rd.from_pandas(pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                         "v": pd.Series(dtype="int64")}))
+    refs = nonempty_block_refs(ds.union(empty).materialize())
+    import ray as _ray
+    total = sum(len(b) for b in _ray.get(refs))
+    assert total == 2
