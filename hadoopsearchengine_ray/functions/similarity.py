@@ -42,7 +42,14 @@ def knn_cosine(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
         out_q, out_id, out_s = [], [], []
         for qi in range(qm.shape[0]):
             s = sims[:, qi]
-            part = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            if len(s) > kk:
+                # keep ALL rows tied with the local k-th score so the
+                # global (sim desc, vec_id asc) sort stays deterministic
+                # when duplicate embeddings straddle the boundary
+                kth = np.partition(s, len(s) - kk)[len(s) - kk]
+                part = np.flatnonzero(s >= kth)
+            else:
+                part = np.arange(len(s))
             out_q.append(np.full(len(part), qi, np.int64))
             out_id.append(ids[part])
             out_s.append(s[part])

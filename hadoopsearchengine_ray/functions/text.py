@@ -109,12 +109,15 @@ def quality_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         uniq = np.unique((doc_idx << np.uint64(32)) | codes)
         n_distinct = np.bincount(
             (uniq >> np.uint64(32)).astype(np.int64), minlength=ndoc)
+        # drop zero-token docs: the SQL oracle (GROUP BY over tok) emits no
+        # row for a doc with no valid tokens — both sides must agree
+        keep = counts > 0
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "n_tokens": pa.array(counts, pa.int64()),
             "total_chars": pa.array(total_chars, pa.int64()),
             "n_distinct": pa.array(n_distinct.astype(np.int64), pa.int64()),
-        })
+        }).filter(pa.array(keep))
 
     return docs.map_batches(_quality, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -220,25 +223,71 @@ def expand_query(terms: list[str], assoc: dict[str, list[str]],
     return out
 
 
+_FP_P = np.uint64(0x100000001B3)          # polynomial base (FNV prime)
+_FP_OFFSET = np.uint64(0xCBF29CE484222325)  # leading coefficient (FNV basis)
+
+
+def fingerprint_py(tokens: list[str]) -> int:
+    """Single-process shadow of the doc fingerprint (dual-implementation
+    testing, SURVEY.md §5): polynomial rolling hash mod 2^64 over the
+    per-token blake2b-64 hash sequence, order-sensitive."""
+    import hashlib
+
+    h = int(_FP_OFFSET)
+    for t in tokens:
+        th = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        h = (h * int(_FP_P) + th) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
 def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Order-sensitive rolling-hash fingerprint of each doc's token
-    sequence (FNV-1a over the joined token stream) — the D2 excerpt
-    checksum analog (/root/reference/DyableRequest/HitScore.h:262-267).
-    Non-SQL-expressible; covered by the rows-only driver check + pytest."""
+    sequence — the D2 excerpt checksum analog
+    (/root/reference/DyableRequest/HitScore.h:262-267).
+
+    Vectorized (round-2 fix of the per-byte Python loop): each DISTINCT
+    token in the batch is hashed once (blake2b-64 over the dictionary,
+    unique terms << total tokens), then every doc's fingerprint is the
+    polynomial rolling hash  OFFSET*P^n + Σ th_j * P^(n-1-j)  mod 2^64
+    over its token-hash sequence — computed with one precomputed power
+    table and a single ``np.add.at`` scatter (uint64 wraparound is the
+    mod).  Identical to ``fingerprint_py`` per doc.
+    Non-SQL-expressible; exact-checked against fingerprint_py in pytest
+    and by the driver entry's embedded shadow."""
+    import hashlib
 
     def _fp(batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch[text_col])
-        fps = []
-        for tl in toks.to_pylist():
-            h = np.uint64(0xCBF29CE484222325)
-            for t in tl:
-                for b in t.encode():
-                    h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                h = np.uint64((int(h) ^ 0x20) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            fps.append(int(h) & 0x7FFFFFFFFFFFFFFF)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = toks.flatten()
+        ndoc = len(counts)
+        d = flat.dictionary_encode()
+        uhash = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                            "big") for t in d.dictionary.to_pylist()),
+            np.uint64, len(d.dictionary))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = uhash[codes] if len(codes) else np.empty(0, np.uint64)
+        maxlen = int(counts.max()) if ndoc else 0
+        pows = np.empty(maxlen + 1, np.uint64)
+        pows[0] = 1
+        if maxlen:
+            np.multiply.accumulate(np.full(maxlen, _FP_P, np.uint64),
+                                   out=pows[1:])
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
+        ends = np.repeat(np.cumsum(counts), counts)
+        exp = ends - 1 - np.arange(len(th), dtype=np.int64)
+        acc = np.zeros(ndoc, np.uint64)
+        np.add.at(acc, doc_idx, th * pows[exp])
+        fp = acc + _FP_OFFSET * pows[counts]
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
-            "fingerprint": pa.array(fps, pa.int64()),
+            "fingerprint": pa.array(
+                (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                pa.int64()),
         })
 
     return docs.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -38,20 +38,27 @@ def key_weight(ds: rd.Dataset, key: str | list[str], weight_col: str,
     return ds.groupby(key).aggregate(Sum(weight_col, alias_name=alias))
 
 
-def annotate_key_count(ds: rd.Dataset, key: str, alias: str = "n") -> rd.Dataset:
+def annotate_key_count(ds: rd.Dataset, key: str, alias: str = "n",
+                       broadcast_limit: int = 2_000_000) -> rd.Dataset:
     """Annotate EVERY row with its key's global count, rows preserved
-    (DuplicateKeyOccurrence).  The count table is the small side: built by
-    a groupby, broadcast once via ``ray.put``, and joined map-side —
-    no second shuffle of the big table."""
-    counts = ds.groupby(key).aggregate(Count(alias_name=alias)).to_pandas()
-    lookup_ref = ray.put(dict(zip(counts[key], counts[alias])))
+    (DuplicateKeyOccurrence).  Up to ``broadcast_limit`` distinct keys the
+    count table is the small side: broadcast once via ``ray.put`` and
+    probed map-side with a vectorized ``Series.map`` — no second shuffle
+    of the big table.  Above the limit (high-cardinality key) it falls
+    back to the co-partitioned ``hash_join``."""
+    counts = ds.groupby(key).aggregate(Count(alias_name=alias)).materialize()
+    if counts.count() > broadcast_limit:
+        return hash_join(ds, counts, on=key)
+    pdf = counts.to_pandas()
+    lookup_ref = ray.put(pd.Series(pdf[alias].to_numpy(),
+                                   index=pdf[key].to_numpy()))
 
-    def _annotate(batch: pa.Table) -> pa.Table:
+    def _annotate(batch: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(lookup_ref)
-        vals = [lut[v] for v in batch[key].to_pylist()]
-        return batch.append_column(alias, pa.array(vals, pa.int64()))
+        batch[alias] = batch[key].map(lut).astype("int64")
+        return batch
 
-    return ds.map_batches(_annotate, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_annotate, batch_format="pandas")
 
 
 def merge_set(ds: rd.Dataset, key: str, value_col: str,
@@ -96,6 +103,93 @@ def broadcast_join(big: rd.Dataset, small: pd.DataFrame, on: str,
     return big.map_batches(_join, batch_format="pandas")
 
 
+# rows per side under which ``join`` picks the broadcast plan
+BROADCAST_JOIN_MAX_ROWS = 2_000_000
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
+              how: str = "inner", num_buckets: int = 64,
+              restore_order_col: str | None = None) -> rd.Dataset:
+    """Large×large shuffle equi-join — the general ExternalHashMap
+    (/root/reference/ProcessSet.h:831-860): both sides are tagged and
+    co-partitioned by key hash in ONE shuffle (union -> groupby(bucket)),
+    then each bucket runs a single vectorized pandas merge.  Neither side
+    is materialized on the driver or broadcast.
+
+    ``restore_order_col``: optional column to sort the result by — the
+    analog of the reference's OrderMappedSets original-order restore
+    (callers carry their own row-index column; Datasets are unordered).
+
+    Partitioning assumption: one bucket's rows fit one task; raise
+    ``num_buckets`` for bigger inputs (buckets ~ total_rows / 5M)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - set(on_cols)
+    if overlap:
+        raise ValueError(f"hash_join requires disjoint non-key columns; "
+                         f"rename {sorted(overlap)} first")
+    types = {f.name: f.type for f in lschema}
+    types.update({f.name: f.type for f in rschema})
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    # side-0 dtypes restored after the union (nulls from the other side
+    # promote int64 -> float64 in pandas blocks)
+    ldtypes = {n: lschema.field(n).type.to_pandas_dtype() for n in lcols}
+    rdtypes = {n: rschema.field(n).type.to_pandas_dtype() for n in rcols}
+
+    def _tag(side: int, have: list[str]):
+        def _t(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {c: (batch[c] if c in have else pa.nulls(n, types[c]))
+                    for c in all_cols}
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            h = pd.util.hash_pandas_object(
+                batch.select(on_cols).to_pandas(), index=False).to_numpy()
+            cols["__bucket"] = pa.array((h % num_buckets).astype(np.int64))
+            return pa.table(cols)
+        return _t
+
+    lt = left.map_batches(_tag(0, lcols), batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(_tag(1, rcols), batch_format="pyarrow",
+                           batch_size=None)
+
+    out_cols = lcols + [c for c in rcols if c not in on_cols]
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "__side" not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype=ldtypes.get(c, rdtypes.get(c)))
+                                 for c in out_cols})
+        lg = g[g["__side"] == 0][lcols]
+        rg = g[g["__side"] == 1][rcols]
+        lcast = {c: dt for c, dt in ldtypes.items() if lg[c].dtype != dt}
+        rcast = {c: dt for c, dt in rdtypes.items() if rg[c].dtype != dt}
+        if lcast:
+            lg = lg.astype(lcast)
+        if rcast:
+            rg = rg.astype(rcast)
+        return lg.merge(rg, on=on_cols, how=how)
+
+    out = (lt.union(rt).groupby("__bucket")
+           .map_groups(_join, batch_format="pandas"))
+    if restore_order_col is not None:
+        out = out.sort(restore_order_col)
+    return out
+
+
+def join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
+         how: str = "inner", num_buckets: int = 64) -> rd.Dataset:
+    """Size-dispatching equi-join: broadcast the right side when its row
+    count is under ``BROADCAST_JOIN_MAX_ROWS`` (one shuffle saved), else
+    the co-partitioned ``hash_join``."""
+    right = right.materialize()
+    if how in ("inner", "left") and right.count() <= BROADCAST_JOIN_MAX_ROWS:
+        key = [on] if isinstance(on, str) else list(on)
+        return broadcast_join(left, right.to_pandas(),
+                              on=key[0] if len(key) == 1 else key, how=how)
+    return hash_join(left, right, on, how=how, num_buckets=num_buckets)
+
+
 def top_k(ds: rd.Dataset, sort_cols: list[str], descending: list[bool],
           k: int) -> rd.Dataset:
     """Global top-k via distributed sort + limit (the reference's
@@ -104,21 +198,24 @@ def top_k(ds: rd.Dataset, sort_cols: list[str], descending: list[bool],
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
-              value_cols: list[str], combine_blocks: int = 16) -> rd.Dataset:
+              value_cols: list[str], num_buckets: int = 32) -> rd.Dataset:
     """As-of join: for each left row, the latest right row with the same
     ``by`` key and ``right.on <= left.on``.
 
     Ray Data has no native as-of join; this is the documented composition
-    (ray_guide "As-of / range join"): co-partition both sides by the
-    ``by`` key via one groupby over the union (sides tagged), then
-    ``pd.merge_asof`` per group on the sorted ``on`` column.  Partitioning
-    assumption: one key's rows fit one task (salt by time range if not)."""
-    import pyarrow as pa
+    (ray_guide "As-of / range join"): tag both sides, hash-BUCKET the
+    ``by`` key (num_buckets groups, not one tiny map_groups per key —
+    the BASELINE.md pattern), then ONE vectorized ``pd.merge_asof(by=)``
+    per bucket over the time-sorted sides.  Partitioning assumption: one
+    bucket's rows fit one task (raise num_buckets / salt by time range
+    if not)."""
 
     def _tag(side: int):
         def _t(batch: pa.Table) -> pa.Table:
             cols = {c: batch[c] for c in batch.column_names}
             cols["__side"] = pa.array(np.full(batch.num_rows, side, np.int8))
+            h = pd.util.hash_array(batch[by].to_pandas().to_numpy())
+            cols["__bucket"] = pa.array((h % num_buckets).astype(np.int64))
             return pa.table(cols)
         return _t
 
@@ -129,8 +226,13 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     left_cols = left.schema().names
 
     def _asof(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][left_cols].sort_values(on)
-        rg = g[g["__side"] == 1][[by, on] + value_cols].sort_values(on)
+        if len(g) == 0 or "__side" not in g.columns:
+            return pd.DataFrame(columns=left_cols + value_cols)
+        lg = (g[g["__side"] == 0][left_cols]
+              .sort_values(on, kind="mergesort"))
+        rg = (g[g["__side"] == 1][[by, on] + value_cols]
+              .rename(columns={on: "__r_on"})
+              .sort_values("__r_on", kind="mergesort"))
         if len(lg) == 0:
             return pd.DataFrame(columns=left_cols + value_cols)
         if len(rg) == 0:
@@ -138,34 +240,58 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
             for c in value_cols:
                 out[c] = pd.NA
             return out
-        rg = rg.rename(columns={on: "__r_on"})
-        out = pd.merge_asof(lg, rg.drop(columns=[by]), left_on=on,
-                            right_on="__r_on", direction="backward")
+        out = pd.merge_asof(lg, rg, left_on=on, right_on="__r_on",
+                            by=by, direction="backward")
         return out.drop(columns=["__r_on"])
 
-    return both.groupby(by).map_groups(_asof, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(_asof, batch_format="pandas")
 
 
 def sessionize(events: rd.Dataset, key: str, ts_col: str,
-               gap_seconds: int = 1800,
-               tiebreak: str | None = None) -> rd.Dataset:
+               gap_seconds: int = 1800, tiebreak: str | None = None,
+               num_buckets: int = 32) -> rd.Dataset:
     """Session ids per key: a new session starts when the gap since the
     previous event exceeds ``gap_seconds`` (the streaming-window analog,
-    SURVEY.md §2.10 — Ray Data has no event-time windows, so windows are
-    per-key sorted ``map_groups``; ordering contract: sorted by
-    (ts, tiebreak) within key).  Gap compares native microseconds — no
-    truncation, exact parity with SQL ``epoch_us`` arithmetic."""
+    SURVEY.md §2.10 — Ray Data has no event-time windows).
+
+    Keys are hash-bucketed (num_buckets groups, not one ~1ms map_groups
+    per key — the BASELINE.md pattern); inside each bucket ONE vectorized
+    pass sorts by (key, ts, tiebreak) and numbers sessions with cumsum
+    minus the per-key base.  The timestamp is explicitly normalized to
+    datetime64[us] before the int64 view, so the gap threshold is in
+    microseconds regardless of the inbound unit (ns vs us) — exact
+    parity with SQL ``epoch_us`` arithmetic."""
     gap_us = gap_seconds * 1_000_000
 
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(batch[key].to_pandas().to_numpy())
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tiebreak] if tiebreak else [])
-        g = g.sort_values(order).reset_index(drop=True)
-        ts = g[ts_col].astype("int64")  # microseconds
-        new = (ts.diff().fillna(0) > gap_us).astype("int64")
-        g["session_id"] = new.cumsum()
+        if len(g) == 0 or key not in g.columns:
+            return g
+        g = g.drop(columns=["__bucket"])
+        order = [key, ts_col] + ([tiebreak] if tiebreak else [])
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        ts = (g[ts_col].astype("datetime64[us]").astype("int64")).to_numpy()
+        keys = g[key].to_numpy()
+        n = len(g)
+        same = np.zeros(n, bool)
+        same[1:] = keys[1:] == keys[:-1]
+        new = np.zeros(n, np.int64)
+        new[1:] = ((ts[1:] - ts[:-1]) > gap_us) & same[1:]
+        cum = np.cumsum(new)
+        # session resets per key: subtract the cumsum at the key's first row
+        first_idx = np.maximum.accumulate(
+            np.where(~same, np.arange(n), 0))
+        g["session_id"] = cum - cum[first_idx]
         return g
 
-    return events.groupby(key).map_groups(_sessions, batch_format="pandas")
+    return (events.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("__bucket")
+            .map_groups(_sessions, batch_format="pandas"))
 
 
 def top_k_per_group(ds: rd.Dataset, key: str, sort_col: str, k: int,
