@@ -249,6 +249,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_round, batch_format="pyarrow")
 
+    def q_big_join(sf):
+        # large x large shuffle join (J1, ExternalHashMap): both sides
+        # fact tables — exercises hash_join's co-partitioned path
+        # explicitly (no broadcast)
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey", "l_linenumber"])
+        od = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def _key(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_totalprice": b["o_totalprice"],
+            })
+
+        od = od.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+        return rel.hash_join(li, od, on="l_orderkey")
+
     def q_topk_orders(sf):
         ds = rd.read_parquet(f"{sf}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -399,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "annotate_key_count": q_annotate,
         "merge_set_partkeys": q_merge_set,
         "cnr_join": q_cnr_join,
+        "big_join": q_big_join,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -562,6 +582,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "big_join": """
+            SELECT l_orderkey, l_partkey, l_linenumber, o_custkey, o_totalprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

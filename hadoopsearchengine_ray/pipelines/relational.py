@@ -107,6 +107,17 @@ def broadcast_join(big: rd.Dataset, small: pd.DataFrame, on: str,
 BROADCAST_JOIN_MAX_ROWS = 2_000_000
 
 
+def _as_arrow_schema(schema) -> pa.Schema:
+    """Ray's Dataset.schema() wraps the Arrow schema; unwrap it (pandas
+    block schemas are converted via an empty table round-trip)."""
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return base
+    # PandasBlockSchema: names + numpy dtypes
+    return pa.schema([(n, pa.from_numpy_dtype(t))
+                      for n, t in zip(base.names, base.types)])
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
               how: str = "inner", num_buckets: int = 64,
               restore_order_col: str | None = None) -> rd.Dataset:
@@ -123,7 +134,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     Partitioning assumption: one bucket's rows fit one task; raise
     ``num_buckets`` for bigger inputs (buckets ~ total_rows / 5M)."""
     on_cols = [on] if isinstance(on, str) else list(on)
-    lschema, rschema = left.schema(), right.schema()
+    lschema = _as_arrow_schema(left.schema())
+    rschema = _as_arrow_schema(right.schema())
     lcols, rcols = list(lschema.names), list(rschema.names)
     overlap = (set(lcols) & set(rcols)) - set(on_cols)
     if overlap:

@@ -4,6 +4,7 @@ multimodal against independent in-process computations."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from hadoopsearchengine_ray.functions import dedup, multimodal, similarity, text
@@ -163,3 +164,79 @@ def test_multimodal_plumbing():
 
     with pytest.raises(NotImplementedError):
         multimodal.MediaFeatureExtractor(codec="pil")
+
+
+def test_hash_join_inner_and_left():
+    from hadoopsearchengine_ray.pipelines import relational as rel
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5], pa.int64()),
+        "rv": pa.array(["b", "c", "e"]),
+    }))
+    inner = rel.hash_join(left, right, on="k").to_pandas().sort_values("k")
+    assert inner["k"].tolist() == [2, 3]
+    assert inner["lv"].dtype == np.int64  # dtype restored after union nulls
+    assert inner["rv"].tolist() == ["b", "c"]
+
+    lj = rel.hash_join(left, right, on="k", how="left").to_pandas().sort_values("k")
+    assert lj["k"].tolist() == [1, 2, 3, 4]
+    assert lj["rv"].isna().sum() == 2
+
+
+def test_hash_join_rejects_overlapping_columns():
+    from hadoopsearchengine_ray.pipelines import relational as rel
+
+    a = rd.from_items([{"k": 1, "v": 2}])
+    b = rd.from_items([{"k": 1, "v": 3}])
+    with pytest.raises(ValueError, match="disjoint"):
+        rel.hash_join(a, b, on="k")
+
+
+def test_join_dispatches_by_size():
+    from hadoopsearchengine_ray.pipelines import relational as rel
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "lv": pa.array([1.5, 2.5], pa.float64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "rv": pa.array([7, 8], pa.int64()),
+    }))
+    out = rel.join(left, right, on="k").to_pandas().sort_values("k")
+    assert out["rv"].tolist() == [7, 8]
+
+
+def test_hash_join_matches_duckdb_on_fact_tables():
+    import duckdb
+
+    from hadoopsearchengine_ray.pipelines import relational as rel
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 500, 3000)
+    rk = np.arange(0, 600)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "lv": pa.array(np.arange(3000), pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()),
+        "rv": pa.array(rk * 10, pa.int64()),
+    }))
+    got = (rel.hash_join(left, right, on="k").to_pandas()
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("l", pa.table({"k": lk.astype("int64"),
+                                "lv": np.arange(3000, dtype="int64")}))
+    con.register("r", pa.table({"k": rk.astype("int64"),
+                                "rv": (rk * 10).astype("int64")}))
+    exp = con.execute(
+        "SELECT l.k, lv, rv FROM l JOIN r USING (k) ORDER BY k, lv"
+    ).df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lv"].tolist() == exp["lv"].tolist()
+    assert got["rv"].tolist() == exp["rv"].tolist()
