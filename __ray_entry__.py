@@ -47,6 +47,8 @@ toko AS (
 """
 
 BM25_TERMS = ["spark", "window", "merge"]
+PHRASE = ["table", "hash"]          # frequent adjacent pair in the corpus
+PROX_TERMS = ["table", "hash"]
 KNN_QUERY_IDS = [0, 1, 2]
 
 _LANG_SW_VALUES = (
@@ -114,6 +116,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
+
+    def q_phrase(sf):
+        # positional index: exact-phrase occurrence counts per doc
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.positional import phrase_table
+
+        return phrase_table(index_for(f"{sf}/documents.parquet"), PHRASE)
+
+    def q_prox(sf):
+        # BM25 top-50 candidates re-ranked by (matched desc, min covering
+        # window asc, bm25 desc, doc_id) — positions FROM the index
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.positional import (
+            proximity_rerank_indexed,
+        )
+
+        out = proximity_rerank_indexed(
+            index_for(f"{sf}/documents.parquet"), PROX_TERMS, k=10, k_prime=50)
+        return pd.DataFrame({
+            "rank": pd.array(out["rank"], dtype="int64"),
+            "doc_id": pd.array(out["doc_id"], dtype="int64"),
+            "matched_terms": pd.array(out["matched_terms"], dtype="int64"),
+            "min_window": pd.array(out["min_window"], dtype="int64"),
+        })
+
+    def q_bm25_title(sf):
+        # BM25F-style title boost: first-8-token occurrences count 2x,
+        # title tf derived from in-index positions
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_title_boost(BM25_TERMS, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
 
     def q_sha256(sf):
         from hadoopsearchengine_ray.stages.ingest import add_sha256
@@ -401,6 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dictionary": q_dictionary,
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
+        "phrase_match": q_phrase,
+        "prox_topk": q_prox,
+        "bm25_title_topk": q_bm25_title,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
         "lang_id": q_lang_id,
@@ -473,6 +515,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "bm25_title_topk": f"""
+            WITH {TOK_ORDERED_CTE},
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf,
+                          sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS tft
+                   FROM toko GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * (tf.tf + 1.0 * tf.tft) * 2.2
+                          / ((tf.tf + 1.0 * tf.tft)
+                             + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "phrase_match": f"""
+            WITH {TOK_ORDERED_CTE}
+            SELECT a.doc_id, count(*) AS n
+            FROM toko a JOIN toko b
+              ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            WHERE a.t = '{PHRASE[0]}' AND b.t = '{PHRASE[1]}'
+            GROUP BY a.doc_id
+        """,
+        "prox_topk": f"""
+            WITH {TOK_ORDERED_CTE},
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toko GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES ('{PROX_TERMS[0]}'),('{PROX_TERMS[1]}')),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            cand AS (
+              SELECT doc_id, s FROM sc
+              QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 50
+            ),
+            mw AS (
+              SELECT a.doc_id, min(abs(a.rn - b.rn)) + 1 AS w
+              FROM toko a JOIN toko b ON a.doc_id = b.doc_id
+              WHERE a.t = '{PROX_TERMS[0]}' AND b.t = '{PROX_TERMS[1]}'
+              GROUP BY a.doc_id
+            ),
+            m AS (
+              SELECT doc_id, count(DISTINCT t) AS matched FROM toko
+              WHERE t IN ('{PROX_TERMS[0]}', '{PROX_TERMS[1]}') GROUP BY 1
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY matched DESC, coalesce(w, 1000000000) ASC,
+                              s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id,
+                   CAST(matched AS BIGINT) AS matched_terms,
+                   CAST(coalesce(w, -1) AS BIGINT) AS min_window
+            FROM cand JOIN m USING (doc_id) LEFT JOIN mw USING (doc_id)
+            ORDER BY rank LIMIT 10
         """,
         "sha256_docs": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
         "quality_metrics": f"""

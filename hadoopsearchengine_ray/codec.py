@@ -100,13 +100,22 @@ def _list_from_offsets(values: pa.Array, cell_offsets: np.ndarray) -> pa.ListArr
 
 
 def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
-                          tfs: np.ndarray) -> dict[str, pa.Array]:
+                          tfs: np.ndarray,
+                          positions: np.ndarray | None = None) -> dict[str, pa.Array]:
     """Encode ALL terms of a partition at once.
 
     Input: postings sorted by (term, doc_id); ``term_starts`` = start row of
     each term (len T+1, last = n_rows).  Returns Arrow columns
     ``doc_blob, tf_blob, skip_docs, skip_doc_off, skip_tf_off, block_max_tf``
     (one row per term) built with zero per-term Python work.
+
+    ``positions``: optional flat uint32 array of within-doc token positions
+    (ascending per posting row, ``tfs[i]`` values per row, rows in the same
+    sorted order) — the reference's positional hit encoding
+    (``enc=(pos<<3)|bits``, CompileHitList.h:304-315) as a third parallel
+    blob: per doc, first position absolute then delta-gaps (each doc
+    self-contained, so block-sliced decode needs no cross-block base).
+    Adds ``pos_blob`` + ``skip_pos_off`` columns.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
@@ -143,7 +152,7 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
     else:
         block_max_tf = np.empty(0, np.uint32)
 
-    return {
+    out = {
         "df": pa.array(dfs.astype(np.uint32), pa.uint32()),
         "doc_blob": _binary_from_offsets(doc_bytes, doc_sz[term_starts]),
         "tf_blob": _binary_from_offsets(tf_bytes, tf_sz[term_starts]),
@@ -152,6 +161,27 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
         "skip_tf_off": _list_from_offsets(pa.array(skip_tf_off, pa.uint32()), blk_offsets),
         "block_max_tf": _list_from_offsets(pa.array(block_max_tf, pa.uint32()), blk_offsets),
     }
+    if positions is not None:
+        pos = np.ascontiguousarray(positions, dtype=np.uint64)
+        rows_flat = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+        if len(pos) != rows_flat[-1]:
+            raise ValueError(f"positions length {len(pos)} != sum(tf) {rows_flat[-1]}")
+        pgaps = np.empty(len(pos), dtype=np.uint64)
+        if len(pos):
+            pgaps[1:] = pos[1:] - pos[:-1]
+        row_starts = rows_flat[:-1][tfs > 0] if n else np.empty(0, np.int64)
+        pgaps[row_starts] = pos[row_starts]   # absolute first position per doc
+        pos_bytes = encode_varints(pgaps)
+        pos_sz = np.concatenate(([0], np.cumsum(varint_sizes(pgaps)))) \
+            if len(pos) else np.zeros(1, np.int64)
+        term_flat_start = rows_flat[term_starts]
+        out["pos_blob"] = _binary_from_offsets(pos_bytes, pos_sz[term_flat_start])
+        skip_pos_off = (pos_sz[rows_flat[blk_start]]
+                        - pos_sz[term_flat_start][blk_term]).astype(np.uint32) \
+            if len(blk_start) else np.empty(0, np.uint32)
+        out["skip_pos_off"] = _list_from_offsets(
+            pa.array(skip_pos_off, pa.uint32()), blk_offsets)
+    return out
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> dict:
@@ -167,6 +197,44 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes, df: int):
     tfs = decode_varints(np.frombuffer(tf_blob, dtype=np.uint8))
     assert len(gaps) == df and len(tfs) == df, (len(gaps), len(tfs), df)
     return np.cumsum(gaps, dtype=np.uint64), tfs
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a term's position blob -> (flat_positions: uint64, row_offsets).
+
+    ``tfs`` are the per-doc frequencies (the per-doc position counts);
+    ``row_offsets`` (len df+1) slices flat_positions per doc.  Positions
+    are reconstructed by per-doc cumulative sums over the delta gaps."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    rows_flat = np.concatenate(([0], np.cumsum(tfs)))
+    pgaps = decode_varints(np.frombuffer(pos_blob, dtype=np.uint8))
+    if len(pgaps) != rows_flat[-1]:
+        raise ValueError(f"pos blob decodes {len(pgaps)} values, want {rows_flat[-1]}")
+    if len(pgaps) == 0:
+        return np.empty(0, np.uint64), rows_flat
+    c = np.cumsum(pgaps, dtype=np.uint64)
+    row_starts = rows_flat[:-1][tfs > 0]
+    # subtract each doc's running base so the cumsum restarts per doc
+    base = np.repeat(c[row_starts] - pgaps[row_starts], tfs[tfs > 0])
+    return c - base, rows_flat
+
+
+def decode_positions_blocks(pos_blob: bytes, blocks: np.ndarray,
+                            skip_pos_off, block_tfs: list[np.ndarray]):
+    """Positions for selected skip blocks only (random-access path).
+
+    ``block_tfs``: decoded tf array per selected block (from decode_blocks
+    over the same block ordinals).  Per-doc position runs are
+    self-contained, so each block decodes independently."""
+    nblocks = len(skip_pos_off)
+    buf = np.frombuffer(pos_blob, dtype=np.uint8)
+    out = []
+    for b, tfb in zip(blocks, block_tfs):
+        p0 = int(skip_pos_off[b])
+        p1 = int(skip_pos_off[b + 1]) if b + 1 < nblocks else len(buf)
+        flat, offs = decode_positions(buf[p0:p1].tobytes(), tfb)
+        out.append((flat, offs))
+    return out
 
 
 def decode_blocks(doc_blob: bytes, tf_blob: bytes, df: int, blocks: np.ndarray,

@@ -46,11 +46,16 @@ class OracleIndex:
     def __init__(self, docs: list[tuple[int, str]]):
         self.postings: dict[str, list[tuple[int, int]]] = {}
         self.doclen: dict[int, int] = {}
+        # per (term, doc): ascending within-doc token positions (0-based) —
+        # the positional shadow (reference SWordHit positions)
+        self.positions: dict[str, dict[int, list[int]]] = {}
         for doc_id, content in docs:
             toks = tokenize_py(content)
             self.doclen[doc_id] = len(toks)
             for term, tf in sorted(Counter(toks).items()):
                 self.postings.setdefault(term, []).append((doc_id, tf))
+            for p, term in enumerate(toks):
+                self.positions.setdefault(term, {}).setdefault(doc_id, []).append(p)
         for plist in self.postings.values():
             plist.sort()
         self.N = len(self.doclen)
@@ -88,6 +93,42 @@ class OracleIndex:
                 scores[doc_id] = scores.get(doc_id, 0.0) + s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def phrase_counts(self, phrase: list[str]) -> dict[int, int]:
+        """Per-doc count of exact phrase occurrences (consecutive valid
+        tokens) — shadow of the positional index's phrase scan."""
+        if not phrase:
+            return {}
+        first = self.positions.get(phrase[0], {})
+        out: dict[int, int] = {}
+        for doc_id, pos0 in first.items():
+            n = 0
+            for p in pos0:
+                if all(p + i in set(self.positions.get(t, {}).get(doc_id, []))
+                       for i, t in enumerate(phrase[1:], start=1)):
+                    n += 1
+            if n:
+                out[doc_id] = n
+        return out
+
+    def min_window(self, terms: list[str], doc_id: int) -> tuple[int, int]:
+        """(matched unique terms, smallest token window covering all
+        matched terms) — shadow of the index-driven proximity scorer."""
+        occ = []
+        for t in set(terms):
+            for p in self.positions.get(t, {}).get(doc_id, []):
+                occ.append((p, t))
+        occ.sort()
+        matched = len({t for _, t in occ})
+        if matched < 2:
+            return matched, 10**9
+        best = 10**9
+        last: dict[str, int] = {}
+        for p, t in occ:
+            last[t] = p
+            if len(last) == matched:
+                best = min(best, p - min(last.values()) + 1)
+        return matched, best
 
 
 def pagerank_oracle(

@@ -47,7 +47,7 @@ B = 0.75
 # bumped whenever stage layout / on-disk schema changes: folded into the
 # lineage fingerprint so indexes built by older code rebuild cleanly
 # instead of resuming into mixed-schema state
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3  # v3: positional postings (pos_blob/skip_pos_off)
 
 
 def _write_empty_index(index_dir, num_shards, num_salts, num_index_parts,
@@ -82,6 +82,7 @@ def _write_empty_index(index_dir, num_shards, num_salts, num_index_parts,
         "k1": K1, "b": B, "hot_df_frac": hot_df_frac, "hot_term_ids": {},
         "num_shards": num_shards, "num_salts": num_salts,
         "num_index_parts": num_index_parts, "id_col": id_col,
+        "with_positions": False,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -101,12 +102,14 @@ def build_index(
     num_salts: int = DEFAULT_SALTS,
     num_index_parts: int = DEFAULT_INDEX_PARTS,
     with_sha256: bool = True,
+    with_positions: bool = True,
     tokenize_batch_size: int = 512,
 ) -> dict:
     """Run (or resume) the full build; returns the meta dict."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest.load(os.path.join(index_dir, "manifest.json"))
-    lineage = f"v{INDEX_FORMAT_VERSION}:{lineage_fingerprint([corpus_path])}"
+    lineage = (f"v{INDEX_FORMAT_VERSION}:pos={int(with_positions)}:"
+               f"{lineage_fingerprint([corpus_path])}")
 
     # empty corpus -> valid empty index (write_parquet of an empty Dataset
     # creates no directory at all, so every stage would 404)
@@ -152,7 +155,8 @@ def build_index(
             sha_thread = threading.Thread(target=_sha_job, daemon=True)
             sha_thread.start()
         tokens = tokenize_stage(corpus, text_col=text_col, id_col=id_col,
-                                batch_size=tokenize_batch_size)
+                                batch_size=tokenize_batch_size,
+                                with_positions=with_positions)
         tokens.write_parquet(tokens_dir)
         if sha_thread is not None:
             sha_thread.join()
@@ -174,8 +178,13 @@ def build_index(
 
     # read the token table in ~cluster-core-count blocks: every downstream
     # aggregate's cost scales with input block count (BASELINE.md) — at
-    # real scale pick total_bytes / ~512MB instead of a constant
-    tokens = rd.read_parquet(tokens_dir, override_num_blocks=32)
+    # real scale pick total_bytes / ~512MB instead of a constant.
+    # Each consumer reads ONLY its columns (doclen never touches term/pos,
+    # vocab never touches pos — column pruning at the read, SURVEY §7.4)
+    def _tokens(columns):
+        return rd.read_parquet(tokens_dir, columns=columns,
+                               override_num_blocks=32)
+
     n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
 
     # ---- stages 2+3: doc lengths ∥ vocab+hot-sample ------------------
@@ -192,7 +201,8 @@ def build_index(
             try:
                 shutil.rmtree(doclen_dir, ignore_errors=True)
                 # combine_blocks=0: tokens already read in 32 blocks
-                doc_lengths(tokens, combine_blocks=0).write_parquet(doclen_dir)
+                doc_lengths(_tokens(["doc_id", "tf"]),
+                            combine_blocks=0).write_parquet(doclen_dir)
             except BaseException as e:
                 errs.append(e)
 
@@ -200,7 +210,8 @@ def build_index(
             try:
                 shutil.rmtree(vocab_dir, ignore_errors=True)
                 # string-keyed groupby: the combine level pays here
-                vocab_table(tokens, combine_blocks=8).write_parquet(vocab_dir)
+                vocab_table(_tokens(["doc_id", "term"]),
+                            combine_blocks=8).write_parquet(vocab_dir)
                 hot = hot_terms_from_vocab(
                     rd.read_parquet(vocab_dir), n_docs, hot_df_frac)
                 with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
@@ -266,6 +277,7 @@ def build_index(
             "num_salts": num_salts,
             "num_index_parts": num_index_parts,
             "id_col": id_col,
+            "with_positions": with_positions,
         }
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f, indent=1)
@@ -279,8 +291,9 @@ def build_index(
     if not man.is_done("postings", lineage, post_dir):
         man.start("postings", lineage, post_dir)
         shutil.rmtree(post_dir, ignore_errors=True)
+        post_cols = ["doc_id", "term", "tf"] + (["pos"] if with_positions else [])
         post = build_postings(
-            tokens,
+            _tokens(post_cols),
             hot_term_ids={int(k): v for k, v in meta["hot_term_ids"].items()},
             num_docs=meta["num_docs"],
             num_shards=meta["num_shards"],
@@ -303,7 +316,8 @@ def build_index(
         man.start("dictionary", lineage, dict_dir)
         shutil.rmtree(dict_dir, ignore_errors=True)
         dictionary_from_postings(
-            rd.read_parquet(post_dir), rd.read_parquet(vocab_dir)
+            rd.read_parquet(post_dir, columns=["term_id", "df", "cf"]),
+            rd.read_parquet(vocab_dir),
         ).write_parquet(dict_dir)
         man.finish("dictionary")
 

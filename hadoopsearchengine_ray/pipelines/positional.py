@@ -1,0 +1,133 @@
+"""Positional query operators: phrase search and index-driven proximity.
+
+The reference's core posting is positional (``enc=(pos<<3)|type_bits``,
+/root/reference/DyableHitList/DyableHitList/CompileHitList.h:304-315) and
+its proximity scorer runs over position runs at serving time
+(/root/reference/DyableRequest/HitScore.h:139-291).  Round 1 approximated
+proximity by re-tokenizing candidate docs from the doc store; with the v3
+positional index both signals come straight from the posting lists:
+
+- ``phrase_counts``: per-doc occurrence count of an exact token phrase —
+  vectorized as an intersection of (doc, pos - i) key sets, one per
+  phrase slot, no per-doc loop;
+- ``proximity_rerank_indexed``: BM25 top-k' candidates re-ranked by
+  (matched terms desc, min covering window asc, bm25 desc, doc_id) with
+  positions decoded from the index for candidate docs only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .query import BM25Scorer, IndexReader
+
+
+def _phrase_keys(reader: IndexReader, term: str, slot: int) -> np.ndarray:
+    """int64 keys doc_id * 2^32 + (pos - slot) for every occurrence.
+
+    A phrase occurrence at start position p contributes the SAME key
+    (doc*2^32 + p) from every slot, so the phrase scan is one
+    intersection per slot.  Negative shifted positions can't collide
+    with slot-0 keys (positions are < 2^32 - phrase_len)."""
+    d, f, flat, _ = reader.decoded_positions(term)
+    if len(d) == 0:
+        return np.empty(0, np.int64)
+    doc_rep = np.repeat(d.astype(np.int64), f.astype(np.int64))
+    return doc_rep * np.int64(1 << 32) + (flat.astype(np.int64) - slot)
+
+
+def phrase_counts(reader: IndexReader, phrase: list[str]):
+    """(doc_ids: int64, counts: int64) of exact-phrase occurrences."""
+    if not phrase:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    inter = _phrase_keys(reader, phrase[0], 0)
+    for i, t in enumerate(phrase[1:], start=1):
+        if len(inter) == 0:
+            break
+        inter = np.intersect1d(inter, _phrase_keys(reader, t, i),
+                               assume_unique=True)
+    if len(inter) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = (inter >> np.int64(32)).astype(np.int64)
+    uniq, cnt = np.unique(docs, return_counts=True)
+    return uniq, cnt.astype(np.int64)
+
+
+def phrase_table(index_dir: str, phrase: list[str]) -> pd.DataFrame:
+    """(doc_id, n) per doc containing the phrase — driver-facing."""
+    reader = IndexReader(index_dir)
+    docs, cnt = phrase_counts(reader, phrase)
+    return pd.DataFrame({
+        "doc_id": pd.array(docs, dtype="int64"),
+        "n": pd.array(cnt, dtype="int64"),
+    })
+
+
+def min_window_from_positions(per_term_pos: list[np.ndarray]) -> tuple[int, int]:
+    """(matched terms, smallest window covering one occurrence of every
+    matched term) — the sorted-merge sweep of the reference's hit-run
+    scorer (HitScore.h:139-291).  Window = 10^9 when < 2 terms match."""
+    occ_pos, occ_term = [], []
+    for ti, pos in enumerate(per_term_pos):
+        if len(pos):
+            occ_pos.append(pos.astype(np.int64))
+            occ_term.append(np.full(len(pos), ti, np.int64))
+    matched = len(occ_pos)
+    if matched < 2:
+        return matched, 10**9
+    pos = np.concatenate(occ_pos)
+    term = np.concatenate(occ_term)
+    order = np.argsort(pos, kind="stable")
+    pos, term = pos[order], term[order]
+    last = np.full(matched, -1, np.int64)
+    best = 10**9
+    seen = 0
+    for p, t in zip(pos, term):
+        if last[t] < 0:
+            seen += 1
+        last[t] = p
+        if seen == matched:
+            best = min(best, int(p - last.min() + 1))
+    return matched, best
+
+
+def positions_for_docs(reader: IndexReader, term: str,
+                       doc_ids: np.ndarray) -> dict[int, np.ndarray]:
+    """Per-doc position arrays for the given docs (decoded once per term,
+    sliced by searchsorted — no per-doc decoding)."""
+    d, f, flat, offs = reader.decoded_positions(term)
+    if len(d) == 0:
+        return {}
+    d64 = d.astype(np.int64)
+    out = {}
+    idx = np.searchsorted(d64, np.asarray(doc_ids, np.int64))
+    for want, i in zip(np.asarray(doc_ids, np.int64), idx):
+        # salted hot terms concatenate doc-range-disjoint runs, so d64 is
+        # globally sorted (salt == doc range order) and searchsorted holds
+        if i < len(d64) and d64[i] == want:
+            out[int(want)] = flat[offs[i]:offs[i + 1]]
+    return out
+
+
+def proximity_rerank_indexed(index_dir: str, terms: list[str], k: int = 10,
+                             k_prime: int = 50) -> pd.DataFrame:
+    """Two-stage retrieval with positions FROM THE INDEX: BM25 top-k'
+    candidates, re-ranked by (matched desc, min window asc, bm25 desc,
+    doc_id asc).  Output shape matches docstore.proximity_rerank — same
+    multi-key comparator (CompileRankedList.h:123-163) — but no document
+    re-tokenization and no doc-store read."""
+    scorer = BM25Scorer(index_dir)
+    doc_ids, scores = scorer.score(terms, k_prime)
+    qterms = sorted(set(terms))
+    per_term = [positions_for_docs(scorer.rd, t, doc_ids) for t in qterms]
+    ranked = []
+    for d, s in zip(doc_ids, scores):
+        plists = [pt.get(int(d), np.empty(0, np.int64)) for pt in per_term]
+        m, w = min_window_from_positions(plists)
+        ranked.append((-m, w, -float(s), int(d)))
+    ranked.sort()
+    return pd.DataFrame(
+        [{"rank": i + 1, "doc_id": d, "matched_terms": -nm,
+          "min_window": w if w < 10**9 else -1, "bm25": -ns}
+         for i, (nm, w, ns, d) in enumerate(ranked[:k])])

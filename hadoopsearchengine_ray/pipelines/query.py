@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import ray.data as rd
 
-from ..codec import decode_blocks, decode_postings
+from ..codec import decode_blocks, decode_positions, decode_postings
 
 
 class IndexReader:
@@ -142,6 +142,33 @@ class IndexReader:
             docs.append(d)
             tfs.append(f)
         return np.concatenate(docs), np.concatenate(tfs)
+
+    def decoded_positions(self, term: str):
+        """(doc_ids, tfs, flat_positions, row_offsets) for a term.
+
+        ``row_offsets`` (len df+1) slices flat_positions per posting doc.
+        Requires a positional index (build_index with_positions=True) —
+        the reference's in-index positions (CompileHitList.h:304-315)
+        served without re-tokenizing documents."""
+        rows = self.posting_rows(term)
+        if not rows:
+            e = np.empty(0, np.uint64)
+            return e, e, e, np.zeros(1, np.int64)
+        if "pos_blob" not in rows[0] or rows[0]["pos_blob"] is None:
+            raise ValueError(
+                "index has no positional postings; rebuild with "
+                "with_positions=True")
+        docs, tfs, flats = [], [], []
+        for r in rows:
+            d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
+            flat, _ = decode_positions(r["pos_blob"], f)
+            docs.append(d)
+            tfs.append(f)
+            flats.append(flat)
+        tf_all = np.concatenate(tfs)
+        row_offsets = np.concatenate(([0], np.cumsum(tf_all))).astype(np.int64)
+        return (np.concatenate(docs), tf_all, np.concatenate(flats),
+                row_offsets)
 
 
 def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
@@ -280,6 +307,37 @@ class BM25Scorer:
         if self.use_maxscore:
             return self.score_maxscore(terms, k)
         return self.score_exact(terms, k)
+
+    def score_title_boost(self, terms: list[str], k: int,
+                          title_len: int = 8, boost: float = 2.0):
+        """Field-weighted BM25 (BM25F-style): occurrences inside the
+        title region (first ``title_len`` tokens) count ``boost``x — the
+        reference's title-vs-excerpt hit routing
+        (CompileHitList.h:142-177; title comparator CompileRankedList.h).
+        Title tf is DERIVED from in-index positions, no extra storage:
+        tf_eff = tf + (boost-1) * #(positions < title_len)."""
+        r = self.rd
+        scores = np.zeros(r.doc_space, dtype=np.float64)
+        touched = np.zeros(r.doc_space, dtype=bool)
+        for t in sorted(set(terms)):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = r.idf(df)
+            d, f, flat, offs = r.decoded_positions(t)
+            if len(d) == 0:
+                continue
+            d = d.astype(np.int64)
+            tf = f.astype(np.float64)
+            tft = np.add.reduceat(
+                (flat < np.uint64(title_len)).astype(np.float64), offs[:-1])
+            tfe = tf + (boost - 1.0) * tft
+            denom = tfe + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            scores[d] += w * tfe * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.flatnonzero(touched)
+        return _topk_from_scores(docs, scores[docs], k)
 
     def score_blended(self, terms: list[str], k: int):
         """BM25 + pr_weight * pagerank over the BM25 candidate set (docs

@@ -86,13 +86,16 @@ def make_shard_assigner(hot_term_ids: dict[int, int], num_docs: int,
         is_hot = row_hot >= 0
         shard[is_hot] = num_shards + row_hot[is_hot] * num_salts + salt[is_hot]
         salt[~is_hot] = 0
-        return pa.table({
+        cols = {
             "term_id": pa.array(row_tid, pa.int64()),
             "doc_id": batch["doc_id"],
             "tf": batch["tf"],
             "shard": pa.array(shard, pa.int64()),
             "salt": pa.array(salt.astype(np.uint8), pa.uint8()),
-        })
+        }
+        if "pos" in batch.column_names:   # positional build: positions ride
+            cols["pos"] = batch["pos"]    # the same numeric-only exchange
+        return pa.table(cols)
 
     return _assign
 
@@ -112,7 +115,15 @@ def _encode_group(group: pa.Table, num_index_parts: int) -> pa.Table:
 
     from ..codec import encode_term_partition
 
-    cols = encode_term_partition(term_starts, doc_s, tf_s)
+    positions = None
+    if "pos" in group.column_names:
+        plist = group["pos"]
+        if isinstance(plist, pa.ChunkedArray):
+            plist = plist.combine_chunks()
+        plist = plist.take(pa.array(order))
+        positions = plist.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    cols = encode_term_partition(term_starts, doc_s, tf_s, positions=positions)
     t_tid = tid_s[first]
     t_salt = salt[order][first]
     cf = np.add.reduceat(tf_s.astype(np.int64), first) if n else np.empty(0, np.int64)

@@ -25,8 +25,14 @@ TOKEN_SCHEMA = pa.schema(
 
 
 def tokenize_batch(batch: pa.Table, text_col: str = "content",
-                   id_col: str = "doc_id") -> pa.Table:
-    """(doc_id, text) batch -> unique (doc_id, term, tf) rows."""
+                   id_col: str = "doc_id",
+                   with_positions: bool = False) -> pa.Table:
+    """(doc_id, text) batch -> unique (doc_id, term, tf) rows.
+
+    ``with_positions`` adds a ``pos: list<uint32>`` column — the 0-based
+    indices of the term within the doc's VALID token sequence, ascending
+    (the positional-posting source, reference SWordHit positions,
+    CompileHitList.h:304-315)."""
     tokens = tokenize_column(batch[text_col])  # list<string>, one per doc
     flat = tokens.values
     ndocs = len(tokens)
@@ -38,30 +44,48 @@ def tokenize_batch(batch: pa.Table, text_col: str = "content",
     dict_arr = flat.dictionary_encode()
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
     keys = (doc_idx << np.uint64(32)) | codes
-    uniq, cnt = np.unique(keys, return_counts=True)
+    if not with_positions:
+        uniq, cnt = np.unique(keys, return_counts=True)
+    else:
+        # stable sort keeps within-doc token order, so each (doc, term)
+        # group's positions come out ascending
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(np.diff(ks)) + 1 if len(ks) else np.empty(0, np.int64)
+        bounds = np.concatenate(([0], starts)) if len(ks) else np.empty(0, np.int64)
+        uniq = ks[bounds] if len(ks) else np.empty(0, np.uint64)
+        cnt = np.diff(np.concatenate((bounds, [len(ks)]))) if len(ks) else np.empty(0, np.int64)
+        doc_starts = np.repeat(
+            np.cumsum(counts) - counts, counts).astype(np.int64)
+        pos_in_doc = (np.arange(len(keys), dtype=np.int64) - doc_starts)
+        pos_sorted = pos_in_doc[order].astype(np.uint32)
     u_doc_local = (uniq >> np.uint64(32)).astype(np.int64)
     u_code = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int32)
 
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)[u_doc_local]
     terms = dict_arr.dictionary.take(pa.array(u_code))
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.uint64()),
-            "term": terms.cast(pa.string()),
-            "tf": pa.array(cnt.astype(np.uint32), pa.uint32()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(doc_ids, pa.uint64()),
+        "term": terms.cast(pa.string()),
+        "tf": pa.array(cnt.astype(np.uint32), pa.uint32()),
+    }
+    if with_positions:
+        offs = np.concatenate(([0], np.cumsum(cnt))).astype(np.int32)
+        cols["pos"] = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(pos_sorted, pa.uint32()))
+    return pa.table(cols)
 
 
 def tokenize_stage(corpus: rd.Dataset, text_col: str = "content",
-                   id_col: str = "doc_id", batch_size: int = 512) -> rd.Dataset:
-    """corpus (doc_id, content, ...) -> token rows (doc_id, term, tf).
+                   id_col: str = "doc_id", batch_size: int = 512,
+                   with_positions: bool = False) -> rd.Dataset:
+    """corpus (doc_id, content, ...) -> token rows (doc_id, term, tf[, pos]).
 
     ``batch_size`` is deliberately small: content rows can be MBs
     (SURVEY.md §7.4 "wide rows") and the token fan-out is ~100x rows.
     """
     ds = corpus.map_batches(
-        lambda b: tokenize_batch(b, text_col, id_col),
+        lambda b: tokenize_batch(b, text_col, id_col, with_positions),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

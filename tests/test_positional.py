@@ -1,0 +1,137 @@
+"""Positional-posting checks: codec roundtrip, index parity vs oracle,
+phrase search, index-driven proximity, title-boost BM25."""
+
+import numpy as np
+import pytest
+
+from hadoopsearchengine_ray import corpus, oracle
+from hadoopsearchengine_ray.codec import (
+    decode_blocks,
+    decode_positions,
+    decode_positions_blocks,
+    decode_postings,
+    encode_term_partition,
+)
+
+
+@pytest.fixture(scope="module")
+def t1_oracle():
+    from tests.conftest import T1_DOCS
+
+    tbl = corpus.gen_rows(np.arange(T1_DOCS))
+    return oracle.OracleIndex(
+        [(i, tbl["content"][i].as_py()) for i in range(T1_DOCS)])
+
+
+def test_positional_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    term_starts = np.array([0, 4, 4, 300])
+    doc_ids = np.concatenate([
+        np.sort(rng.choice(1000, 4, replace=False)),
+        np.sort(rng.choice(50000, 296, replace=False)),
+    ]).astype(np.uint64)
+    tfs = rng.integers(1, 5, 300).astype(np.uint64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(400, int(t), replace=False)) for t in tfs]
+    ).astype(np.uint64)
+    cols = encode_term_partition(term_starts, doc_ids, tfs, positions=pos)
+    rows_flat = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+    for ti, (a, b) in enumerate(zip(term_starts[:-1], term_starts[1:])):
+        a, b = int(a), int(b)
+        flat, offs = decode_positions(cols["pos_blob"][ti].as_py(), tfs[a:b])
+        assert (flat == pos[int(rows_flat[a]):int(rows_flat[b])]).all()
+        d, f = decode_postings(cols["doc_blob"][ti].as_py(),
+                               cols["tf_blob"][ti].as_py(), b - a)
+        assert (d == doc_ids[a:b]).all() and (f == tfs[a:b]).all()
+    # block-sliced positions (term 2 spans 3 skip blocks)
+    a, b = 4, 300
+    blocks = np.array([1])
+    block_tfs = [tfs[a + 128:a + 256]]
+    pp = decode_positions_blocks(cols["pos_blob"][2].as_py(), blocks,
+                                 cols["skip_pos_off"][2].as_py(), block_tfs)
+    assert (pp[0][0] == pos[int(rows_flat[a + 128]):int(rows_flat[a + 256])]).all()
+
+
+def test_index_positions_match_oracle(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(t1_index_dir)
+    idx = t1_oracle
+    import random
+
+    random.seed(7)
+    sample = random.sample(sorted(idx.postings), 25)
+    hot = [t for t in sorted(idx.postings)
+           if len(idx.postings[t]) > 0.25 * idx.N][:4]
+    for t in sample + hot:
+        d, f, flat, offs = reader.decoded_positions(t)
+        exp = idx.positions.get(t, {})
+        assert len(d) == len(exp), t
+        for i, doc in enumerate(d.astype(np.int64)):
+            got = flat[int(offs[i]):int(offs[i + 1])].astype(np.int64).tolist()
+            assert got == exp[int(doc)], (t, doc)
+
+
+def test_phrase_counts_match_oracle(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray.pipelines.positional import phrase_counts
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(t1_index_dir)
+    idx = t1_oracle
+    tbl = corpus.gen_rows(np.arange(4))
+    for doc in range(4):
+        toks = oracle.tokenize_py(tbl["content"][doc].as_py())
+        for ph in (toks[0:2], toks[5:8]):
+            docs, cnt = phrase_counts(reader, list(ph))
+            assert dict(zip(docs.tolist(), cnt.tolist())) == idx.phrase_counts(list(ph))
+
+
+def test_proximity_rerank_indexed_matches_oracle(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray.pipelines.positional import (
+        proximity_rerank_indexed,
+    )
+
+    idx = t1_oracle
+    out = proximity_rerank_indexed(t1_index_dir, ["def", "return"], k=10)
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        m, w = idx.min_window(["def", "return"], int(r.doc_id))
+        assert m == r.matched_terms
+        assert (w if w < 10**9 else -1) == r.min_window
+
+
+def test_title_boost_matches_python_shadow(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    idx = t1_oracle
+    scorer = BM25Scorer(t1_index_dir)
+    terms = ["def", "return"]
+    d, s = scorer.score_title_boost(terms, 10, title_len=8, boost=2.0)
+    # python shadow with boosted tf
+    scores = {}
+    for t in sorted(set(terms)):
+        pl = idx.postings.get(t, [])
+        w = idx.idf(t)
+        for doc, tf in pl:
+            tft = sum(1 for p in idx.positions[t][doc] if p < 8)
+            tfe = tf + 1.0 * tft
+            dl = idx.doclen[doc]
+            scores[doc] = scores.get(doc, 0.0) + \
+                w * tfe * 2.2 / (tfe + 1.2 * (0.25 + 0.75 * dl / idx.avgdl))
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [int(x) for x in d] == [e[0] for e in exp]
+
+
+def test_nonpositional_index_still_builds(tmp_path, ray_session):
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer, IndexReader
+
+    cdir = str(tmp_path / "c")
+    corpus.write_corpus(cdir, 120)
+    meta = build_index(cdir, str(tmp_path / "i"), with_positions=False)
+    assert meta["with_positions"] is False
+    reader = IndexReader(str(tmp_path / "i"))
+    with pytest.raises(ValueError, match="positional"):
+        reader.decoded_positions("def")
+    d, s = BM25Scorer(str(tmp_path / "i")).score(["def"], 5)
+    assert len(d) > 0
