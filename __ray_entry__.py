@@ -154,6 +154,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_anchor_bm25(sf):
+        # anchor-text field (J4): deterministic links, source titles as
+        # anchor terms, BM25 over the anchor posting index
+        from hadoopsearchengine_ray.pipelines.anchor import anchor_bm25_topk
+
+        return anchor_bm25_topk(f"{sf}/documents.parquet", BM25_TERMS, 10)
+
     def q_sha256(sf):
         from hadoopsearchengine_ray.stages.ingest import add_sha256
 
@@ -443,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": q_phrase,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
+        "anchor_bm25": q_anchor_bm25,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
         "lang_id": q_lang_id,
@@ -540,6 +548,45 @@ def oracle_sql() -> dict[str, str]:
               JOIN df USING (term)
               JOIN dl USING (doc_id), stats
               GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "anchor_bm25": f"""
+            WITH {TOK_ORDERED_CTE},
+            title AS (SELECT doc_id AS src, t AS term FROM toko WHERE rn <= 8),
+            nn AS (SELECT count(*) AS n FROM documents),
+            lk AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id*17+3) % (SELECT n FROM nn) FROM documents
+              ) WHERE src <> dst
+            ),
+            anchor AS (
+              SELECT l.dst AS doc_id, t.term, count(*) AS tf
+              FROM lk l JOIN title t ON t.src = l.src GROUP BY 1, 2
+            ),
+            adl AS (SELECT doc_id, sum(tf) AS dl FROM anchor GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM adl) AS n,
+                     (SELECT sum(dl) FROM adl) * 1.0
+                       / (SELECT count(*) FROM adl) AS avgdl
+            ),
+            adf AS (SELECT term, count(*) AS df FROM anchor GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT a.doc_id,
+                     sum( ln((stats.n - adf.df + 0.5) / (adf.df + 0.5) + 1.0)
+                          * a.tf * 2.2
+                          / (a.tf + 1.2 * (0.25 + 0.75 * adl.dl / stats.avgdl)) ) AS s
+              FROM anchor a
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN adf USING (term)
+              JOIN adl USING (doc_id), stats
+              GROUP BY a.doc_id
             )
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id

@@ -135,3 +135,30 @@ def test_nonpositional_index_still_builds(tmp_path, ray_session):
         reader.decoded_positions("def")
     d, s = BM25Scorer(str(tmp_path / "i")).score(["def"], 5)
     assert len(d) > 0
+
+
+def test_anchor_token_table_matches_shadow(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hadoopsearchengine_ray.pipelines.anchor import (
+        anchor_links,
+        anchor_token_table,
+    )
+    from hadoopsearchengine_ray.tokenizer import tokenize_py
+
+    texts = [f"title{i} common word{i % 3} body filler text here more" for i in range(20)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    links_tbl = anchor_links(20)
+    out = anchor_token_table(docs, rd.from_arrow(links_tbl)).to_pandas()
+    # shadow
+    shadow = {}
+    titles = {i: tokenize_py(t)[:8] for i, t in enumerate(texts)}
+    for s, d in zip(links_tbl["src"].to_pylist(), links_tbl["dst"].to_pylist()):
+        for term in titles[s]:
+            shadow[(d, term)] = shadow.get((d, term), 0) + 1
+    got = {(int(r.doc_id), r.term): int(r.tf) for r in out.itertuples()}
+    assert got == shadow
