@@ -61,50 +61,120 @@ def _pagerank_dense(links: rd.Dataset, num_nodes: int, cycles: int) -> np.ndarra
     return score
 
 
-def _pagerank_grouped(links: rd.Dataset, num_nodes: int, cycles: int) -> np.ndarray:
-    from ray.data.aggregate import Sum
+@ray.remote
+def _scatter_sharded(block, score_shards: list, span: int, num_shards: int,
+                     num_nodes: int) -> dict[int, np.ndarray]:
+    """Per edge-block scatter: pulls ONLY the src score shards this block
+    references, returns dense partials keyed by dst shard.  The score
+    shard list is passed as refs-in-a-list so Ray does NOT materialize
+    every shard into the task — each task gets O(shards it touches)."""
+    src = column_np(block, "src", np.int64)
+    dst = column_np(block, "dst", np.int64)
+    w = column_np(block, "weight", np.float64)
+    ss = src // span
+    s_local = np.empty(len(src), dtype=np.float64)
+    for s in np.unique(ss):
+        shard = ray.get(score_shards[int(s)])
+        m = ss == s
+        s_local[m] = shard[src[m] - int(s) * span]
+    contrib = s_local * w
+    # each per-shard partial goes to the object store SEPARATELY (dict of
+    # refs): a reduce task then pulls only ITS shard's partials — nobody
+    # ever materializes another shard's data
+    out: dict[int, object] = {}
+    ds = dst // span
+    for s in np.unique(ds):
+        m = ds == s
+        lo = int(s) * span
+        size = min(span, num_nodes - lo)
+        out[int(s)] = ray.put(np.bincount(dst[m] - lo, weights=contrib[m],
+                                          minlength=size))
+    return out
 
-    score = np.ones(num_nodes, dtype=np.float64)
-    links = links.materialize()
+
+@ray.remote
+def _reduce_shard(shard_id: int, span: int, num_nodes: int,
+                  *partial_dicts) -> tuple[np.ndarray, float]:
+    """Sum the scatter partials addressed to one dst shard (fixed task
+    order -> deterministic float accumulation per layout)."""
+    lo = shard_id * span
+    size = min(span, num_nodes - lo)
+    acc = np.zeros(size, dtype=np.float64)
+    for d in partial_dicts:
+        ref = d.get(shard_id)
+        if ref is not None:
+            acc += ray.get(ref)
+    return acc, float(acc.sum())
+
+
+@ray.remote
+def _scale_shard(shard: np.ndarray, factor: float) -> np.ndarray:
+    return shard * factor
+
+
+def _pagerank_sharded(links: rd.Dataset, num_nodes: int, cycles: int,
+                      shard_span: int | None = None) -> np.ndarray:
+    """Range-sharded big-graph plan: the score vector lives in the object
+    store as S span-sized shards; every cycle is scatter tasks (one per
+    pinned edge block, pulling only the src shards it touches) -> one
+    reduce task per dst shard -> a scalar net-sum on the driver -> scale
+    tasks.  The driver holds ONLY object refs and per-shard sums (O(S)),
+    never a num_nodes-sized array, until the final assembly for the
+    caller — the reference's hash-division scatter
+    (DistributePulseScores.cpp:34-65) with divisions as Ray objects.  At
+    real scale the final assembly would stay sharded (write per-shard
+    parquet); the return type materializes for API compat with the dense
+    path."""
+    from .._block import nonempty_block_refs
+
+    span = shard_span or DENSE_MAX_NODES
+    S = max(1, -(-num_nodes // span))
+    span = -(-num_nodes // S)
+    block_refs = nonempty_block_refs(links.materialize())
+
+    shard_refs = [
+        ray.put(np.ones(min(span, num_nodes - s * span), dtype=np.float64))
+        for s in range(S)
+    ]
     for _ in range(cycles):
-        score_ref = ray.put(score)
+        partials = [
+            _scatter_sharded.remote(b, shard_refs, span, S, num_nodes)
+            for b in block_refs
+        ]
+        reduced = [
+            _reduce_shard.remote(s, span, num_nodes, *partials)
+            for s in range(S)
+        ]
+        sums = ray.get([_shard_sum.remote(r) for r in reduced])
+        net = float(np.sum(sums))
+        factor = (num_nodes / net) if net > 0 else 1.0
+        shard_refs = [
+            _scale_shard.remote(_shard_vec.remote(r), factor) for r in reduced
+        ]
+    return np.concatenate(ray.get(shard_refs)) if S else np.empty(0)
 
-        def _scatter(batch: pa.Table, *, _ref=score_ref) -> pa.Table:
-            s = ray.get(_ref)
-            src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
-            contrib = s[src] * w
-            uniq, inv = np.unique(dst, return_inverse=True)
-            part = np.bincount(inv, weights=contrib)
-            return pa.table({
-                "dst": pa.array(uniq, pa.int64()),
-                "part": pa.array(part, pa.float64()),
-            })
 
-        agg = (
-            links.map_batches(_scatter, batch_format="pyarrow",
-                              batch_size=None, zero_copy_batch=True)
-            .groupby("dst")
-            .aggregate(Sum("part", alias_name="score"))
-        )
-        tbl = agg.to_pandas()
-        nxt = np.zeros(num_nodes, dtype=np.float64)
-        if len(tbl):  # empty link set -> all-zero next scores
-            nxt[tbl["dst"].to_numpy()] = tbl["score"].to_numpy()
-        net = nxt.sum()
-        if net > 0:
-            nxt *= num_nodes / net
-        score = nxt
-    return score
+@ray.remote
+def _shard_vec(rv: tuple) -> np.ndarray:
+    return rv[0]
+
+
+@ray.remote
+def _shard_sum(rv: tuple) -> float:
+    return rv[1]
 
 
 def pagerank(links: rd.Dataset, num_nodes: int, cycles: int = CYCLES,
-             force_grouped: bool = False) -> np.ndarray:
-    """links (src, dst, weight) -> per-node score vector after `cycles`."""
+             force_grouped: bool = False,
+             shard_span: int | None = None) -> np.ndarray:
+    """links (src, dst, weight) -> per-node score vector after `cycles`.
+
+    <= DENSE_MAX_NODES: dense-partial plan (one vector per task).
+    Bigger (or force_grouped): range-sharded plan — driver holds O(S)
+    refs, never the node table."""
     if num_nodes <= DENSE_MAX_NODES and not force_grouped:
         return _pagerank_dense(links, num_nodes, cycles)
-    return _pagerank_grouped(links, num_nodes, cycles)
+    return _pagerank_sharded(links, num_nodes, cycles, shard_span)
 
 
 def pagerank_dataset(links: rd.Dataset, num_nodes: int,

@@ -23,19 +23,48 @@ def load_corpus(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns or CORPUS_COLUMNS)
 
 
-def _attach_block_ranks(ds: rd.Dataset, id_column: str) -> rd.Dataset:
+def _attach_block_ranks(ds: rd.Dataset, id_column: str,
+                        check_dup_keys: list[str] | None = None) -> rd.Dataset:
     """Dense 0-based id in current dataset order via a metadata-only
     prefix sum over per-block row counts (the distributed analog of the
     reference's division prefix sums,
-    /root/reference/DyableLexonWords/LexonWords.cpp:110-153)."""
+    /root/reference/DyableLexonWords/LexonWords.cpp:110-153).
+
+    ``check_dup_keys``: when set (and the input is SORTED by these keys),
+    every block reports its within-block adjacent-duplicate count plus
+    its first/last key rows; the driver sees only O(blocks) tuples and
+    fails loudly on any duplicate — no key materialization."""
     ds = ds.materialize()
     block_refs, offsets = [], []
     total = 0
     for b in ds.iter_internal_ref_bundles():
         for block_ref, meta in zip(b.block_refs, b.metadata):
+            if meta.num_rows == 0:
+                continue
             block_refs.append(block_ref)
             offsets.append(total)
             total += meta.num_rows
+
+    if check_dup_keys:
+        @ray.remote
+        def _dup_info(block: pa.Table):
+            import pandas as pd
+            sub = block.select(check_dup_keys).to_pandas()
+            dups = int(sub.duplicated().sum())
+            first = tuple(sub.iloc[0]) if len(sub) else None
+            last = tuple(sub.iloc[-1]) if len(sub) else None
+            return dups, first, last
+
+        infos = ray.get([_dup_info.remote(r) for r in block_refs])
+        within = sum(d for d, _, _ in infos)
+        boundary = sum(1 for (_, _, la), (_, fb, _) in zip(infos, infos[1:])
+                       if la is not None and la == fb)
+        if within or boundary:
+            raise ValueError(
+                f"zip_with_index: sort keys {check_dup_keys} are not unique "
+                f"({within + boundary} duplicate rows); deduplicate the "
+                "corpus or extend the key (the reference renames duplicate "
+                "base URLs, IndexLogFile.h:46-53 — see functions/dedup.py)")
 
     @ray.remote
     def _attach(block: pa.Table, offset: int) -> pa.Table:
@@ -50,45 +79,22 @@ def zip_with_index(ds: rd.Dataset, sort_keys: list[str] | None = None,
                    id_column: str = "doc_id") -> rd.Dataset:
     """Attach a dense 0-based ``id_column`` equal to each row's rank over
     the sorted ``sort_keys`` (FIXTURES.md §1's ``doc_id`` contract).
-
-    Only the KEY COLUMNS are sorted — the wide ``content`` column never
-    moves through the sort shuffle (it dominates corpus bytes ~30:1).
-    The ranked key table is then broadcast and ids attached map-side.
-    Scale path: at corpus sizes where the key table itself is large, the
-    broadcast becomes a range-partitioned sort-merge join on the same
-    keys; the sort/rank machinery here is unchanged.
+    Fully distributed: no driver key table, no broadcast (see below).
     """
     if not sort_keys:
         return _attach_block_ranks(ds, id_column)
 
-    # coalesce before the sort: Ray's sort cost scales with input block
-    # count (see BASELINE.md); the key table is narrow so 16 blocks ample
-    keys = (ds.select_columns(list(sort_keys))
-            .repartition(16)
-            .sort(list(sort_keys)))
-    ranked = _attach_block_ranks(keys, id_column)
-    key_tbl = ranked.to_pandas()
-    lut = {tuple(row): i for *row, i in
-           key_tbl.itertuples(index=False, name=None)}
-    if len(lut) != len(key_tbl):
-        # silently collapsing duplicate keys would assign one doc_id to
-        # multiple rows and corrupt df/dl/postings — fail loudly instead
-        raise ValueError(
-            f"zip_with_index: sort keys {sort_keys} are not unique "
-            f"({len(key_tbl) - len(lut)} duplicate rows); deduplicate the "
-            "corpus or extend the key (the reference renames duplicate "
-            "base URLs, IndexLogFile.h:46-53 — see functions/dedup.py)")
-    lut_ref = ray.put(lut)
-
-    def _attach_ids(batch: pa.Table) -> pa.Table:
-        m = ray.get(lut_ref)
-        cols = [batch[k].to_pylist() for k in sort_keys]
-        ids = np.fromiter(
-            (m[t] for t in zip(*cols)), dtype=np.uint64, count=batch.num_rows)
-        return batch.append_column(id_column, pa.array(ids, pa.uint64()))
-
-    return ds.map_batches(_attach_ids, batch_format="pyarrow",
-                          batch_size=None, zero_copy_batch=True)
+    # Range-partitioned sort-merge attach (round-2 fix of the driver-LUT
+    # broadcast): ONE distributed range sort of the full table by the
+    # natural key, then ids = metadata-only prefix-sum block ranks.
+    # Duplicate keys are detected from O(blocks) per-block summaries
+    # (within-block dups + block-boundary equality) — the driver never
+    # materializes the key table and nothing is broadcast.  The wide
+    # content column crosses exactly one range exchange, which is the
+    # minimum any distributed id-by-global-rank assignment can do.
+    full = ds.repartition(16).sort(list(sort_keys))
+    return _attach_block_ranks(full, id_column,
+                               check_dup_keys=list(sort_keys))
 
 
 def add_sha256(ds: rd.Dataset, text_col: str = "content",
