@@ -188,14 +188,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_shingle_pairs(sf):
         return dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5, max_df=50)
 
+    # self-check scale guard: the non-SQL-expressible queries embed an
+    # exact Python shadow (dual implementation, SURVEY.md §5) and raise
+    # on mismatch — active up to this many docs (covers the driver's
+    # sf0.01 correctness run; sf0.1 bench skips the quadratic shadows)
+    SELF_CHECK_MAX_DOCS = 6000
+
+    def _doc_texts(sf):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
     def q_minhash(sf):
-        return dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
+        out = dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
+        pdf = out.to_pandas()
+        ids, texts = _doc_texts(sf)
+        if len(ids) <= SELF_CHECK_MAX_DOCS:
+            # shadow: every reported pair's TRUE shingle-set Jaccard must
+            # be near the signature estimate, and every exact-duplicate
+            # pair must be reported (est 1.0 pairs can't be missed)
+            from hadoopsearchengine_ray.tokenizer import tokenize_py
+
+            sh = {}
+            for d, t in zip(ids, texts):
+                toks = tokenize_py(t)
+                sh[d] = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            for r in pdf.itertuples():
+                a, b = sh[int(r.d1)], sh[int(r.d2)]
+                true_j = len(a & b) / max(1, len(a | b))
+                if abs(true_j - r.jaccard_est) > 0.25:
+                    raise AssertionError(
+                        f"minhash self-check: pair ({r.d1},{r.d2}) est "
+                        f"{r.jaccard_est} vs true {true_j:.3f}")
+            reported = set(zip(pdf.d1, pdf.d2))
+            groups: dict[frozenset, list] = {}
+            for d in ids:
+                if sh[d]:
+                    groups.setdefault(frozenset(sh[d]), []).append(d)
+            for g in groups.values():
+                for i, a in enumerate(g):
+                    for b in g[i + 1:]:
+                        lo, hi = min(a, b), max(a, b)
+                        if (lo, hi) not in reported:
+                            raise AssertionError(
+                                f"minhash self-check: exact dup ({lo},{hi}) missed")
+        return out
 
     def q_simhash(sf):
-        return dedup.simhash_dup_pairs(_docs(sf), max_hamming=3)
+        out = dedup.simhash_dup_pairs(_docs(sf), max_hamming=3)
+        pdf = out.to_pandas()
+        ids, texts = _doc_texts(sf)
+        if len(ids) <= SELF_CHECK_MAX_DOCS:
+            # shadow: recompute every doc's simhash in pure Python and
+            # brute-force ALL pairs — reported set must match exactly
+            import hashlib as _hl
+
+            def _sim_py(text):
+                toks = {}
+                from hadoopsearchengine_ray.tokenizer import tokenize_py
+
+                for t in tokenize_py(text):
+                    toks[t] = toks.get(t, 0) + 1
+                acc = np.zeros(64, np.int64)
+                for t, c in toks.items():
+                    h = int.from_bytes(
+                        _hl.blake2b(t.encode(), digest_size=8).digest(), "big")
+                    for bit in range(64):
+                        acc[bit] += c if (h >> bit) & 1 else -c
+                v = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        v |= 1 << bit
+                return v & 0x7FFFFFFFFFFFFFFF
+
+            hs = np.array([_sim_py(t) for t in texts], np.uint64)
+            ids_a = np.array(ids, np.int64)
+            i, j = np.triu_indices(len(ids), k=1)
+            x = hs[i] ^ hs[j]
+            ham = np.zeros(len(x), np.int64)
+            while x.any():
+                ham += (x & 1).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= 3
+            exp = {(int(min(a, b)), int(max(a, b))): int(h)
+                   for a, b, h in zip(ids_a[i][keep], ids_a[j][keep], ham[keep])}
+            got = {(int(r.d1), int(r.d2)): int(r.hamming)
+                   for r in pdf.itertuples()}
+            if got != exp:
+                raise AssertionError(
+                    f"simhash self-check: {len(got)} reported vs "
+                    f"{len(exp)} brute-force pairs")
+        return out
 
     def q_fingerprints(sf):
-        return text.fingerprint_table(_docs(sf))
+        out = text.fingerprint_table(_docs(sf))
+        pdf = out.to_pandas()
+        ids, texts = _doc_texts(sf)
+        if len(ids) <= SELF_CHECK_MAX_DOCS:
+            from hadoopsearchengine_ray.functions.text import fingerprint_py
+            from hadoopsearchengine_ray.tokenizer import tokenize_py
+
+            exp = {d: fingerprint_py(tokenize_py(t))
+                   for d, t in zip(ids, texts)}
+            got = dict(zip(pdf.doc_id.astype(int), pdf.fingerprint.astype(int)))
+            if got != exp:
+                bad = [d for d in exp if got.get(d) != exp[d]][:3]
+                raise AssertionError(f"fingerprint self-check mismatch: {bad}")
+        return out
 
     # ---- similarity over embeddings -----------------------------------
     def _emb(sf):
@@ -233,8 +333,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 list(tbl["embedding"].to_pylist()) + [r.tolist() for r in copies],
                 pa.list_(pa.float32())),
         })
-        return similarity.embedding_near_dup(rd.from_arrow(aug),
-                                             sim_threshold=0.98)
+        out = similarity.embedding_near_dup(rd.from_arrow(aug),
+                                            sim_threshold=0.98)
+        pdf = out.to_pandas()
+        # shadow: brute-force cosine over the augmented table — the
+        # reported pair set must contain every true >=0.98 pair whose
+        # members share an LSH bucket in >=1 of the 4 tables; for this
+        # fixture (tight near-copies) that's ALL true pairs
+        mall = np.vstack([np.asarray(tbl["embedding"].to_pylist(),
+                                     np.float64).astype(np.float32).astype(np.float64),
+                          copies.astype(np.float32).astype(np.float64)])
+        vids = np.array(list(tbl["vec_id"].to_pylist())
+                        + [10_000 + i for i in range(50)], np.int64)
+        mn = mall / np.linalg.norm(mall, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        i, j = np.triu_indices(len(vids), k=1)
+        keep = sims[i, j] >= 0.98
+        exp_pairs = {(int(min(a, b)), int(max(a, b)))
+                     for a, b in zip(vids[i][keep], vids[j][keep])}
+        got_pairs = {(int(r.d1), int(r.d2)) for r in pdf.itertuples()}
+        missed = exp_pairs - got_pairs
+        extra = got_pairs - exp_pairs
+        if extra or len(missed) > 0.1 * max(1, len(exp_pairs)):
+            raise AssertionError(
+                f"embedding near-dup self-check: {len(missed)} missed / "
+                f"{len(extra)} spurious of {len(exp_pairs)} true pairs")
+        return out
 
     # ---- relational primitives (TPC-H-ish tables) ---------------------
     def q_key_occurrence(sf):
@@ -404,8 +528,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from hadoopsearchengine_ray.corpus import links_table
 
         n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
-        links = rd.from_arrow(links_table(n))
-        return pagerank_dataset(links, n)
+        lt = links_table(n)
+        out = pagerank_dataset(rd.from_arrow(lt), n)
+        # shadow: single-process numpy PulseRank must match exactly
+        from hadoopsearchengine_ray.oracle import pagerank_oracle
+
+        exp = pagerank_oracle(lt["src"].to_numpy(), lt["dst"].to_numpy(),
+                              lt["weight"].to_numpy(), n)
+        got = out.to_pandas().sort_values("doc_id")["pr_score"].to_numpy()
+        if not np.allclose(got, exp, rtol=1e-9, atol=1e-12):
+            raise AssertionError(
+                f"pagerank self-check: max abs diff {np.abs(got - exp).max()}")
+        return out
 
     def q_wavepass(sf):
         import pyarrow.parquet as pq
@@ -414,7 +548,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from hadoopsearchengine_ray.pipelines.wavepass import wavepass
 
         n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
-        labels = wavepass(rd.from_arrow(links_table(n)), n)
+        lt = links_table(n)
+        labels = wavepass(rd.from_arrow(lt), n)
+        # shadow: single-process label propagation must agree
+        from hadoopsearchengine_ray.pipelines.wavepass import wavepass_oracle
+
+        exp = wavepass_oracle(lt["src"].to_numpy(), lt["dst"].to_numpy(),
+                              lt["weight"].to_numpy(), n)
+        if not (labels == exp).all():
+            raise AssertionError(
+                f"wavepass self-check: {(labels != exp).sum()} label diffs")
         return pd.DataFrame({
             "doc_id": pd.array(range(n), dtype="int64"),
             "cluster": pd.array(labels, dtype="int64"),
@@ -425,8 +568,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
         pairs = dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5,
-                                            max_df=50)
+                                            max_df=50).materialize()
         labels = dedup.dedup_clusters(pairs.select_columns(["d1", "d2"]), n)
+        # shadow: union-find over the same pair list must give the same
+        # min-label components
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        pp = pairs.select_columns(["d1", "d2"]).to_pandas()
+        for a, b in zip(pp.d1.astype(int), pp.d2.astype(int)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = np.array([find(i) for i in range(n)], np.int64)
+        if not (labels == exp).all():
+            raise AssertionError(
+                f"dedup_clusters self-check: {(labels != exp).sum()} diffs")
         return pd.DataFrame({
             "doc_id": pd.array(range(n), dtype="int64"),
             "cluster": pd.array(labels, dtype="int64"),

@@ -453,10 +453,17 @@ def simhash_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 
 def simhash_dup_pairs(docs: rd.Dataset, text_col: str = "text",
-                      max_hamming: int = 3) -> rd.Dataset:
+                      max_hamming: int = 3,
+                      max_group: int = 4000) -> rd.Dataset:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, found by
     the 4-block pigeonhole trick (any pair within distance 3 agrees on at
-    least one of 4 16-bit blocks -> groupby block value, verify in-group)."""
+    least one of 4 16-bit blocks -> groupby block value, verify in-group).
+
+    ``max_group``: groups over this size are SKIPPED (loudly — stderr) to
+    cap quadratic verify cost; skipped groups are potential false
+    negatives, so size it to the corpus's largest near-identical cluster
+    (the round-1 cap of 500 silently dropped 33 real pairs at sf0.1 —
+    caught by the driver self-check)."""
     sh = simhash_table(docs, text_col)
 
     def _blocks(batch: pa.Table) -> pa.Table:
@@ -494,9 +501,13 @@ def simhash_dup_pairs(docs: rd.Dataset, text_col: str = "text",
         starts = np.flatnonzero(np.diff(key)) + 1
         bounds = np.concatenate(([0], starts, [len(key)]))
         o1, o2, oh = [], [], []
+        skipped = 0
         for a, b in zip(bounds[:-1], bounds[1:]):
             m = b - a
-            if m < 2 or m > 500:
+            if m < 2:
+                continue
+            if m > max_group:
+                skipped += 1
                 continue
             gi = np.argsort(ids[a:b])
             gid, ghs = ids[a:b][gi], hs[a:b][gi]
@@ -510,6 +521,11 @@ def simhash_dup_pairs(docs: rd.Dataset, text_col: str = "text",
             o1.append(gid[i][keep])
             o2.append(gid[j][keep])
             oh.append(ham[keep])
+        if skipped:
+            import sys
+            print(f"[simhash] {skipped} block group(s) exceeded "
+                  f"max_group={max_group} and were skipped "
+                  "(potential false negatives)", file=sys.stderr)
         if not o1:
             e = np.empty(0, np.int64)
             return pd.DataFrame({"d1": e, "d2": e, "hamming": e})
