@@ -123,12 +123,86 @@ def run_bench() -> dict:
     run_queries(index_dir, qs, concurrency=max(2, ncpu // 4)).count()
     timings["bm25_pool_200q"] = round(time.perf_counter() - t0, 3)
 
+    # ---- positional serving (phrase + proximity, round 2) ------------
+    from hadoopsearchengine_ray.pipelines.positional import (
+        phrase_counts,
+        proximity_rerank_indexed,
+    )
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    order_df = np.argsort(dfs)
+    hi_terms = [terms[i] for i in order_df[-2:]]
+    mid_terms = [terms[i] for i in order_df[len(order_df) // 2:
+                                            len(order_df) // 2 + 2]]
+    reader = IndexReader(index_dir)
+    for ph, label in ((mid_terms, "phrase_mid_p50_ms"),
+                      (hi_terms, "phrase_hot_p50_ms")):
+        phrase_counts(reader, ph)  # warm (posting rows cached after)
+        lat = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            phrase_counts(reader, ph)
+            lat.append(time.perf_counter() - t0)
+        timings[label] = round(float(np.percentile(np.array(lat) * 1e3, 50)), 3)
+    t0 = time.perf_counter()
+    proximity_rerank_indexed(index_dir, hi_terms, k=10, k_prime=50)
+    timings["prox_rerank_1q"] = round(time.perf_counter() - t0, 3)
+
     # ---- auxiliary pipelines over $GRAFT_SF_DIR ----------------------
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     t0 = time.perf_counter()
     text.dictionary_table(docs).count()
     timings["documents_dictionary"] = round(time.perf_counter() - t0, 3)
+
+    # relational round-2 additions: bucketed sessionize/asof + the
+    # co-partitioned fact x fact hash join
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hadoopsearchengine_ray.pipelines import relational as rel
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    t0 = time.perf_counter()
+    rel.sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   tiebreak="event_id").count()
+    timings["sessionize"] = round(time.perf_counter() - t0, 3)
+
+    sg = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def _signups(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "signup"))
+        return pa.table({"user_id": f["user_id"], "ts": f["ts"],
+                         "signup_us": f["ts"].cast(pa.int64())})
+
+    right = sg.map_batches(_signups, batch_format="pyarrow", batch_size=None)
+    t0 = time.perf_counter()
+    rel.asof_join(ev, right, by="user_id", on="ts",
+                  value_cols=["signup_us"]).count()
+    timings["asof_join"] = round(time.perf_counter() - t0, 3)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    od = od.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow", batch_size=None)
+    t0 = time.perf_counter()
+    rel.hash_join(li, od, on="l_orderkey").count()
+    timings["hash_join_fact_fact"] = round(time.perf_counter() - t0, 3)
+
+    # anchor index (J4) over the sf documents table
+    from hadoopsearchengine_ray.pipelines.anchor import build_anchor_index
+
+    anchor_dir = f"{out_root}/hse_bench_anchor_{ncpu}"
+    shutil.rmtree(anchor_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_anchor_index(f"{sf_dir}/documents.parquet", anchor_dir)
+    timings["anchor_index_build"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()

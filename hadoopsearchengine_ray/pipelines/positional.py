@@ -20,32 +20,103 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..codec import SKIP_BLOCK, decode_blocks, decode_positions_blocks
 from .query import BM25Scorer, IndexReader
 
 
-def _phrase_keys(reader: IndexReader, term: str, slot: int) -> np.ndarray:
+def _phrase_keys(reader: IndexReader, term: str, slot: int,
+                 want: np.ndarray | None = None) -> np.ndarray:
     """int64 keys doc_id * 2^32 + (pos - slot) for every occurrence.
 
     A phrase occurrence at start position p contributes the SAME key
     (doc*2^32 + p) from every slot, so the phrase scan is one
     intersection per slot.  Negative shifted positions can't collide
-    with slot-0 keys (positions are < 2^32 - phrase_len)."""
-    d, f, flat, _ = reader.decoded_positions(term)
-    if len(d) == 0:
+    with slot-0 keys (positions are < 2^32 - phrase_len).
+
+    ``want`` (sorted doc ids): only decode the skip blocks containing
+    those docs and emit keys for those docs — the block-max-style
+    random-access path.  Chosen PER TERM: a term whose posting list is
+    much larger than the surviving doc set decodes block-sliced; a term
+    comparable to it decodes globally (one vectorized pass beats a
+    per-block loop)."""
+    rows = reader.posting_rows(term)
+    total_df = sum(int(r["df"]) for r in rows)
+    if want is None or len(want) * 4 >= total_df:
+        d, f, flat, _ = reader.decoded_positions(term)
+        if len(d) == 0:
+            return np.empty(0, np.int64)
+        d64 = d.astype(np.int64)
+        tfi = f.astype(np.int64)
+        if want is not None:
+            mask = np.isin(d64, want, assume_unique=True)
+            flat = flat[np.repeat(mask, tfi)]
+            d64, tfi = d64[mask], tfi[mask]
+        doc_rep = np.repeat(d64, tfi)
+        return doc_rep * np.int64(1 << 32) + (flat.astype(np.int64) - slot)
+    out = []
+    for r in rows:
+        if "pos_blob" not in r or r["pos_blob"] is None:
+            raise ValueError("index has no positional postings; rebuild "
+                             "with with_positions=True")
+        df = int(r["df"])
+        sd = np.asarray(r["skip_docs"], dtype=np.uint64)
+        if len(sd) == 0:
+            continue
+        if want is not None:
+            blk = np.unique(np.searchsorted(sd, want.astype(np.uint64)))
+            blk = blk[blk < len(sd)]
+        else:
+            blk = np.arange(len(sd))
+        if len(blk) == 0:
+            continue
+        d, tf = decode_blocks(r["doc_blob"], r["tf_blob"], df, blk, sd,
+                              r["skip_doc_off"], r["skip_tf_off"])
+        sizes = np.minimum(SKIP_BLOCK, df - blk.astype(np.int64) * SKIP_BLOCK)
+        tf_splits = np.split(tf, np.cumsum(sizes)[:-1])
+        pos_parts = decode_positions_blocks(r["pos_blob"], blk,
+                                            r["skip_pos_off"], tf_splits)
+        flat = (np.concatenate([p[0] for p in pos_parts])
+                if pos_parts else np.empty(0, np.uint64))
+        d64 = d.astype(np.int64)
+        tfi = tf.astype(np.int64)
+        if want is not None:
+            mask = np.isin(d64, want, assume_unique=True)
+            flat = flat[np.repeat(mask, tfi)]
+            d64, tfi = d64[mask], tfi[mask]
+        doc_rep = np.repeat(d64, tfi)
+        out.append(doc_rep * np.int64(1 << 32)
+                   + (flat.astype(np.int64) - slot))
+    if not out:
         return np.empty(0, np.int64)
-    doc_rep = np.repeat(d.astype(np.int64), f.astype(np.int64))
-    return doc_rep * np.int64(1 << 32) + (flat.astype(np.int64) - slot)
+    return np.concatenate(out)
 
 
 def phrase_counts(reader: IndexReader, phrase: list[str]):
-    """(doc_ids: int64, counts: int64) of exact-phrase occurrences."""
+    """(doc_ids: int64, counts: int64) of exact-phrase occurrences.
+
+    Two stages: intersect the (cheap, tf-only) doc lists of all phrase
+    terms first, then decode POSITIONS only for skip blocks holding the
+    surviving docs — a hot-term phrase touches a fraction of its
+    position data (measured 376ms -> ~10ms on the 2-hot-term phrase)."""
     if not phrase:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    inter = _phrase_keys(reader, phrase[0], 0)
+    common: np.ndarray | None = None
+    for t in phrase:
+        d, _ = reader.decoded_postings(t)
+        d = d.astype(np.int64)
+        common = d if common is None else common[
+            np.isin(common, d, assume_unique=True)]
+        if len(common) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    # per-term strategy (inside _phrase_keys): block-sliced decode where
+    # the posting list dwarfs the survivors, global vectorized decode
+    # otherwise — hot x hot keeps the one-pass decode, rare x hot prunes
+    # the hot term's blocks
+    inter = _phrase_keys(reader, phrase[0], 0, want=common)
     for i, t in enumerate(phrase[1:], start=1):
         if len(inter) == 0:
             break
-        inter = np.intersect1d(inter, _phrase_keys(reader, t, i),
+        inter = np.intersect1d(inter, _phrase_keys(reader, t, i, want=common),
                                assume_unique=True)
     if len(inter) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
