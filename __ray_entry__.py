@@ -181,6 +181,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         val = rel.kth_percentile(d, "cf", 0.95)
         return pd.DataFrame({"cf_p95": pd.array([int(val)], dtype="int64")})
 
+    def q_stemmed_dict(sf):
+        from hadoopsearchengine_ray.functions.normalize import (
+            stemmed_token_table,
+        )
+
+        tok = stemmed_token_table(_docs(sf))
+
+        def _ren(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"], "term": b["stem"],
+                             "tf": b["tf"]})
+
+        agg = text.dictionary_from_token_rows(
+            tok.map_batches(_ren, batch_format="pyarrow", batch_size=None))
+
+        def _back(b: pa.Table) -> pa.Table:
+            return pa.table({"stem": b["term"], "df": b["df"], "cf": b["cf"]})
+
+        return agg.map_batches(_back, batch_format="pyarrow", batch_size=None)
+
+    def q_html_strip(sf):
+        from hadoopsearchengine_ray.functions.normalize import (
+            strip_html_table,
+        )
+
+        def _wrap(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            txt = b["text"].to_pylist()
+            html = [f"<html><title>doc {i}</title><body>{t}</body></html>"
+                    for i, t in zip(ids, txt)]
+            return pa.table({"doc_id": b["doc_id"],
+                             "html": pa.array(html, pa.string())})
+
+        wrapped = _docs(sf).map_batches(_wrap, batch_format="pyarrow")
+        return strip_html_table(wrapped)
+
+    def q_keyword_sets(sf):
+        return text.keyword_table(_docs(sf), top_m=3, pct=0.95)
+
+    def q_keyword_pagerank(sf):
+        out = text.keyword_pagerank(_docs(sf), top_m=3, cycles=20)
+        # shadow: numpy PulseRank over the same co-occurrence edges
+        from hadoopsearchengine_ray.functions.text import (
+            keyword_links,
+            keyword_table,
+        )
+        from hadoopsearchengine_ray.oracle import pagerank_oracle
+
+        kws = keyword_table(_docs(sf), top_m=3, pct=0.95).to_pandas()
+        vocab, links = keyword_links(kws)
+        exp = pagerank_oracle(links["src"].to_numpy(), links["dst"].to_numpy(),
+                              links["weight"].to_numpy(), len(vocab))
+        got = out.set_index("keyword")["kw_score"]
+        if not np.allclose([got[v] for v in vocab], np.round(exp, 9),
+                           atol=1e-8):
+            raise AssertionError("keyword_pagerank self-check mismatch")
+        return out
+
+    def q_word_stats(sf):
+        return text.word_stats(_docs(sf))
+
     # ---- dedup family -------------------------------------------------
     def q_exact_dedup(sf):
         return dedup.exact_dedup(_docs(sf))
@@ -618,6 +678,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "bigram_top100": q_bigrams,
         "term_cf_p95": q_cf_p95,
+        "stemmed_dictionary": q_stemmed_dict,
+        "html_strip": q_html_strip,
+        "keyword_sets": q_keyword_sets,
+        "keyword_pagerank": q_keyword_pagerank,
+        "word_stats": q_word_stats,
         "exact_dedup": q_exact_dedup,
         "shingle_pairs": q_shingle_pairs,
         "minhash_near_dup": q_minhash,
@@ -644,8 +709,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hadoopsearchengine_ray.functions.normalize import MIN_STEM, SUFFIXES
+
     terms_values = ",".join(f"('{t}')" for t in BM25_TERMS)
     knn_ids = ",".join(str(i) for i in KNN_QUERY_IDS)
+    stem_alt = "|".join(sorted(SUFFIXES, key=len, reverse=True))
+    stem_re = f"^(.{{{MIN_STEM},}}?)({stem_alt})$"
     return {
         "tokenize_tf": f"""
             WITH {TOK_CTE}
@@ -848,6 +917,47 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
             d AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term)
             SELECT CAST(quantile_disc(cf, 0.95) AS BIGINT) AS cf_p95 FROM d
+        """,
+        "stemmed_dictionary": f"""
+            WITH {TOK_CTE},
+            st AS (
+              SELECT doc_id,
+                     regexp_replace(term, '{stem_re}', '\\1') AS stem
+              FROM tok
+            )
+            SELECT stem, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM st GROUP BY stem
+        """,
+        "html_strip": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        regexp_replace(
+                          '<html><title>doc ' || doc_id || '</title><body>'
+                            || text || '</body></html>',
+                          '<[^>]*>', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS text
+            FROM documents
+        """,
+        "keyword_sets": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            d AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+            th AS (SELECT CAST(quantile_disc(cf, 0.95) AS BIGINT) AS t FROM d)
+            SELECT doc_id, term AS keyword, tf FROM (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, tf.term) AS rn
+              FROM tf JOIN d USING (term), th
+              WHERE d.cf <= th.t
+            ) WHERE rn <= 3
+        """,
+        "word_stats": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            d AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)
+            SELECT max(cf) AS max_cf, CAST(sum(cf) AS BIGINT) AS net_cf,
+                   count(*) AS n_terms
+            FROM d
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

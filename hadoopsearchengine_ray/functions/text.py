@@ -52,7 +52,12 @@ def token_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 def dictionary_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """(term, df, cf) global term stats (A1/A2 shape, map-side combined)."""
-    tok = token_table(docs, text_col)
+    return dictionary_from_token_rows(token_table(docs, text_col))
+
+
+def dictionary_from_token_rows(tok: rd.Dataset) -> rd.Dataset:
+    """Same, over an existing (doc_id, term, tf) table (lets callers
+    that already materialized the token rows avoid a second tokenize)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         d = batch["term"].combine_chunks().dictionary_encode()
@@ -291,3 +296,110 @@ def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         })
 
     return docs.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def keyword_table(docs: rd.Dataset, text_col: str = "text",
+                  top_m: int = 3, pct: float = 0.95) -> rd.Dataset:
+    """Per-doc excerpt keyword sets (M9): keep a doc's terms whose GLOBAL
+    collection frequency is at or below the ``pct`` threshold (the
+    excerpt-keyword culler, /root/reference/DyableHitList/DyableHitList/
+    CompileHitList.h:184-197 with FindOccurrenceThreshold,
+    DyableLexonWords/LexonWords.cpp:87-102), ranked top_m by
+    (tf desc, term asc).  Output: (doc_id, keyword, tf) int64/str/int64.
+
+    Shuffle shape: the token table is materialized ONCE and feeds both
+    the dictionary aggregate and the per-doc top-k; the eligible-term set
+    is vocabulary-cardinality and broadcast."""
+    import ray
+
+    from ..pipelines.relational import kth_percentile, top_k_per_group
+
+    tok = token_table(docs, text_col).materialize()
+    dic = dictionary_from_token_rows(tok).materialize()
+    thresh = kth_percentile(dic, "cf", pct)
+    elig_pdf = dic.to_pandas()
+    eligible = set(elig_pdf[elig_pdf["cf"] <= thresh]["term"])
+    elig_ref = ray.put(eligible)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ok = ray.get(elig_ref)
+        import pyarrow.compute as _pc
+        mask = _pc.is_in(batch["term"], value_set=pa.array(sorted(ok)))
+        f = batch.filter(mask)
+        return pa.table({
+            "doc_id": f["doc_id"].cast(pa.int64()),
+            "keyword": f["term"],
+            "tf": f["tf"].cast(pa.int64()),
+        })
+
+    filt = tok.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+    return top_k_per_group(filt, "doc_id", "tf", top_m)
+
+
+def keyword_links(keywords, top_m_unused: int = 0) -> "pa.Table":
+    """Co-occurrence edge list over per-doc keyword sets: every ordered
+    pair of distinct keywords in one doc is an edge, weight 1/outdeg —
+    the keyword-graph input of the reference's second PulseRank run
+    (DyableCommand/DyableCommand.cpp:704-705).  ``keywords`` is the
+    keyword_table output as a pandas DataFrame (keyword-vocabulary and
+    per-doc-set sizes are tiny; the pairing is per-doc local)."""
+    import pandas as pd
+
+    kws = keywords.sort_values(["doc_id", "keyword"])
+    vocab = sorted(kws["keyword"].unique())
+    kid = {k: i for i, k in enumerate(vocab)}
+    src, dst = [], []
+    for _, g in kws.groupby("doc_id", sort=False):
+        ks = [kid[k] for k in g["keyword"]]
+        for a in ks:
+            for b in ks:
+                if a != b:
+                    src.append(a)
+                    dst.append(b)
+    src_a = np.asarray(src, np.int64)
+    dst_a = np.asarray(dst, np.int64)
+    outdeg = np.bincount(src_a, minlength=len(vocab)) if len(src_a) else np.zeros(len(vocab), np.int64)
+    w = np.where(outdeg[src_a] > 0, 1.0 / np.maximum(outdeg[src_a], 1), 0.0) \
+        if len(src_a) else np.empty(0, np.float64)
+    return vocab, pa.table({
+        "src": pa.array(src_a.astype(np.uint64), pa.uint64()),
+        "dst": pa.array(dst_a.astype(np.uint64), pa.uint64()),
+        "weight": pa.array(w.astype(np.float32), pa.float32()),
+    })
+
+
+def keyword_pagerank(docs: rd.Dataset, text_col: str = "text",
+                     top_m: int = 3, cycles: int = 20):
+    """PulseRank over the keyword co-occurrence graph (reference stage 13)
+    -> pandas (keyword, kw_score) sorted by keyword."""
+    import pandas as pd
+
+    from ..pipelines.pagerank import pagerank
+
+    kws = keyword_table(docs, text_col, top_m).to_pandas()
+    vocab, links = keyword_links(kws)
+    if not vocab:
+        return pd.DataFrame({"keyword": pd.Series(dtype=str),
+                             "kw_score": pd.Series(dtype=float)})
+    score = pagerank(rd.from_arrow(links), len(vocab), cycles)
+    return pd.DataFrame({"keyword": vocab,
+                         "kw_score": np.round(score, 9)}).sort_values(
+        "keyword").reset_index(drop=True)
+
+
+def word_stats(docs: rd.Dataset, text_col: str = "text"):
+    """Global word statistics (A7: per-division max + net occurrence,
+    /root/reference/DyableHitList/DyableLogFile/IndexLogFile.h:163-179)
+    as one aggregate over the dictionary: (max_cf, net_cf, n_terms)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    row = (dictionary_table(docs, text_col)
+           .aggregate(Max("cf", alias_name="max_cf"),
+                      Sum("cf", alias_name="net_cf"),
+                      Count(alias_name="n_terms")))
+    return pd.DataFrame({
+        "max_cf": pd.array([int(row["max_cf"])], dtype="int64"),
+        "net_cf": pd.array([int(row["net_cf"])], dtype="int64"),
+        "n_terms": pd.array([int(row["n_terms"])], dtype="int64"),
+    })
