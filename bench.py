@@ -123,6 +123,18 @@ def run_bench() -> dict:
     run_queries(index_dir, qs, concurrency=max(2, ncpu // 4)).count()
     timings["bm25_pool_200q"] = round(time.perf_counter() - t0, 3)
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # scaling mode: the efficiency criterion is about the BUILD; the
+        # aux pipelines only add noise (and minutes at low cpu counts)
+        result = {
+            "metric": "index-build sec (headline only)",
+            "value": timings["index_build"], "unit": "sec",
+            "queries": timings, "sf": sf_dir,
+            "bench_docs": n_docs, "num_cpus": ncpu,
+        }
+        ray.shutdown()
+        return result
+
     # ---- positional serving (phrase + proximity, round 2) ------------
     from hadoopsearchengine_ray.pipelines.positional import (
         phrase_counts,
@@ -243,7 +255,8 @@ def run_scaling() -> dict:
     ensure_bench_corpus(n_docs)  # shared, pre-generated
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -187,140 +187,160 @@ def build_index(
 
     n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
 
-    # ---- stages 2+3: doc lengths ∥ vocab+hot-sample ------------------
-    # independent scans of the token table — run concurrently (wall = max)
+    # ---- stage 2: vocab + hot-term sample (postings' only upstream) --
     vocab_dir = os.path.join(index_dir, "vocab")
-    run_doclen = not man.is_done("doclen", lineage, doclen_dir)
-    run_vocab = not man.is_done("vocab", lineage, vocab_dir)
-    if run_doclen or run_vocab:
-        import threading
-
-        errs: list[BaseException] = []
-
-        def _doclen_job():
-            try:
-                shutil.rmtree(doclen_dir, ignore_errors=True)
-                # 8 read blocks beats 32+repartition here: the sort-based
-                # aggregate's cost scales with its input block count and
-                # the 2-col read is cheap (measured: 3.4s vs 7.5s)
-                doc_lengths(_tokens(["doc_id", "tf"], num_blocks=8),
-                            combine_blocks=0).write_parquet(doclen_dir)
-            except BaseException as e:
-                errs.append(e)
-
-        def _vocab_job():
-            try:
-                shutil.rmtree(vocab_dir, ignore_errors=True)
-                # string-keyed groupby: the combine level pays here
-                vocab_table(_tokens(["doc_id", "term"]),
-                            combine_blocks=8).write_parquet(vocab_dir)
-                hot = hot_terms_from_vocab(
-                    rd.read_parquet(vocab_dir), n_docs, hot_df_frac)
-                with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
-                    json.dump({str(k): v for k, v in hot.items()}, f)
-            except BaseException as e:
-                errs.append(e)
-
-        threads = []
-        if run_doclen:
-            man.start("doclen", lineage, doclen_dir)
-            threads.append(threading.Thread(target=_doclen_job, daemon=True))
-        if run_vocab:
-            man.start("vocab", lineage, vocab_dir)
-            threads.append(threading.Thread(target=_vocab_job, daemon=True))
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errs:
-            # transient failure under concurrent executions: rerun both
-            # jobs serially once before giving up
-            errs.clear()
-            if run_doclen:
-                _doclen_job()
-            if run_vocab:
-                _vocab_job()
-            if errs:
-                raise errs[0]
-        if run_doclen:
-            man.finish("doclen")
-        if run_vocab:
-            with open(os.path.join(index_dir, "hot_terms.json")) as f:
-                man.finish("vocab", hot_terms=len(json.load(f)))
+    if not man.is_done("vocab", lineage, vocab_dir):
+        man.start("vocab", lineage, vocab_dir)
+        shutil.rmtree(vocab_dir, ignore_errors=True)
+        # string-keyed groupby: the combine level pays here; 16 read
+        # blocks is the measured sweet spot (16 cpus/250k: nb16+cb8
+        # 5.1s vs nb32+cb8 7.0s)
+        def _vocab_run():
+            vocab_table(_tokens(["doc_id", "term"], num_blocks=16),
+                        combine_blocks=8).write_parquet(vocab_dir)
+        try:
+            _vocab_run()
+        except Exception:
+            # transient worker failures (e.g. ImportError under heavy
+            # concurrent executions) — clean retry once
+            shutil.rmtree(vocab_dir, ignore_errors=True)
+            _vocab_run()
+        hot = hot_terms_from_vocab(
+            rd.read_parquet(vocab_dir), n_docs, hot_df_frac)
+        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
+            json.dump({str(k): v for k, v in hot.items()}, f)
+        with open(os.path.join(index_dir, "hot_terms.json")) as f:
+            man.finish("vocab", hot_terms=len(json.load(f)))
     with open(os.path.join(index_dir, "hot_terms.json")) as f:
         hot_ids = {int(k): v for k, v in json.load(f).items()}
 
-    # ---- stage 4: meta (N, avgdl, hot terms) -------------------------
-    if not man.is_done("meta", lineage, meta_path):
-        man.start("meta", lineage, meta_path)
-        import pyarrow.compute as pc
+    # ---- stages 3-5: (doclen -> meta) ∥ postings ----------------------
+    # postings depends only on the hot-term set; doc lengths + meta are
+    # independent of it — overlapping them hides the doclen scan behind
+    # the posting shuffle entirely (wall = postings at >=8 cpus; at low
+    # cpu counts the executor time-slices and wall ~= the work sum)
+    import threading
 
-        dl_tbl = pads.dataset(doclen_dir).to_table()
-        # N counts every corpus row, including docs with zero valid tokens
-        # (they appear in no posting list but still shape N and avgdl)
-        total_tokens = int(
-            dl_tbl.column("dl").combine_chunks().cast("int64").sum().as_py() or 0
-        )
-        avgdl = total_tokens / n_docs if n_docs else 0.0
-        dl_size = (
-            int(pc.max(dl_tbl.column("doc_id")).as_py()) + 1
-            if dl_tbl.num_rows else 0
-        )
-        meta = {
-            "num_docs": n_docs,
-            "doc_id_space": max(dl_size, n_docs),
-            "total_tokens": total_tokens,
-            "avgdl": avgdl,
-            "k1": K1,
-            "b": B,
-            "hot_df_frac": hot_df_frac,
-            "hot_term_ids": {str(k): v for k, v in hot_ids.items()},
-            "num_shards": num_shards,
-            "num_salts": num_salts,
-            "num_index_parts": num_index_parts,
-            "id_col": id_col,
-            "with_positions": with_positions,
-        }
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(meta, f, indent=1)
-        os.replace(meta_path + ".tmp", meta_path)
+    run_doclen = not man.is_done("doclen", lineage, doclen_dir)
+    run_meta = not man.is_done("meta", lineage, meta_path)
+    run_post = not man.is_done("postings", lineage, post_dir)
+    errs: list[BaseException] = []
+
+    def _doclen_meta_job():
+        try:
+            if run_doclen:
+                shutil.rmtree(doclen_dir, ignore_errors=True)
+                # 16 read blocks: measured sweet spot between read
+                # parallelism and sort-aggregate block-count overhead
+                # (16 cpus/250k: nb8 6.6s, nb16 4.5s, nb32 6.2s); at
+                # real scale derive from bytes/256MB
+                doc_lengths(_tokens(["doc_id", "tf"], num_blocks=16),
+                            combine_blocks=0).write_parquet(doclen_dir)
+            if run_meta:
+                import pyarrow.compute as pc
+
+                dl_tbl = pads.dataset(doclen_dir).to_table()
+                # N counts every corpus row, including docs with zero
+                # valid tokens (they appear in no posting list but still
+                # shape N and avgdl)
+                total_tokens = int(
+                    dl_tbl.column("dl").combine_chunks().cast("int64")
+                    .sum().as_py() or 0)
+                avgdl = total_tokens / n_docs if n_docs else 0.0
+                dl_size = (int(pc.max(dl_tbl.column("doc_id")).as_py()) + 1
+                           if dl_tbl.num_rows else 0)
+                meta = {
+                    "num_docs": n_docs,
+                    "doc_id_space": max(dl_size, n_docs),
+                    "total_tokens": total_tokens,
+                    "avgdl": avgdl,
+                    "k1": K1,
+                    "b": B,
+                    "hot_df_frac": hot_df_frac,
+                    "hot_term_ids": {str(k): v for k, v in hot_ids.items()},
+                    "num_shards": num_shards,
+                    "num_salts": num_salts,
+                    "num_index_parts": num_index_parts,
+                    "id_col": id_col,
+                    "with_positions": with_positions,
+                }
+                with open(meta_path + ".tmp", "w") as f:
+                    json.dump(meta, f, indent=1)
+                os.replace(meta_path + ".tmp", meta_path)
+        except BaseException as e:
+            errs.append(e)
+
+    def _postings_job():
+        try:
+            shutil.rmtree(post_dir, ignore_errors=True)
+            post_cols = ["doc_id", "term", "tf"] + (
+                ["pos"] if with_positions else [])
+            post = build_postings(
+                _tokens(post_cols, num_blocks=16),
+                hot_term_ids=hot_ids,
+                num_docs=n_docs,
+                num_shards=num_shards,
+                num_salts=num_salts,
+                num_index_parts=num_index_parts,
+                # tokens already read in 16 blocks; an extra Repartition
+                # operator would reserve executor resources for nothing
+                coalesce_blocks=0,
+            )
+            # global term_id sort -> row-group statistics prune
+            # query-time term lookups inside each part directory
+            post.sort("term_id").write_parquet(
+                post_dir, partition_cols=["part"], row_group_size=2048)
+        except BaseException as e:
+            errs.append(e)
+
+    threads = []
+    if run_doclen or run_meta:
+        if run_doclen:
+            man.start("doclen", lineage, doclen_dir)
+        if run_meta:
+            man.start("meta", lineage, meta_path)
+        threads.append(threading.Thread(target=_doclen_meta_job, daemon=True))
+    if run_post:
+        man.start("postings", lineage, post_dir)
+        threads.append(threading.Thread(target=_postings_job, daemon=True))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        # transient failure under concurrent executions: rerun both
+        # serially once before giving up
+        errs.clear()
+        if run_doclen or run_meta:
+            _doclen_meta_job()
+        if run_post:
+            _postings_job()
+        if errs:
+            raise errs[0]
+    if run_doclen:
+        man.finish("doclen")
+    if run_meta:
         man.finish("meta", num_docs=n_docs, hot_terms=len(hot_ids))
+    if run_post:
+        man.finish("postings")
 
     with open(meta_path) as f:
         meta = json.load(f)
 
-    # ---- stage 5: postings -------------------------------------------
-    if not man.is_done("postings", lineage, post_dir):
-        man.start("postings", lineage, post_dir)
-        shutil.rmtree(post_dir, ignore_errors=True)
-        post_cols = ["doc_id", "term", "tf"] + (["pos"] if with_positions else [])
-        post = build_postings(
-            _tokens(post_cols, num_blocks=16),
-            hot_term_ids={int(k): v for k, v in meta["hot_term_ids"].items()},
-            num_docs=meta["num_docs"],
-            num_shards=meta["num_shards"],
-            num_salts=meta["num_salts"],
-            num_index_parts=meta["num_index_parts"],
-            # tokens are already read in ~32 blocks; an extra Repartition
-            # operator would reserve executor resources for nothing
-            coalesce_blocks=0,
-        )
-        # global term_id sort -> row-group statistics prune query-time
-        # term lookups inside each part directory
-        post.sort("term_id").write_parquet(
-            post_dir, partition_cols=["part"],
-            row_group_size=2048,
-        )
-        man.finish("postings")
-
     # ---- stage 7: dictionary (derived from posting rows) -------------
     if not man.is_done("dictionary", lineage, dict_dir):
         man.start("dictionary", lineage, dict_dir)
-        shutil.rmtree(dict_dir, ignore_errors=True)
-        dictionary_from_postings(
-            rd.read_parquet(post_dir, columns=["term_id", "df", "cf"]),
-            rd.read_parquet(vocab_dir),
-        ).write_parquet(dict_dir)
+
+        def _dict_run():
+            shutil.rmtree(dict_dir, ignore_errors=True)
+            dictionary_from_postings(
+                rd.read_parquet(post_dir, columns=["term_id", "df", "cf"]),
+                rd.read_parquet(vocab_dir),
+            ).write_parquet(dict_dir)
+        try:
+            _dict_run()
+        except Exception:
+            _dict_run()  # clean retry once (transient worker failures)
         man.finish("dictionary")
 
     return meta

@@ -38,6 +38,30 @@ import ray.data as rd
 from ..codec import decode_blocks, decode_positions, decode_postings
 
 
+def _rows_from_table(tbl: pa.Table) -> list[dict]:
+    """Posting rows as dicts of ZERO-COPY cells: blobs stay Arrow
+    buffers (np.frombuffer reads them directly), skip arrays are numpy
+    slices of the flat list storage — no to_pylist() python-object churn
+    in the part cache (round-2 fix of the row-dict cache)."""
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    cols: dict[str, list] = {}
+    for name in tbl.column_names:
+        col = tbl[name]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+            cols[name] = [arr[i].as_buffer() for i in range(n)]
+        elif pa.types.is_list(arr.type):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[name] = [flat[offs[i]:offs[i + 1]] for i in range(n)]
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)
+            cols[name] = [vals[i] for i in range(n)]
+    names = list(cols)
+    return [{k: cols[k][i] for k in names} for i in range(n)]
+
+
 class IndexReader:
     """Loads index metadata + provides term posting lookup with caching."""
 
@@ -114,8 +138,8 @@ class IndexReader:
                 self._part_cache_used += part_bytes
                 # small part: load once, serve every term from memory
                 by_tid: dict[int, list[dict]] = {}
-                for r in ds.to_table().to_pylist():
-                    by_tid.setdefault(r["term_id"], []).append(r)
+                for r in _rows_from_table(ds.to_table()):
+                    by_tid.setdefault(int(r["term_id"]), []).append(r)
                 for v in by_tid.values():
                     v.sort(key=lambda r: r["salt"])
                 self._part_rows[part] = by_tid
@@ -124,7 +148,7 @@ class IndexReader:
                 tbl = ds.to_table(
                     filter=pads.field("term_id") == pa.scalar(tid, pa.int64())
                 )
-                rows = tbl.to_pylist()
+                rows = _rows_from_table(tbl)
                 rows.sort(key=lambda r: r["salt"])
         if len(self._pcache) >= self._cache_cap:
             self._pcache.clear()  # simple epoch cache (bounded)
