@@ -654,6 +654,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cluster": pd.array(labels, dtype="int64"),
         })
 
+    def q_dedup_components_dist(sf):
+        # the 100-TB CC path: alternating large-star/small-star rounds,
+        # labels never a dense driver array; self-checked against the
+        # dense pointer-jumping path
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        pairs = dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5,
+                                            max_df=50).materialize()
+        cc = dedup.connected_components(
+            pairs.select_columns(["d1", "d2"])).to_pandas()
+        lab = dict(zip(cc["node"].astype(int), cc["root"].astype(int)))
+        dense = dedup.dedup_clusters(pairs.select_columns(["d1", "d2"]), n)
+        full = np.array([lab.get(i, i) for i in range(n)], np.int64)
+        if not (full == dense).all():
+            raise AssertionError(
+                f"distributed CC self-check: {(full != dense).sum()} diffs")
+        return pd.DataFrame({
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "cluster": pd.array(full, dtype="int64"),
+        })
+
     # ---- multimodal plumbing (rows-only) ------------------------------
     def q_media_features(sf):
         from hadoopsearchengine_ray.functions.multimodal import (
@@ -704,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "wavepass_clusters": q_wavepass,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_components_dist": q_dedup_components_dist,
         "media_features": q_media_features,
     }
 

@@ -335,29 +335,54 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
              .groupby(["d1", "d2"])
              .aggregate(Sum("c", alias_name="nbands")))
 
-    # verify candidates against full signatures: collect the (small)
-    # candidate pair set to the driver and fetch ONLY the signatures of
-    # docs that appear in a candidate pair (not the full N-doc table)
-    cand_pdf = cands.to_pandas()
-    if len(cand_pdf) == 0:
-        return rd.from_pandas(pd.DataFrame(
-            {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64"),
-             "jaccard_est": pd.Series(dtype="float64")}))
-    needed = set(cand_pdf["d1"]) | set(cand_pdf["d2"])
+    # verify candidates against full signatures DISTRIBUTED (round-2 fix
+    # of the driver collect): two co-partitioned hash joins attach each
+    # side's signature to the pair rows, then one vectorized estimate per
+    # batch.  The driver never sees candidate pairs or signatures; a
+    # dup-heavy crawl stays bounded by the shuffle, not driver memory.
+    from ..pipelines.relational import hash_join
 
-    def _only_needed(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["doc_id"].isin(needed)]
+    from ..codec import _binary_from_offsets
 
-    sig_pdf = (sigs.map_batches(_only_needed, batch_format="pandas",
-                                batch_size=None)
-               .to_pandas().set_index("doc_id")["sig"])
-    lut = {int(k): np.asarray(v, np.uint64) for k, v in sig_pdf.items()}
-    est = np.round([float((lut[d1] == lut[d2]).mean())
-                    for d1, d2 in zip(cand_pdf["d1"], cand_pdf["d2"])], 4)
-    out = cand_pdf.assign(jaccard_est=est)
-    out = out[out["jaccard_est"] >= jaccard_threshold][
-        ["d1", "d2", "jaccard_est"]].reset_index(drop=True)
-    return rd.from_pandas(out)
+    def _sig_as(dcol: str, scol: str):
+        # signatures travel as fixed-width BINARY blobs: plain bytes
+        # survive the pandas merge hops without tensor-extension types
+        def _r(batch: pa.Table) -> pa.Table:
+            col = batch["sig"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype("<u8")
+            offs = (np.arange(n + 1, dtype=np.int64) * num_perm * 8)
+            blob = _binary_from_offsets(
+                np.frombuffer(flat.tobytes(), np.uint8), offs)
+            return pa.table({dcol: batch["doc_id"].cast(pa.int64()),
+                             scol: blob})
+        return _r
+
+    sig1 = sigs.map_batches(_sig_as("d1", "sig1"), batch_format="pyarrow",
+                            batch_size=None)
+    sig2 = sigs.map_batches(_sig_as("d2", "sig2"), batch_format="pyarrow",
+                            batch_size=None)
+    joined = hash_join(hash_join(cands, sig1, on="d1"), sig2, on="d2")
+
+    def _estimate(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                                 "d2": pd.Series(dtype="int64"),
+                                 "jaccard_est": pd.Series(dtype="float64")})
+        s1 = np.frombuffer(b"".join(batch["sig1"]), np.uint64).reshape(len(batch), -1)
+        s2 = np.frombuffer(b"".join(batch["sig2"]), np.uint64).reshape(len(batch), -1)
+        est = np.round((s1 == s2).mean(axis=1), 4)
+        keep = est >= jaccard_threshold
+        return pd.DataFrame({
+            "d1": batch["d1"].to_numpy()[keep].astype("int64"),
+            "d2": batch["d2"].to_numpy()[keep].astype("int64"),
+            "jaccard_est": est[keep],
+        })
+
+    return joined.map_batches(_estimate, batch_format="pandas",
+                              batch_size=None)
 
 
 def dedup_clusters(pairs: rd.Dataset, num_docs: int,
@@ -404,6 +429,146 @@ def dedup_clusters(pairs: rd.Dataset, num_docs: int,
             break
         label = nxt
     return label
+
+
+def _star_round(edges: rd.Dataset, kind: str,
+                num_buckets: int = 32) -> rd.Dataset:
+    """One large-star or small-star round of the MapReduce connected-
+    components algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — public).  Edges are (u, v) int64; each round
+    is one bucketed shuffle + a vectorized per-node min."""
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        a = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if kind == "large":
+            # symmetrize: gather the FULL neighborhood at every node
+            u = np.concatenate([a, b])
+            v = np.concatenate([b, a])
+        else:
+            # orient high -> low: each node gathers smaller neighbors
+            u = np.maximum(a, b)
+            v = np.minimum(a, b)
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "b": pa.array((u % num_buckets).astype(np.int64)),
+        })
+
+    def _star(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "u" not in g.columns:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        u = g["u"].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy().astype(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.diff(u)) + 1
+        bounds = np.concatenate(([0], starts))
+        uu = u[bounds]
+        vmin = np.minimum.reduceat(v, bounds)
+        m = np.minimum(vmin, uu)                    # min(Γ(u) ∪ {u})
+        m_row = np.repeat(m, np.diff(np.concatenate((bounds, [len(u)]))))
+        if kind == "large":
+            keep = v > u                            # emit (v, m) for v > u
+            ou, ov = v[keep], m_row[keep]
+        else:
+            keep = v != m_row                       # emit (v, m) for v != m
+            ou = np.concatenate([v[keep], uu])      # plus (u, m) per node
+            ov = np.concatenate([m_row[keep], m])
+        keep2 = ou != ov
+        out = pd.DataFrame({"u": ou[keep2], "v": ov[keep2]})
+        return out.drop_duplicates()
+
+    return (edges.map_batches(_orient, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("b")
+            .map_groups(_star, batch_format="pandas"))
+
+
+def _edge_fingerprint(edges: rd.Dataset) -> tuple[int, int]:
+    """(row_count, order-independent 64-bit content hash) of an edge
+    set — the O(1)-driver convergence check.  Each block reduces to ONE
+    wrapped-uint64 partial row (a Ray Sum over raw int64 hashes would
+    overflow into Python bignums and fail Arrow conversion)."""
+
+    def _partial(batch) -> "pd.DataFrame":
+        u = np.asarray(batch["u"], dtype=np.int64).astype(np.uint64)
+        v = np.asarray(batch["v"], dtype=np.int64).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (v + np.uint64(0x1234567))
+        h ^= h >> np.uint64(33)
+        return pd.DataFrame({
+            "hs": [np.int64(np.sum(h, dtype=np.uint64).astype(np.int64))],
+            "n": [np.int64(len(u))],
+        })
+
+    parts = edges.map_batches(_partial, batch_format="pandas",
+                              batch_size=None).take_all()
+    n = sum(int(p["n"]) for p in parts)
+    hs = 0
+    for p in parts:
+        hs = (hs + int(p["hs"])) & 0xFFFFFFFFFFFFFFFF
+    return n, hs
+
+
+def connected_components(pairs: rd.Dataset, num_buckets: int = 32,
+                         max_rounds: int = 64) -> rd.Dataset:
+    """Distributed connected components over (d1, d2) pair edges:
+    alternating large-star/small-star rounds until the edge set is
+    stable (O(log n) rounds), returning a ``(node, root)`` Dataset where
+    root = the component's smallest node id.
+
+    The 100-TB path for ``dedup_clusters``: the driver holds only an
+    O(1) fingerprint per round — labels never materialize as a dense
+    driver array (that dense path remains for small doc spaces).  Nodes
+    that never appear in a pair are absent (identity labels — join
+    against the doc table at read time)."""
+
+    def _as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": batch["d1"].cast(pa.int64()),
+            "v": batch["d2"].cast(pa.int64()),
+        })
+
+    edges = pairs.map_batches(_as_edges, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    prev = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _star_round(edges, "large", num_buckets)
+        edges = _star_round(edges, "small", num_buckets).materialize()
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # normalize to arrow blocks (star rounds emit pandas) so the union
+    # below mixes same-type blocks
+    edges = edges.map_batches(
+        lambda b: pa.table({"u": b["u"].cast(pa.int64()),
+                            "v": b["v"].cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    # stable star edges: (child, root); roots themselves get a self row
+    def _self_rows(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        roots = np.unique(v)
+        return pa.table({"u": pa.array(roots, pa.int64()),
+                         "v": pa.array(roots, pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    labels = (edges.union(
+        edges.map_batches(_self_rows, batch_format="pyarrow",
+                          batch_size=None))
+        .groupby("u").aggregate(Min("v", alias_name="root")))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "root": batch["root"]})
+
+    return labels.map_batches(_shape, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def simhash_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:

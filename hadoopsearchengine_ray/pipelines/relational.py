@@ -108,14 +108,24 @@ BROADCAST_JOIN_MAX_ROWS = 2_000_000
 
 
 def _as_arrow_schema(schema) -> pa.Schema:
-    """Ray's Dataset.schema() wraps the Arrow schema; unwrap it (pandas
-    block schemas are converted via an empty table round-trip)."""
+    """Ray's Dataset.schema() wraps the Arrow schema; unwrap it.  Pandas
+    block schemas convert dtype-by-dtype; a column whose "type" is an
+    object exemplar (e.g. an ndarray cell) maps to a list type when the
+    exemplar is an ndarray, else to string (best effort — callers only
+    use this for null padding and dtype restore)."""
     base = getattr(schema, "base_schema", schema)
     if isinstance(base, pa.Schema):
         return base
-    # PandasBlockSchema: names + numpy dtypes
-    return pa.schema([(n, pa.from_numpy_dtype(t))
-                      for n, t in zip(base.names, base.types)])
+    fields = []
+    for n, t in zip(base.names, base.types):
+        try:
+            fields.append((n, pa.from_numpy_dtype(t)))
+        except (TypeError, pa.ArrowNotImplementedError):
+            if isinstance(t, np.ndarray):
+                fields.append((n, pa.list_(pa.from_numpy_dtype(t.dtype))))
+            else:
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],

@@ -240,3 +240,22 @@ def test_hash_join_matches_duckdb_on_fact_tables():
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["lv"].tolist() == exp["lv"].tolist()
     assert got["rv"].tolist() == exp["rv"].tolist()
+
+
+def test_connected_components_matches_dense():
+    rng = np.random.default_rng(11)
+    n = 1200
+    e1 = rng.integers(0, n, 900)
+    e2 = rng.integers(0, n, 900)
+    chain = np.arange(100, 400)  # long path: exercises O(log n) rounds
+    d1 = np.concatenate([np.minimum(e1, e2), chain[:-1]])
+    d2 = np.concatenate([np.maximum(e1, e2), chain[1:]])
+    keep = d1 != d2
+    pairs = rd.from_arrow(pa.table({
+        "d1": pa.array(d1[keep], pa.int64()),
+        "d2": pa.array(d2[keep], pa.int64()),
+    })).repartition(4)
+    dense = dedup.dedup_clusters(pairs, n)
+    cc = dedup.connected_components(pairs).to_pandas()
+    lab = dict(zip(cc["node"], cc["root"]))
+    assert all(lab.get(i, i) == dense[i] for i in range(n))
