@@ -373,6 +373,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
         return out
 
+    def q_ivf_knn(sf):
+        # IVF ANN scale path: coarse k-means quantizer + nprobe lists
+        # per query; self-check = recall@10 vs the exact scan
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/embeddings.parquet")
+        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                    tbl["embedding"].to_pylist())}
+        qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+        out = similarity.ivf_knn(_emb(sf), qm, k=10, nprobe=8, num_lists=16)
+        exact = similarity.knn_cosine(_emb(sf), qm, k=10)
+        rec = []
+        for qi in range(len(KNN_QUERY_IDS)):
+            g = set(out[out.qid == qi].vec_id)
+            e = set(exact[exact.qid == qi].vec_id)
+            rec.append(len(g & e) / max(1, len(e)))
+        if np.mean(rec) < 0.9:
+            raise AssertionError(f"ivf_knn self-check: recall@10 {rec}")
+        out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
+        return out
+
     def q_emb_near_dup(sf):
         # the embeddings table has no natural near-dups (max pairwise
         # cosine ~0.51), so append 50 deterministic near-copies
@@ -711,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "knn_cosine": q_knn,
+        "ivf_knn": q_ivf_knn,
         "embedding_near_dup": q_emb_near_dup,
         "key_occurrence": q_key_occurrence,
         "revenue_by_flag": q_revenue,

@@ -144,3 +144,133 @@ def embedding_near_dup(embeddings: rd.Dataset, sim_threshold: float = 0.98,
              .groupby("bucket")
              .map_groups(_pairs, batch_format="pandas"))
     return pairs.groupby(["d1", "d2"]).aggregate(Max("sim", alias_name="sim"))
+
+
+def kmeans_centroids(embeddings: rd.Dataset, k: int = 64, iters: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     dim: int = 64) -> np.ndarray:
+    """Deterministic mini k-means over the (normalized) vectors — the
+    IVF coarse quantizer.  Init = every (n/k)-th vector by id order;
+    each Lloyd iteration is one map_batches pass emitting per-centroid
+    partial sums/counts (map-side combine; the k x dim reduce is tiny
+    and happens on the driver — centroids are broadcast state, the same
+    shape as PageRank's score vector)."""
+    import pyarrow.compute as pc
+
+    n = embeddings.count()
+    stride = max(1, n // k)
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids % stride == 0) & (ids // stride < k)
+        return batch.filter(pa.array(keep))
+
+    seeds = (embeddings.map_batches(_seed, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+             .sort_values(id_col))
+    cents = _norm_rows(np.asarray(list(seeds[vec_col])[:k], dtype=np.float64))
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def _partial(batch: pa.Table, *, _c=c_ref) -> pa.Table:
+            c = ray.get(_c)
+            m = _norm_rows(np.asarray(batch[vec_col].to_pylist(),
+                                      dtype=np.float64))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        parts = embeddings.map_batches(_partial, batch_format="pyarrow",
+                                       batch_size=None).to_pandas()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), np.int64)
+        for r in parts.itertuples():
+            sums[r.cid] += np.asarray(r.vsum)
+            cnts[r.cid] += r.cnt
+        nz = cnts > 0
+        cents[nz] = _norm_rows(sums[nz] / cnts[nz, None])
+    return cents
+
+
+def ivf_assign(embeddings: rd.Dataset, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> rd.Dataset:
+    """Attach the IVF list id (nearest centroid by cosine) per vector."""
+    c_ref = ray.put(centroids)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), np.float64))
+        return batch.append_column(
+            "list_id", pa.array(np.argmax(m @ c.T, axis=1), pa.int64()))
+
+    return embeddings.map_batches(_assign, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def ivf_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
+            nprobe: int = 8, num_lists: int = 64, iters: int = 5,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            dim: int = 64) -> pd.DataFrame:
+    """Approximate cosine top-k via IVF: train the coarse quantizer,
+    assign vectors to inverted lists, then scan ONLY the ``nprobe``
+    closest lists per query (the scale path: work ~ nprobe/num_lists of
+    brute force).  Returns (qid, rank, vec_id) like knn_cosine; recall
+    depends on nprobe (self-checked in the driver query)."""
+    cents = kmeans_centroids(embeddings, num_lists, iters, vec_col,
+                             id_col, dim)
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col).materialize()
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    probe_union = np.unique(probe)
+    q_ref = ray.put((q, probe))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        qm, pr = ray.get(q_ref)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), np.float64))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(lists, pr[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ qm[qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(s))
+            if len(s) > kk:
+                kth = np.partition(s, len(s) - kk)[len(s) - kk]
+                part = np.flatnonzero(s >= kth)
+            else:
+                part = np.arange(len(s))
+            out_q.append(np.full(len(part), qi, np.int64))
+            out_id.append(sel_ids[part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    # prune whole blocks whose lists don't intersect the probe set
+    flt = assigned.filter(
+        expr=f"list_id in {sorted(int(x) for x in probe_union)}")
+    cand = flt.map_batches(_scan, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    rows = []
+    for qi, g in cand.groupby("qid"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, vid in enumerate(g["vec_id"], start=1):
+            rows.append((int(qi), rank, int(vid)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])

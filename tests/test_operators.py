@@ -259,3 +259,27 @@ def test_connected_components_matches_dense():
     cc = dedup.connected_components(pairs).to_pandas()
     lab = dict(zip(cc["node"], cc["root"]))
     assert all(lab.get(i, i) == dense[i] for i in range(n))
+
+
+def test_ivf_knn_recall():
+    rng = np.random.default_rng(17)
+    m = rng.standard_normal((1000, 32))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(1000), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    }))
+    q = m[:4]
+    exact = similarity.knn_cosine(emb, q, k=10)
+    approx = similarity.ivf_knn(emb, q, k=10, nprobe=6, num_lists=16, dim=32)
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact.qid == qi].vec_id)
+        g = set(approx[approx.qid == qi].vec_id)
+        recalls.append(len(e & g) / len(e))
+    # probing 6/16 lists on random data must recover most true neighbors
+    assert np.mean(recalls) >= 0.7, recalls
+    # full probe == exact
+    full = similarity.ivf_knn(emb, q, k=10, nprobe=16, num_lists=16, dim=32)
+    for qi in range(4):
+        assert list(full[full.qid == qi].sort_values("rank").vec_id) == \
+            list(exact[exact.qid == qi].sort_values("rank").vec_id)
