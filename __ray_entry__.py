@@ -254,7 +254,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sf0.01 correctness run; sf0.1 bench skips the quadratic shadows)
     SELF_CHECK_MAX_DOCS = 6000
 
+    def _n_docs(sf):
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(f"{sf}/documents.parquet").num_rows
+
     def _doc_texts(sf):
+        # called ONLY inside the SELF_CHECK_MAX_DOCS gate — reads every
+        # doc's text onto the driver
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
@@ -263,8 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash(sf):
         out = dedup.minhash_lsh_pairs(_docs(sf), jaccard_threshold=0.5)
         pdf = out.to_pandas()
-        ids, texts = _doc_texts(sf)
-        if len(ids) <= SELF_CHECK_MAX_DOCS:
+        if _n_docs(sf) <= SELF_CHECK_MAX_DOCS:
+            ids, texts = _doc_texts(sf)
             # shadow: every reported pair's TRUE shingle-set Jaccard must
             # be near the signature estimate, and every exact-duplicate
             # pair must be reported (est 1.0 pairs can't be missed)
@@ -298,8 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_simhash(sf):
         out = dedup.simhash_dup_pairs(_docs(sf), max_hamming=3)
         pdf = out.to_pandas()
-        ids, texts = _doc_texts(sf)
-        if len(ids) <= SELF_CHECK_MAX_DOCS:
+        if _n_docs(sf) <= SELF_CHECK_MAX_DOCS:
+            ids, texts = _doc_texts(sf)
             # shadow: recompute every doc's simhash in pure Python and
             # brute-force ALL pairs — reported set must match exactly
             import hashlib as _hl
@@ -344,8 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_fingerprints(sf):
         out = text.fingerprint_table(_docs(sf))
         pdf = out.to_pandas()
-        ids, texts = _doc_texts(sf)
-        if len(ids) <= SELF_CHECK_MAX_DOCS:
+        if _n_docs(sf) <= SELF_CHECK_MAX_DOCS:
+            ids, texts = _doc_texts(sf)
             from hadoopsearchengine_ray.functions.text import fingerprint_py
             from hadoopsearchengine_ray.tokenizer import tokenize_py
 

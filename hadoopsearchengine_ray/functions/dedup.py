@@ -61,23 +61,16 @@ def _doc_shingle_flat(toks, n: int) -> tuple[np.ndarray, np.ndarray, int]:
     fix).  Equality relation identical to hashing the joined string
     (injective up to 64-bit collisions), which is what the pair oracle
     compares."""
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-    flat = toks.flatten()
+    from .._tokflat import flat_token_view, hashed_uniques
+
+    counts, d, codes, doc_idx = flat_token_view(toks)
     ndoc = len(counts)
-    d = flat.dictionary_encode()
-    uhash = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "big") for t in d.dictionary.to_pylist()),
-        np.uint64, len(d.dictionary))
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uhash = hashed_uniques(d.dictionary)
     th = uhash[codes] if len(codes) else np.empty(0, np.uint64)
     L = len(th)
     if L < n:
         e = np.empty(0, np.int64)
         return e, np.empty(0, np.uint64), ndoc
-    doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
     W = L - n + 1
     acc = th[:W].copy()
     for k in range(1, n):
@@ -278,12 +271,17 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
         # band with an FNV-over-words chain + murmur-style finalizer —
         # rows_per_band numpy ops per band, no Python per row
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(ids)
         col = batch["sig"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sig = (col.flatten().to_numpy(zero_copy_only=False)
-               .astype(np.uint64).reshape(n, num_perm))
+               .astype(np.uint64).reshape(len(ids), num_perm))
+        # docs with NO shingles carry the all-max sentinel signature:
+        # banding them would pair every short doc with every other short
+        # doc at est 1.0 (true Jaccard 0) — exclude them up front
+        real = sig[:, 0] != np.iinfo(np.uint64).max
+        ids, sig = ids[real], sig[real]
+        n = len(ids)
         bh = np.empty((n, bands), np.uint64)
         P = np.uint64(0x100000001B3)
         for bi in range(bands):
@@ -333,7 +331,13 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
              .groupby("bucket")
              .map_groups(_cands, batch_format="pandas")
              .groupby(["d1", "d2"])
-             .aggregate(Sum("c", alias_name="nbands")))
+             .aggregate(Sum("c", alias_name="nbands"))).materialize()
+    if cands.count() == 0:
+        # no candidates: an empty aggregate loses its schema, which the
+        # verify joins can't consume — return the typed empty result
+        return rd.from_pandas(pd.DataFrame(
+            {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64"),
+             "jaccard_est": pd.Series(dtype="float64")}))
 
     # verify candidates against full signatures DISTRIBUTED (round-2 fix
     # of the driver collect): two co-partitioned hash joins attach each
@@ -364,7 +368,12 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
                             batch_size=None)
     sig2 = sigs.map_batches(_sig_as("d2", "sig2"), batch_format="pyarrow",
                             batch_size=None)
-    joined = hash_join(hash_join(cands, sig1, on="d1"), sig2, on="d2")
+    # arrow round-trip between the joins: the pandas join blocks report
+    # object dtypes, which would type the second join's null padding as
+    # string and mix binary/string blocks into the shuffle
+    j1 = hash_join(cands, sig1, on="d1").map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(j1, sig2, on="d2")
 
     def _estimate(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -581,29 +590,18 @@ def simhash_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     identical to the round-1 per-row implementation."""
 
     def _simhash(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[text_col])
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-        flat = toks.flatten()
+        from .._tokflat import doc_term_counts, flat_token_view, hashed_uniques
+
+        counts, d, codes, doc_idx = flat_token_view(tokenize_column(batch[text_col]))
         ndoc = len(counts)
-        d = flat.dictionary_encode()
-        uhash = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "big") for t in d.dictionary.to_pylist()),
-            np.uint64, len(d.dictionary))
+        uhash = hashed_uniques(d.dictionary)
         # (U, 64) sign matrix: +1 where bit set, -1 where clear
         signs = (((uhash[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
                  .astype(np.int64) * 2 - 1)
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_idx = np.repeat(np.arange(ndoc, dtype=np.uint64), counts)
         # combine to per-(doc, code) tf so the scatter touches far fewer rows
-        packed = (doc_idx << np.uint64(32)) | codes
-        uniq, tf = np.unique(packed, return_counts=True)
+        u_doc, u_code, tf = doc_term_counts(codes, doc_idx)
         acc = np.zeros((ndoc, 64), dtype=np.int64)
-        np.add.at(acc, (uniq >> np.uint64(32)).astype(np.int64),
-                  signs[(uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)]
-                  * tf[:, None])
+        np.add.at(acc, u_doc, signs[u_code] * tf[:, None])
         pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
         sim = np.sum(np.where(acc > 0, pows, np.uint64(0)), axis=1,
                      dtype=np.uint64)

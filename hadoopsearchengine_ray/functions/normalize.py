@@ -55,24 +55,20 @@ def stemmed_token_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     from ..tokenizer import tokenize_column
 
     def _tok(batch: pa.Table) -> pa.Table:
+        from .._tokflat import doc_term_counts, flat_token_view
+
         toks = tokenize_column(batch[text_col])
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-        flat = stem_column(toks.flatten())
-        d = flat.dictionary_encode()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_idx = np.repeat(np.arange(len(counts), dtype=np.uint64), counts)
-        keys = (doc_idx << np.uint64(32)) | codes
-        uniq, cnt = np.unique(keys, return_counts=True)
+        _, d, codes, doc_idx = flat_token_view(
+            toks, flat=stem_column(toks.flatten()))
+        u_doc, u_code, cnt = doc_term_counts(codes, doc_idx)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(ids[(uniq >> np.uint64(32)).astype(np.int64)],
-                               pa.int64()),
+            "doc_id": pa.array(ids[u_doc], pa.int64()),
             "stem": d.dictionary.take(
-                pa.array((uniq & np.uint64(0xFFFFFFFF)).astype(np.int32))
-            ).cast(pa.string()),
-            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+                pa.array(u_code.astype(np.int32))).cast(pa.string()),
+            "tf": pa.array(cnt, pa.int64()),
         })
 
     return docs.map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True)

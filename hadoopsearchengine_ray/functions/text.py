@@ -263,18 +263,11 @@ def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     import hashlib
 
     def _fp(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[text_col])
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-        flat = toks.flatten()
+        from .._tokflat import flat_token_view, hashed_uniques
+
+        counts, d, codes, doc_idx = flat_token_view(tokenize_column(batch[text_col]))
         ndoc = len(counts)
-        d = flat.dictionary_encode()
-        uhash = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "big") for t in d.dictionary.to_pylist()),
-            np.uint64, len(d.dictionary))
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uhash = hashed_uniques(d.dictionary)
         th = uhash[codes] if len(codes) else np.empty(0, np.uint64)
         maxlen = int(counts.max()) if ndoc else 0
         pows = np.empty(maxlen + 1, np.uint64)
@@ -282,7 +275,6 @@ def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         if maxlen:
             np.multiply.accumulate(np.full(maxlen, _FP_P, np.uint64),
                                    out=pows[1:])
-        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
         ends = np.repeat(np.cumsum(counts), counts)
         exp = ends - 1 - np.arange(len(th), dtype=np.int64)
         acc = np.zeros(ndoc, np.uint64)
@@ -318,13 +310,14 @@ def keyword_table(docs: rd.Dataset, text_col: str = "text",
     dic = dictionary_from_token_rows(tok).materialize()
     thresh = kth_percentile(dic, "cf", pct)
     elig_pdf = dic.to_pandas()
-    eligible = set(elig_pdf[elig_pdf["cf"] <= thresh]["term"])
-    elig_ref = ray.put(eligible)
+    # the Arrow value_set is built ONCE and broadcast; each batch only
+    # runs the is_in kernel against it
+    elig_ref = ray.put(pa.array(
+        sorted(elig_pdf[elig_pdf["cf"] <= thresh]["term"]), pa.string()))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        ok = ray.get(elig_ref)
         import pyarrow.compute as _pc
-        mask = _pc.is_in(batch["term"], value_set=pa.array(sorted(ok)))
+        mask = _pc.is_in(batch["term"], value_set=ray.get(elig_ref))
         f = batch.filter(mask)
         return pa.table({
             "doc_id": f["doc_id"].cast(pa.int64()),

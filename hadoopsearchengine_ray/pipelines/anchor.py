@@ -63,21 +63,17 @@ def title_token_table(docs: rd.Dataset, text_col: str = "text",
     import pyarrow.compute as pc
 
     def _titles(batch: pa.Table) -> pa.Table:
+        from .._tokflat import doc_term_counts, flat_token_view
+
         toks = pc.list_slice(tokenize_column(batch[text_col]), 0, title_len)
-        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
-        flat = toks.flatten()
-        d = flat.dictionary_encode()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_idx = np.repeat(np.arange(len(counts), dtype=np.uint64), counts)
-        keys = (doc_idx << np.uint64(32)) | codes
-        uniq, cnt = np.unique(keys, return_counts=True)
+        _, d, codes, doc_idx = flat_token_view(toks)
+        u_doc, u_code, cnt = doc_term_counts(codes, doc_idx)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "src": pa.array(ids[(uniq >> np.uint64(32)).astype(np.int64)], pa.int64()),
+            "src": pa.array(ids[u_doc], pa.int64()),
             "term": d.dictionary.take(
-                pa.array((uniq & np.uint64(0xFFFFFFFF)).astype(np.int32))
-            ).cast(pa.string()),
-            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+                pa.array(u_code.astype(np.int32))).cast(pa.string()),
+            "tf": pa.array(cnt, pa.int64()),
         })
 
     return docs.map_batches(_titles, batch_format="pyarrow", zero_copy_batch=True)

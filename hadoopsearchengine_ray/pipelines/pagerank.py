@@ -65,31 +65,15 @@ def _pagerank_dense(links: rd.Dataset, num_nodes: int, cycles: int) -> np.ndarra
 def _scatter_sharded(block, score_shards: list, span: int, num_shards: int,
                      num_nodes: int) -> dict[int, np.ndarray]:
     """Per edge-block scatter: pulls ONLY the src score shards this block
-    references, returns dense partials keyed by dst shard.  The score
-    shard list is passed as refs-in-a-list so Ray does NOT materialize
-    every shard into the task — each task gets O(shards it touches)."""
+    references, returns per-dst-shard partials as a dict of refs (shared
+    plumbing in state/sharded.py)."""
+    from ..state.sharded import gather_src_rows, scatter_partials
+
     src = column_np(block, "src", np.int64)
     dst = column_np(block, "dst", np.int64)
     w = column_np(block, "weight", np.float64)
-    ss = src // span
-    s_local = np.empty(len(src), dtype=np.float64)
-    for s in np.unique(ss):
-        shard = ray.get(score_shards[int(s)])
-        m = ss == s
-        s_local[m] = shard[src[m] - int(s) * span]
-    contrib = s_local * w
-    # each per-shard partial goes to the object store SEPARATELY (dict of
-    # refs): a reduce task then pulls only ITS shard's partials — nobody
-    # ever materializes another shard's data
-    out: dict[int, object] = {}
-    ds = dst // span
-    for s in np.unique(ds):
-        m = ds == s
-        lo = int(s) * span
-        size = min(span, num_nodes - lo)
-        out[int(s)] = ray.put(np.bincount(dst[m] - lo, weights=contrib[m],
-                                          minlength=size))
-    return out
+    contrib = gather_src_rows(src, score_shards, span) * w
+    return scatter_partials(dst, contrib, span, num_nodes)
 
 
 @ray.remote
@@ -97,13 +81,9 @@ def _reduce_shard(shard_id: int, span: int, num_nodes: int,
                   *partial_dicts) -> tuple[np.ndarray, float]:
     """Sum the scatter partials addressed to one dst shard (fixed task
     order -> deterministic float accumulation per layout)."""
-    lo = shard_id * span
-    size = min(span, num_nodes - lo)
-    acc = np.zeros(size, dtype=np.float64)
-    for d in partial_dicts:
-        ref = d.get(shard_id)
-        if ref is not None:
-            acc += ray.get(ref)
+    from ..state.sharded import reduce_partials
+
+    acc = reduce_partials(shard_id, span, num_nodes, partial_dicts)
     return acc, float(acc.sum())
 
 
@@ -126,10 +106,9 @@ def _pagerank_sharded(links: rd.Dataset, num_nodes: int, cycles: int,
     parquet); the return type materializes for API compat with the dense
     path."""
     from .._block import nonempty_block_refs
+    from ..state.sharded import shard_layout
 
-    span = shard_span or DENSE_MAX_NODES
-    S = max(1, -(-num_nodes // span))
-    span = -(-num_nodes // S)
+    S, span = shard_layout(num_nodes, shard_span, DENSE_MAX_NODES)
     block_refs = nonempty_block_refs(links.materialize())
 
     shard_refs = [

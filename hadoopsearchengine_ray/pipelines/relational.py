@@ -116,6 +116,10 @@ def _as_arrow_schema(schema) -> pa.Schema:
     base = getattr(schema, "base_schema", schema)
     if isinstance(base, pa.Schema):
         return base
+    if base is None:
+        raise ValueError(
+            "dataset has no schema (empty aggregate?); materialize and "
+            "handle the empty case before joining")
     fields = []
     for n, t in zip(base.names, base.types):
         try:
@@ -123,6 +127,8 @@ def _as_arrow_schema(schema) -> pa.Schema:
         except (TypeError, pa.ArrowNotImplementedError):
             if isinstance(t, np.ndarray):
                 fields.append((n, pa.list_(pa.from_numpy_dtype(t.dtype))))
+            elif isinstance(t, (bytes, bytearray)):
+                fields.append((n, pa.binary()))
             else:
                 fields.append((n, pa.string()))
     return pa.schema(fields)

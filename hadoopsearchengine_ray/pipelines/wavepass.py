@@ -89,32 +89,17 @@ DENSE_MAX_NODES = 4_000_000
 
 
 @ray.remote
-def _wp_scatter(block, dist_shards: list, span: int,
+def _wp_scatter(block, dist_shards: list, span: int, k: int,
                 num_nodes: int) -> dict[int, object]:
-    """Per edge-block scatter of class distributions: pulls only the src
-    shards the block touches; per-dst-shard partials go to the object
-    store individually (dict of refs — reduce pulls only its shard)."""
+    """Per edge-block scatter of class distributions (shared sharded
+    plumbing, state/sharded.py)."""
+    from ..state.sharded import gather_src_rows, scatter_partials
+
     src = column_np(block, "src", np.int64)
     dst = column_np(block, "dst", np.int64)
     w = column_np(block, "weight", np.float64)
-    ss = src // span
-    k = ray.get(dist_shards[int(ss[0])]).shape[1] if len(src) else 0
-    contrib = np.empty((len(src), k), dtype=np.float64)
-    for s in np.unique(ss):
-        shard = ray.get(dist_shards[int(s)])
-        m = ss == s
-        contrib[m] = shard[src[m] - int(s) * span]
-    contrib *= w[:, None]
-    out: dict[int, object] = {}
-    ds = dst // span
-    for s in np.unique(ds):
-        m = ds == s
-        lo = int(s) * span
-        size = min(span, num_nodes - lo)
-        part = np.zeros((size, k), dtype=np.float64)
-        np.add.at(part, dst[m] - lo, contrib[m])
-        out[int(s)] = ray.put(part)
-    return out
+    contrib = gather_src_rows(src, dist_shards, span, width=k) * w[:, None]
+    return scatter_partials(dst, contrib, span, num_nodes)
 
 
 @ray.remote
@@ -123,14 +108,11 @@ def _wp_reduce(shard_id: int, span: int, num_nodes: int, prev_shard,
     """Per-shard reduce + the row-local update steps (dead-node carry,
     majority amplification, per-node normalize).  Returns the
     pre-rebalance shard and its per-class mass partial (k floats)."""
-    lo = shard_id * span
-    size = min(span, num_nodes - lo)
+    from ..state.sharded import reduce_partials
+
+    size = min(span, num_nodes - shard_id * span)
     k = prev_shard.shape[1]
-    acc = np.zeros((size, k), dtype=np.float64)
-    for d in partial_dicts:
-        ref = d.get(shard_id)
-        if ref is not None:
-            acc += ray.get(ref)
+    acc = reduce_partials(shard_id, span, num_nodes, partial_dicts, width=k)
     dead = acc.sum(axis=1) == 0
     acc[dead] = prev_shard[dead]
     winner = np.argmax(acc, axis=1)
@@ -172,10 +154,9 @@ def wavepass_dist_sharded(links: rd.Dataset, num_nodes: int, k: int = CLASSES,
     the dense plan's single add.at, so distributions match to ~1e-12 and
     near-tie nodes can flip argmax labels vs the dense path."""
     from .._block import nonempty_block_refs
+    from ..state.sharded import shard_layout
 
-    span = shard_span or DENSE_MAX_NODES
-    S = max(1, -(-num_nodes // span))
-    span = -(-num_nodes // S)
+    S, span = shard_layout(num_nodes, shard_span, DENSE_MAX_NODES)
     block_refs = nonempty_block_refs(links.materialize())
 
     def _seed(s):
@@ -187,7 +168,7 @@ def wavepass_dist_sharded(links: rd.Dataset, num_nodes: int, k: int = CLASSES,
 
     shard_refs = [ray.put(_seed(s)) for s in range(S)]
     for _ in range(cycles):
-        partials = [_wp_scatter.remote(b, shard_refs, span, num_nodes)
+        partials = [_wp_scatter.remote(b, shard_refs, span, k, num_nodes)
                     for b in block_refs]
         reduced = [_wp_reduce.remote(s, span, num_nodes, shard_refs[s],
                                      amplify, *partials)

@@ -129,3 +129,29 @@ def test_nonempty_block_refs_filters_empty_pandas_blocks():
     import ray as _ray
     total = sum(len(b) for b in _ray.get(refs))
     assert total == 2
+
+
+def test_minhash_no_candidates_returns_typed_empty():
+    """Round-2 review: empty candidate aggregate loses its schema and
+    crashed the distributed verify joins."""
+    words = ["apple banana cherry dog elephant fox",
+             "grape horse igloo jaguar kiwi lemon",
+             "mango nectar orange panda quartz rose"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(words),
+    }))
+    out = dedup.minhash_lsh_pairs(docs, n=3, jaccard_threshold=0.5).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_short_docs_not_paired():
+    """Round-2 review: docs with <n tokens carry the all-max sentinel
+    signature and were banded together as est-1.0 'duplicates'."""
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta", "one two",
+                          "alpha beta gamma delta epsilon zeta"]),
+    }))
+    out = dedup.minhash_lsh_pairs(docs, n=3, jaccard_threshold=0.5).to_pandas()
+    assert len(out) == 0
