@@ -154,6 +154,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25_delta(sf):
+        # incremental indexing: main index over the first 80% of docs,
+        # delta over the rest, merged serving — the SQL oracle is the
+        # ordinary full-corpus BM25 (rank identity is the contract)
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.pipelines.build_index import build_index
+        from hadoopsearchengine_ray.pipelines.delta import (
+            add_documents,
+            merged_scorer,
+        )
+
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        n = tbl.num_rows
+        cut = (n * 4) // 5
+        import hashlib
+
+        key = hashlib.sha256(f"delta:{sf}".encode()).hexdigest()[:16]
+        root = os.path.join("/tmp/hse_delta_cache", key)
+        os.makedirs(root, exist_ok=True)
+        mainp = os.path.join(root, "main.parquet")
+        newp = os.path.join(root, "new.parquet")
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            srt = tbl.sort_by("doc_id")
+            pq.write_table(srt.slice(0, cut), mainp)
+            pq.write_table(srt.slice(cut), newp)
+            open(os.path.join(root, "_DONE"), "w").close()
+        main_idx = os.path.join(root, "main_idx")
+        build_index(mainp, main_idx, id_mode="column", text_col="text")
+        add_documents(main_idx, newp)
+        d, _ = merged_scorer(main_idx).score(BM25_TERMS, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_anchor_bm25(sf):
         # anchor-text field (J4): deterministic links, source titles as
         # anchor terms, BM25 over the anchor posting index
@@ -723,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
         "anchor_bm25": q_anchor_bm25,
+        "bm25_delta_topk": q_bm25_delta,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
         "lang_id": q_lang_id,
@@ -826,6 +867,32 @@ def oracle_sql() -> dict[str, str]:
                           * (tf.tf + 1.0 * tf.tft) * 2.2
                           / ((tf.tf + 1.0 * tf.tft)
                              + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "bm25_delta_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
               FROM tf
               JOIN (SELECT DISTINCT term FROM q) qq USING (term)
               JOIN df USING (term)

@@ -220,8 +220,12 @@ class BM25Scorer:
     """
 
     def __init__(self, index_dir: str, use_maxscore: bool = True,
-                 pagerank_dir: str | None = None, pr_weight: float = 0.0):
-        self.rd = IndexReader(index_dir)
+                 pagerank_dir: str | None = None, pr_weight: float = 0.0,
+                 reader=None):
+        # ``reader``: injected IndexReader-compatible state (e.g. the
+        # delta pipeline's MergedIndexReader) — index_dir is then only
+        # used for the optional pagerank attach
+        self.rd = reader if reader is not None else IndexReader(index_dir)
         self.use_maxscore = use_maxscore
         # PageRank-weighted ranking: the reference attaches pulse_score to
         # every posting (SHitItem.pulse_score, FileStorage.h:329) and adds

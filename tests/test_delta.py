@@ -1,0 +1,95 @@
+"""Incremental indexing: main + delta must serve rank-identical BM25
+to a from-scratch rebuild over the union."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hadoopsearchengine_ray import corpus, oracle
+from hadoopsearchengine_ray.pipelines.build_index import build_index
+from hadoopsearchengine_ray.pipelines.delta import (
+    MergedIndexReader,
+    add_documents,
+    merged_scorer,
+)
+from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+
+def _doc_table(lo, hi):
+    tbl = corpus.gen_rows(np.arange(lo, hi))
+    return pa.table({
+        "doc_id": pa.array(range(lo, hi), pa.int64()),
+        "text": tbl["content"],
+    })
+
+
+@pytest.fixture(scope="module")
+def delta_dirs(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("delta")
+    pq.write_table(_doc_table(0, 400), str(root / "main.parquet"))
+    pq.write_table(_doc_table(400, 500), str(root / "new.parquet"))
+    pq.write_table(_doc_table(0, 500), str(root / "full.parquet"))
+    main = str(root / "main_idx")
+    full = str(root / "full_idx")
+    build_index(str(root / "main.parquet"), main,
+                id_mode="column", text_col="text")
+    build_index(str(root / "full.parquet"), full,
+                id_mode="column", text_col="text")
+    delta = add_documents(main, str(root / "new.parquet"))
+    return main, delta, full, root
+
+
+def test_merged_stats_equal_full(delta_dirs):
+    main, delta, full, _ = delta_dirs
+    merged = MergedIndexReader([main, delta])
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    fr = IndexReader(full)
+    assert merged.N == fr.N
+    assert abs(merged.avgdl - fr.avgdl) < 1e-9
+    assert np.allclose(merged.dl[: fr.doc_space], fr.dl)
+    for term in ("def", "return", "import"):
+        assert merged.lookup(term) == fr.lookup(term)
+        md, mt = merged.decoded_postings(term)
+        fd, ft = fr.decoded_postings(term)
+        assert (md == fd).all() and (mt == ft).all()
+
+
+def test_merged_bm25_rank_identical_to_rebuild(delta_dirs):
+    main, delta, full, _ = delta_dirs
+    ms = merged_scorer(main)          # auto-discovers the delta
+    fs = BM25Scorer(full)
+    tbl = corpus.gen_rows(np.arange(500))
+    idx = oracle.OracleIndex(
+        [(i, tbl["content"][i].as_py()) for i in range(500)])
+    for q in oracle.make_queries(idx, 30):
+        dm, sm = ms.score(q["terms"], 10)
+        df_, sf_ = fs.score(q["terms"], 10)
+        assert [int(x) for x in dm] == [int(x) for x in df_], q["terms"]
+        assert np.allclose(sm, sf_)
+        # and both match the oracle over the union corpus
+        assert [int(x) for x in dm] == \
+            [int(t[0]) for t in idx.bm25_topk(q["terms"], 10)]
+
+
+def test_delta_rejects_overlapping_ids(delta_dirs, tmp_path):
+    main, _, _, root = delta_dirs
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(_doc_table(100, 150), bad)   # ids overlap the main
+    with pytest.raises(ValueError, match="doc_id_space"):
+        add_documents(main, bad)
+
+
+def test_merged_positions_and_phrase(delta_dirs):
+    main, delta, full, _ = delta_dirs
+    from hadoopsearchengine_ray.pipelines.positional import phrase_counts
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    merged = MergedIndexReader([main, delta])
+    fr = IndexReader(full)
+    toks = oracle.tokenize_py(corpus.gen_rows(np.arange(450, 451))["content"][0].as_py())
+    ph = toks[2:4]
+    dm, cm = phrase_counts(merged, ph)
+    df_, cf_ = phrase_counts(fr, ph)
+    assert (dm == df_).all() and (cm == cf_).all()
