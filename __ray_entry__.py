@@ -194,6 +194,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25_delete(sf):
+        # tombstone deletion: docs with doc_id % 17 == 0 deleted; scoring
+        # must equal the SQL oracle over the surviving docs (stats shift
+        # with N/avgdl/df — a results-only filter would NOT match)
+        import hashlib
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.delta import (
+            TombstoneReader,
+            delete_documents,
+            load_tombstones,
+        )
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer, IndexReader
+
+        src_idx = index_for(f"{sf}/documents.parquet")
+        key = hashlib.sha256(f"del:{sf}".encode()).hexdigest()[:16]
+        idx = os.path.join("/tmp/hse_delete_cache", key)
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            shutil.rmtree(idx, ignore_errors=True)
+            shutil.copytree(src_idx, idx)
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        delete_documents(idx, [i for i in range(n) if i % 17 == 0])
+        reader = TombstoneReader(IndexReader(idx), load_tombstones(idx))
+        d, _ = BM25Scorer(idx, reader=reader).score(BM25_TERMS, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_anchor_bm25(sf):
         # anchor-text field (J4): deterministic links, source titles as
         # anchor terms, BM25 over the anchor posting index
@@ -764,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_title_topk": q_bm25_title,
         "anchor_bm25": q_anchor_bm25,
         "bm25_delta_topk": q_bm25_delta,
+        "bm25_after_delete": q_bm25_delete,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
         "lang_id": q_lang_id,
@@ -885,6 +919,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT (SELECT count(*) FROM documents) AS n,
                      (SELECT sum(dl) FROM dl) * 1.0
                        / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "bm25_after_delete": f"""
+            WITH alive AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+            tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM alive
+              ) WHERE length(t) BETWEEN 2 AND 16
+                AND (NOT regexp_full_match(t, '[0-9]+') OR length(t) BETWEEN 4 AND 5)
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM alive) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM alive) AS avgdl
             ),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             q(term) AS (VALUES {terms_values}),

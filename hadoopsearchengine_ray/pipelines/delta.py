@@ -120,11 +120,118 @@ def add_documents(main_index_dir: str, corpus_path: str,
 def merged_scorer(main_index_dir: str,
                   delta_dirs: list[str] | None = None) -> BM25Scorer:
     """BM25Scorer over main + deltas (deltas auto-discovered when not
-    given), rank-identical to a scorer over a full rebuild."""
+    given), rank-identical to a scorer over a full rebuild.  Tombstoned
+    docs (delete_documents) are excluded from results and stats."""
     if delta_dirs is None:
         droot = os.path.join(main_index_dir, "deltas")
         delta_dirs = sorted(
             os.path.join(droot, d) for d in os.listdir(droot)
         ) if os.path.isdir(droot) else []
     reader = MergedIndexReader([main_index_dir] + list(delta_dirs))
+    tomb = load_tombstones(main_index_dir)
+    if tomb:
+        reader = TombstoneReader(reader, tomb)
     return BM25Scorer(main_index_dir, reader=reader)
+
+
+# ---------------------------------------------------------------------------
+# deletion (tombstones)
+# ---------------------------------------------------------------------------
+
+def _tombstone_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones.json")
+
+
+def load_tombstones(index_dir: str) -> set[int]:
+    p = _tombstone_path(index_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def delete_documents(index_dir: str, doc_ids) -> set[int]:
+    """Tombstone doc ids: deleted docs disappear from results AND from
+    the BM25 statistics (N, avgdl, df, dl) without touching the posting
+    files — the standard soft-delete; compaction = rebuild over the
+    surviving corpus.  Idempotent; returns the full tombstone set."""
+    tomb = load_tombstones(index_dir) | {int(d) for d in doc_ids}
+    tmp = _tombstone_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(tomb), f)
+    os.replace(tmp, _tombstone_path(index_dir))
+    return tomb
+
+
+class TombstoneReader:
+    """Reader wrapper excluding tombstoned docs from postings and stats.
+
+    df/N/avgdl corrections make scoring EXACT vs a rebuild over the
+    surviving docs: per-term df subtracts the deleted docs found in the
+    posting list (computed lazily per looked-up term), N and total
+    tokens subtract the deleted docs' lengths."""
+
+    def __init__(self, base, tombstones: set[int]):
+        self._base = base
+        self._tomb = np.fromiter(sorted(tombstones), np.int64,
+                                 len(tombstones))
+        removed_dl = float(base.dl[self._tomb].sum())
+        total = base.avgdl * base.N
+        self.N = base.N - len(self._tomb)
+        self.avgdl = ((total - removed_dl) / self.N) if self.N else 0.0
+        self.k1, self.b = base.k1, base.b
+        self.doc_space = base.doc_space
+        self.dl = base.dl.copy()
+        self.dl[self._tomb] = 0.0
+        self._df_cache: dict[str, tuple] = {}
+
+    def _alive(self, docs: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._tomb, docs.astype(np.int64))
+        idx = np.minimum(idx, len(self._tomb) - 1) if len(self._tomb) else idx
+        return ~((len(self._tomb) > 0)
+                 & (self._tomb[idx] == docs.astype(np.int64)))
+
+    def lookup(self, term: str):
+        ent = self._df_cache.get(term)
+        if ent is not None:
+            return ent if ent != () else None
+        base_ent = self._base.lookup(term)
+        if base_ent is None:
+            self._df_cache[term] = ()
+            return None
+        tid, _ = base_ent
+        d, _f = self._base.decoded_postings(term)
+        df = int(self._alive(d).sum())
+        out = (tid, df)
+        self._df_cache[term] = out
+        return out if df else out   # df 0 still a valid entry (idf ~ max)
+
+    def idf(self, df: int) -> float:
+        return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
+
+    def decoded_postings(self, term: str):
+        d, f = self._base.decoded_postings(term)
+        if len(d) == 0 or len(self._tomb) == 0:
+            return d, f
+        keep = self._alive(d)
+        return d[keep], f[keep]
+
+    def posting_rows(self, term: str) -> list[dict]:
+        # rows keep tombstoned entries (block metadata would go stale
+        # otherwise); the scorer's dense paths mask via dl=0 and the
+        # filtered decoded_postings.  MaxScore uses posting_rows only
+        # for block-sliced partial scoring of already-touched docs, and
+        # a dl=0 tombstoned doc contributes score only if it was touched
+        # — which the filtered phase-1 lists prevent.
+        return self._base.posting_rows(term)
+
+    def decoded_positions(self, term: str):
+        d, f, flat, offs = self._base.decoded_positions(term)
+        if len(d) == 0 or len(self._tomb) == 0:
+            return d, f, flat, offs
+        keep = self._alive(d)
+        fi = f.astype(np.int64)
+        flat_keep = np.repeat(keep, fi)
+        f2 = f[keep]
+        offs2 = np.concatenate(([0], np.cumsum(f2.astype(np.int64))))
+        return d[keep], f2, flat[flat_keep], offs2

@@ -93,3 +93,39 @@ def test_merged_positions_and_phrase(delta_dirs):
     dm, cm = phrase_counts(merged, ph)
     df_, cf_ = phrase_counts(fr, ph)
     assert (dm == df_).all() and (cm == cf_).all()
+
+
+def test_delete_documents_matches_rebuild(delta_dirs, tmp_path):
+    """Tombstoned scoring must be rank- AND score-identical to a full
+    rebuild over the surviving corpus."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import (
+        TombstoneReader,
+        delete_documents,
+        load_tombstones,
+    )
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    main, delta, full, root = delta_dirs
+    # fresh copy of the full index so the module fixture stays clean
+    idx = str(tmp_path / "full_copy")
+    shutil.copytree(full, idx)
+    dead = [i for i in range(500) if i % 17 == 0]
+    delete_documents(idx, dead)
+    assert load_tombstones(idx) == set(dead)
+
+    reader = TombstoneReader(IndexReader(idx), set(dead))
+    sc = BM25Scorer(idx, reader=reader)
+    # shadow: oracle over the surviving docs only
+    tbl = corpus.gen_rows(np.arange(500))
+    alive = [(i, tbl["content"][i].as_py()) for i in range(500)
+             if i % 17 != 0]
+    oidx = oracle.OracleIndex(alive)
+    assert reader.N == oidx.N
+    assert abs(reader.avgdl - oidx.avgdl) < 1e-9
+    for q in oracle.make_queries(oidx, 25):
+        d, s = sc.score(q["terms"], 10)
+        exp = oidx.bm25_topk(q["terms"], 10)
+        assert [int(x) for x in d] == [int(t[0]) for t in exp], q["terms"]
+        assert np.allclose(s, [t[1] for t in exp])
