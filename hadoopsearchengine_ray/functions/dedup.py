@@ -339,11 +339,33 @@ def minhash_lsh_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
             {"d1": pd.Series(dtype="int64"), "d2": pd.Series(dtype="int64"),
              "jaccard_est": pd.Series(dtype="float64")}))
 
-    # verify candidates against full signatures DISTRIBUTED (round-2 fix
-    # of the driver collect): two co-partitioned hash joins attach each
-    # side's signature to the pair rows, then one vectorized estimate per
-    # batch.  The driver never sees candidate pairs or signatures; a
-    # dup-heavy crawl stays bounded by the shuffle, not driver memory.
+    # verify candidates against full signatures.  Two plans, dispatched
+    # by candidate count (the join-dispatch pattern):
+    # - small candidate sets: collect pairs + only the needed signatures
+    #   to the driver (two cheap passes — the joins' shuffle overhead
+    #   dominates at this size);
+    # - big / dup-heavy: two co-partitioned hash joins attach each
+    #   side's signature and a vectorized per-batch estimate filters —
+    #   the driver never sees pairs or signatures.
+    n_cands = cands.count()
+    if n_cands <= 100_000:
+        cand_pdf = cands.to_pandas()
+        needed = set(cand_pdf["d1"]) | set(cand_pdf["d2"])
+
+        def _only_needed(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["doc_id"].isin(needed)]
+
+        sig_pdf = (sigs.map_batches(_only_needed, batch_format="pandas",
+                                    batch_size=None)
+                   .to_pandas().set_index("doc_id")["sig"])
+        lut = {int(k): np.asarray(v, np.uint64) for k, v in sig_pdf.items()}
+        est = np.round([float((lut[a] == lut[b]).mean())
+                        for a, b in zip(cand_pdf["d1"], cand_pdf["d2"])], 4)
+        out = cand_pdf.assign(jaccard_est=est)
+        out = out[out["jaccard_est"] >= jaccard_threshold][
+            ["d1", "d2", "jaccard_est"]].reset_index(drop=True)
+        return rd.from_pandas(out)
+
     from ..pipelines.relational import hash_join
 
     from ..codec import _binary_from_offsets
