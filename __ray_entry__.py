@@ -629,6 +629,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(_round, batch_format="pyarrow")
 
+    def q_hopping_window(sf):
+        # event-time hopping window (1h windows every 30min): each event
+        # belongs to 2 windows — the streaming-window analog the
+        # reference lacks (batch contract, SURVEY §2.10)
+        ds = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+        return rel.hopping_window_agg(ds, "ts", "event_type", "value",
+                                      size_s=3600, hop_s=1800)
+
     def q_sessionize(sf):
         ds = rd.read_parquet(f"{sf}/events.parquet",
                              columns=["event_id", "user_id", "ts"])
@@ -787,6 +796,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(synthetic_media(200))
         return extract_features(media)
 
+    def q_media_pipeline(sf):
+        from hadoopsearchengine_ray.functions.multimodal import (
+            media_pipeline,
+            synthetic_media,
+        )
+
+        return media_pipeline(rd.from_arrow(synthetic_media(120)),
+                              frames_per_clip=4)
+
     return {
         "tokenize_tf": q_tokenize,
         "dictionary": q_dictionary,
@@ -824,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_join": q_big_join,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
+        "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "asof_last_signup": q_asof_signup,
         "top3_orders_per_cust": q_top3_orders_per_cust,
@@ -832,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_components_dist": q_dedup_components_dist,
         "media_features": q_media_features,
+        "media_frame_pipeline": q_media_pipeline,
     }
 
 
@@ -1225,6 +1245,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                    count(*) AS n, round(sum(value), 2) AS total
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window": """
+            WITH ex AS (
+              SELECT event_type, value,
+                     unnest(range(
+                       CAST(floor((epoch_us(ts) - 3600000000) / 1800000000) + 1 AS BIGINT),
+                       CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) + 1)) AS k
+              FROM events
+            )
+            SELECT CAST(k * 1800 AS BIGINT) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total
+            FROM ex GROUP BY 1, 2
         """,
         "sessionize": """
             WITH e AS (

@@ -85,3 +85,100 @@ def extract_features(media: rd.Dataset, concurrency: int = 2,
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+class MediaResizer:
+    """Actor-pool stage: image payload -> resized payload + new dims.
+
+    The reference routes image hits separately (IMAGE term_type,
+    FileStorage.h:31-45); training pipelines need resize-on-ingest.
+    ``codec='fake'`` performs a deterministic byte-level downsample that
+    preserves payload determinism (stride-sampled bytes + size header)
+    — the stand-in for a real decode->resize->encode; real codecs raise
+    NotImplementedError (libs not in this container)."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32,
+                 codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: real image decoding not available here")
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload, out_w, out_h = [], [], []
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        for payload, w, h in zip(batch["payload"].to_pylist(), widths, heights):
+            scale = max(1, (int(w) * int(h)) // (self.tw * self.th))
+            out_payload.append(payload[::scale])
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(out_payload, pa.binary()),
+            "width": pa.array(out_w, pa.int32()),
+            "height": pa.array(out_h, pa.int32()),
+            "duration_ms": batch["duration_ms"],
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> one row PER SAMPLED FRAME.
+
+    Emits ``fps``-spaced frames as independent payload rows (frame_idx
+    column added) so downstream feature extraction parallelizes per
+    frame; non-video rows pass through as frame_idx=0.  Deterministic
+    fake frame slicing; real demuxers raise NotImplementedError."""
+
+    def __init__(self, frames_per_clip: int = 4, codec: str = "fake"):
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: real video demuxing not available here")
+        self.n = frames_per_clip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mid, kind, frame, payload = [], [], [], []
+        durs = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        for m, k, p, d in zip(batch["media_id"].to_pylist(),
+                              batch["kind"].to_pylist(),
+                              batch["payload"].to_pylist(), durs):
+            if k != "video" or d <= 0:
+                mid.append(m); kind.append(k); frame.append(0); payload.append(p)
+                continue
+            span = max(1, len(p) // self.n)
+            for fi in range(self.n):
+                mid.append(m); kind.append(k); frame.append(fi)
+                payload.append(p[fi * span:(fi + 1) * span])
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "frame_idx": pa.array(frame, pa.int32()),
+            "payload": pa.array(payload, pa.binary()),
+        })
+
+
+def media_pipeline(media: rd.Dataset, target_w: int = 32, target_h: int = 32,
+                   frames_per_clip: int = 4, concurrency: int = 2,
+                   batch_size: int = 32) -> rd.Dataset:
+    """Ingest-shaped multimodal chain: resize (images) -> frame-sample
+    (videos) -> per-frame features.  Every stage is an actor pool with
+    small batches (wide binary rows); output one feature row per frame."""
+    resized = media.map_batches(
+        MediaResizer, fn_constructor_kwargs={"target_w": target_w,
+                                             "target_h": target_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+    frames = resized.map_batches(
+        FrameSampler, fn_constructor_kwargs={"frames_per_clip": frames_per_clip},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+
+    class _FrameFeatures(MediaFeatureExtractor):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            return out.append_column("frame_idx", batch["frame_idx"])
+
+    return frames.map_batches(
+        _FrameFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)

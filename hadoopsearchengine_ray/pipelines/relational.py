@@ -362,3 +362,49 @@ def kth_percentile(ds: rd.Dataset, col: str, q: float) -> float:
     cum = counts["cnt"].cumsum()
     idx = int(np.searchsorted(cum.to_numpy(), target + 1))
     return counts[col].iloc[idx]
+
+
+def hopping_window_agg(events: rd.Dataset, ts_col: str, key: str,
+                       value_col: str, size_s: int, hop_s: int) -> rd.Dataset:
+    """Hopping (sliding) event-time window aggregate: count + sum per
+    (window_start, key); an event at t belongs to every window
+    [ws, ws+size) with ws = k*hop covering t.  The tumbling case
+    (size == hop) degenerates to the events_hourly shape.
+
+    Ray Data has no event-time windows (SURVEY.md §2.10); this is the
+    batch expression: each row fans out to its size/hop windows inside
+    ``map_batches`` (vectorized repeat — no per-row loop), then one
+    groupby.  Exact parity with the SQL range()-unnest oracle."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    size_us = size_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k0 = np.floor_divide(ts - size_us, hop_us) + 1
+        k1 = np.floor_divide(ts, hop_us)
+        counts = (k1 - k0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), counts)
+        # window ordinal per expanded row: k0[row] + position-within-row
+        starts = np.cumsum(counts) - counts
+        offs = np.arange(len(idx)) - starts[idx]
+        ws = (k0[idx] + offs) * hop_s
+        return pa.table({
+            "window_start": pa.array(ws.astype(np.int64), pa.int64()),
+            key: batch[key].take(pa.array(idx)),
+            value_col: batch[value_col].take(pa.array(idx)),
+        })
+
+    agg = (events.map_batches(_expand, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+           .groupby(["window_start", key])
+           .aggregate(Count(alias_name="n"),
+                      Sum(value_col, alias_name="total")))
+
+    def _round(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("total"), "total",
+                            _pc.round(b["total"], 2))
+
+    return agg.map_batches(_round, batch_format="pyarrow", batch_size=None)

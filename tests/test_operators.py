@@ -283,3 +283,28 @@ def test_ivf_knn_recall():
     for qi in range(4):
         assert list(full[full.qid == qi].sort_values("rank").vec_id) == \
             list(exact[exact.qid == qi].sort_values("rank").vec_id)
+
+
+def test_media_pipeline_resize_and_frames():
+    media = rd.from_arrow(multimodal.synthetic_media(30))
+    out = multimodal.media_pipeline(media, frames_per_clip=4,
+                                    concurrency=1).to_pandas()
+    # videos fan out to 4 frame rows; images/audio stay single rows
+    per = out.groupby("media_id").size()
+    kinds = multimodal.synthetic_media(30).to_pandas().set_index("media_id")["kind"]
+    for mid, n in per.items():
+        assert n == (4 if kinds[mid] == "video" else 1), (mid, kinds[mid], n)
+    assert all(len(f) == multimodal.MediaFeatureExtractor.FEAT_DIM
+               for f in out.feature)
+    # deterministic end to end
+    out2 = multimodal.media_pipeline(rd.from_arrow(multimodal.synthetic_media(30)),
+                                     frames_per_clip=4, concurrency=1).to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"]).feature.tolist()
+    b = out2.sort_values(["media_id", "frame_idx"]).feature.tolist()
+    assert [list(x) for x in a] == [list(x) for x in b]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.MediaResizer(codec="pil")
+    with _pytest.raises(NotImplementedError):
+        multimodal.FrameSampler(codec="ffmpeg")
