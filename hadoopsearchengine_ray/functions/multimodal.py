@@ -108,7 +108,16 @@ class MediaResizer:
         out_payload, out_w, out_h = [], [], []
         widths = batch["width"].to_numpy(zero_copy_only=False)
         heights = batch["height"].to_numpy(zero_copy_only=False)
-        for payload, w, h in zip(batch["payload"].to_pylist(), widths, heights):
+        for payload, w, h, kind in zip(batch["payload"].to_pylist(), widths,
+                                       heights, batch["kind"].to_pylist()):
+            if kind != "image":
+                # resize is an IMAGE transform — audio/video payloads and
+                # dims pass through untouched (the frame sampler owns
+                # video handling)
+                out_payload.append(payload)
+                out_w.append(int(w))
+                out_h.append(int(h))
+                continue
             scale = max(1, (int(w) * int(h)) // (self.tw * self.th))
             out_payload.append(payload[::scale])
             out_w.append(self.tw)

@@ -30,11 +30,30 @@ from .build_index import build_index
 from .query import BM25Scorer, IndexReader
 
 
+def _delta_key(corpus_path: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(corpus_path.encode()).hexdigest()[:12]
+
+
 class MergedIndexReader:
     """IndexReader-compatible view over a main index + delta indexes."""
 
     def __init__(self, index_dirs: list[str]):
-        self.readers = [IndexReader(d) for d in index_dirs]
+        readers = [IndexReader(d) for d in index_dirs]
+        # order by ascending doc range (posting-list concatenation and
+        # positional searchsorted both assume globally ascending doc ids)
+        # and fail loudly on overlapping ranges — overlaps would silently
+        # double-count dl/df
+        readers.sort(key=lambda r: r.min_doc_id)
+        for a, b in zip(readers, readers[1:]):
+            if a.max_doc_id >= 0 and b.max_doc_id >= 0 \
+                    and a.max_doc_id >= b.min_doc_id:
+                raise ValueError(
+                    f"merged indexes have overlapping doc-id ranges "
+                    f"([{a.min_doc_id},{a.max_doc_id}] vs "
+                    f"[{b.min_doc_id},{b.max_doc_id}]) — renumber deltas")
+        self.readers = readers
         metas = [r.meta for r in self.readers]
         self.N = sum(m["num_docs"] for m in metas)
         total = sum(m["total_tokens"] for m in metas)
@@ -99,17 +118,26 @@ def add_documents(main_index_dir: str, corpus_path: str,
 
     with open(os.path.join(main_index_dir, "meta.json")) as f:
         main_meta = json.load(f)
+    # the floor covers the main index AND every existing delta (each
+    # records its own doc_id_space = max id + 1) — adding docs whose ids
+    # overlap a PREVIOUS delta must fail just as loudly
+    floor = main_meta["doc_id_space"]
+    droot = os.path.join(main_index_dir, "deltas")
+    if os.path.isdir(droot):
+        for d in os.listdir(droot):
+            mp = os.path.join(droot, d, "meta.json")
+            if os.path.exists(mp) and mp != os.path.join(
+                    droot, _delta_key(corpus_path), "meta.json"):
+                with open(mp) as f:
+                    floor = max(floor, json.load(f)["doc_id_space"])
     lo = pads.dataset(corpus_path).to_table(columns=[id_col])
     min_id = pc.min(lo[id_col]).as_py() if lo.num_rows else None
-    if min_id is not None and min_id < main_meta["doc_id_space"]:
+    if min_id is not None and min_id < floor:
         raise ValueError(
-            f"delta doc ids must be >= main doc_id_space "
-            f"({main_meta['doc_id_space']}); got min id {min_id} — "
+            f"delta doc ids must be >= the covered doc_id_space "
+            f"({floor}, main + existing deltas); got min id {min_id} — "
             "renumber the new docs before indexing")
-    import hashlib
-
-    key = hashlib.sha256(corpus_path.encode()).hexdigest()[:12]
-    delta_dir = os.path.join(main_index_dir, "deltas", key)
+    delta_dir = os.path.join(main_index_dir, "deltas", _delta_key(corpus_path))
     build_index(corpus_path, delta_dir, id_mode="column", id_col=id_col,
                 text_col=text_col,
                 with_positions=main_meta.get("with_positions", True),
@@ -154,7 +182,12 @@ def delete_documents(index_dir: str, doc_ids) -> set[int]:
     """Tombstone doc ids: deleted docs disappear from results AND from
     the BM25 statistics (N, avgdl, df, dl) without touching the posting
     files — the standard soft-delete; compaction = rebuild over the
-    surviving corpus.  Idempotent; returns the full tombstone set."""
+    surviving corpus.  Idempotent; returns the full tombstone set.
+
+    Contract: every id must be a REAL indexed doc — out-of-range ids
+    fail loudly at reader construction; over a SPARSE doc-id space a
+    never-indexed in-range id cannot be detected and would skew the
+    N/avgdl correction (dense spaces, the default, have no such ids)."""
     tomb = load_tombstones(index_dir) | {int(d) for d in doc_ids}
     tmp = _tombstone_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -175,6 +208,11 @@ class TombstoneReader:
         self._base = base
         self._tomb = np.fromiter(sorted(tombstones), np.int64,
                                  len(tombstones))
+        if len(self._tomb) and int(self._tomb[-1]) >= base.doc_space:
+            raise ValueError(
+                f"tombstone id {int(self._tomb[-1])} outside the doc-id "
+                f"space ({base.doc_space}); only indexed doc ids may be "
+                "deleted (N/avgdl correction assumes real docs)")
         removed_dl = float(base.dl[self._tomb].sum())
         total = base.avgdl * base.N
         self.N = base.N - len(self._tomb)
@@ -184,12 +222,15 @@ class TombstoneReader:
         self.dl = base.dl.copy()
         self.dl[self._tomb] = 0.0
         self._df_cache: dict[str, tuple] = {}
+        self._post_cache: dict[str, tuple] = {}
 
     def _alive(self, docs: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self._tomb, docs.astype(np.int64))
-        idx = np.minimum(idx, len(self._tomb) - 1) if len(self._tomb) else idx
-        return ~((len(self._tomb) > 0)
-                 & (self._tomb[idx] == docs.astype(np.int64)))
+        if len(self._tomb) == 0:
+            return np.ones(len(docs), dtype=bool)
+        d = docs.astype(np.int64)
+        idx = np.minimum(np.searchsorted(self._tomb, d),
+                         len(self._tomb) - 1)
+        return self._tomb[idx] != d
 
     def lookup(self, term: str):
         ent = self._df_cache.get(term)
@@ -200,16 +241,24 @@ class TombstoneReader:
             self._df_cache[term] = ()
             return None
         tid, _ = base_ent
-        d, _f = self._base.decoded_postings(term)
-        df = int(self._alive(d).sum())
-        out = (tid, df)
+        d, f = self._base.decoded_postings(term)
+        keep = self._alive(d)
+        # cache the filtered decode: MaxScore's lookup would otherwise
+        # pay a full posting decode AND phase 1 would decode again
+        if len(self._post_cache) > 8192:
+            self._post_cache.clear()
+        self._post_cache[term] = (d[keep], f[keep])
+        out = (tid, int(keep.sum()))
         self._df_cache[term] = out
-        return out if df else out   # df 0 still a valid entry (idf ~ max)
+        return out   # df 0 still a valid entry (idf ~ max)
 
     def idf(self, df: int) -> float:
         return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
 
     def decoded_postings(self, term: str):
+        hit = self._post_cache.get(term)
+        if hit is not None:
+            return hit
         d, f = self._base.decoded_postings(term)
         if len(d) == 0 or len(self._tomb) == 0:
             return d, f

@@ -80,6 +80,9 @@ class IndexReader:
         self.dl = np.zeros(self.doc_space, dtype=np.float64)
         ids = dl_tbl.column("doc_id").to_numpy().astype(np.int64)
         self.dl[ids] = dl_tbl.column("dl").to_numpy().astype(np.float64)
+        # doc-id range (for delta merge ordering/overlap validation)
+        self.min_doc_id = int(ids.min()) if len(ids) else 0
+        self.max_doc_id = int(ids.max()) if len(ids) else -1
 
         d_tbl = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
             columns=["term", "term_id", "df"]

@@ -129,3 +129,63 @@ def test_delete_documents_matches_rebuild(delta_dirs, tmp_path):
         exp = oidx.bm25_topk(q["terms"], 10)
         assert [int(x) for x in d] == [int(t[0]) for t in exp], q["terms"]
         assert np.allclose(s, [t[1] for t in exp])
+
+
+def test_second_delta_overlap_rejected_and_order_restored(delta_dirs, tmp_path):
+    """Round-2 review: (a) a second delta overlapping an EARLIER delta
+    must be rejected; (b) merged readers sort by doc range regardless of
+    directory-name order."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import (
+        MergedIndexReader,
+        add_documents,
+    )
+
+    main, delta, full, root = delta_dirs
+    # (a) overlap with the existing 400-499 delta
+    bad = str(tmp_path / "overlap.parquet")
+    pq.write_table(_doc_table(450, 520), bad)
+    with pytest.raises(ValueError, match="doc_id_space"):
+        add_documents(main, bad)
+    # (b) pass dirs in the wrong order — reader must re-sort by range
+    merged = MergedIndexReader([delta, main])
+    d, _ = merged.decoded_postings("def")
+    assert (np.diff(d.astype(np.int64)) > 0).all()
+
+
+def test_tombstone_edge_cases(delta_dirs, tmp_path):
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import TombstoneReader
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    main, delta, full, root = delta_dirs
+    base = IndexReader(full)
+    # empty tombstone set: lookup must not crash (round-2 review)
+    t0 = TombstoneReader(base, set())
+    assert t0.lookup("def") == base.lookup("def")
+    # out-of-range id fails loudly
+    with pytest.raises(ValueError, match="doc-id space"):
+        TombstoneReader(base, {10**9})
+
+
+def test_media_resizer_gates_on_kind():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hadoopsearchengine_ray.functions import multimodal
+
+    media = multimodal.synthetic_media(9)
+    out = (rd.from_arrow(media)
+           .map_batches(multimodal.MediaResizer, batch_format="pyarrow",
+                        concurrency=1, batch_size=9)
+           .to_pandas().set_index("media_id"))
+    src = media.to_pandas().set_index("media_id")
+    for mid in range(9):
+        if src.loc[mid, "kind"] == "image":
+            assert out.loc[mid, "width"] == 32
+        else:
+            # audio/video untouched (round-2 review: no cross-kind resize)
+            assert out.loc[mid, "payload"] == src.loc[mid, "payload"]
+            assert out.loc[mid, "width"] == src.loc[mid, "width"]
