@@ -98,6 +98,13 @@ class IndexReader:
         self.post_dir = os.path.join(index_dir, "postings")
         self._pcache: dict[str, list[dict]] = {}
         self._cache_cap = cache_terms
+        # decoded-list cache: the analog of the reference's decompressed
+        # block cache (CHitItemBlock, 500 MB budget) — hot terms decode
+        # once per actor, not once per query
+        self._dec_cache: dict[str, tuple] = {}
+        self._dec_pos_cache: dict[str, tuple] = {}
+        self._dec_bytes = 0
+        self._dec_budget = 256 * 1024 * 1024
         self._part_ds: dict[int, pads.Dataset] = {}  # opened part dirs
         # parts smaller than this are loaded whole into an in-memory
         # term_id -> rows map on first touch (the reference's 500MB
@@ -158,8 +165,22 @@ class IndexReader:
         self._pcache[term] = rows
         return rows
 
+    def _dec_store(self, cache: dict, term: str, value: tuple) -> None:
+        nbytes = sum(getattr(v, "nbytes", 0) for v in value)
+        if self._dec_bytes + nbytes > self._dec_budget:
+            self._dec_cache.clear()
+            self._dec_pos_cache.clear()
+            self._dec_bytes = 0      # epoch eviction, like _pcache
+        if nbytes <= self._dec_budget:
+            cache[term] = value
+            self._dec_bytes += nbytes
+
     def decoded_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full (doc_ids, tfs) for a term, concatenated over salted rows."""
+        """Full (doc_ids, tfs) for a term, concatenated over salted rows;
+        decoded lists cached per actor under the byte budget."""
+        hit = self._dec_cache.get(term)
+        if hit is not None:
+            return hit
         rows = self.posting_rows(term)
         if not rows:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
@@ -168,7 +189,9 @@ class IndexReader:
             d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
             docs.append(d)
             tfs.append(f)
-        return np.concatenate(docs), np.concatenate(tfs)
+        out = (np.concatenate(docs), np.concatenate(tfs))
+        self._dec_store(self._dec_cache, term, out)
+        return out
 
     def decoded_positions(self, term: str):
         """(doc_ids, tfs, flat_positions, row_offsets) for a term.
@@ -177,6 +200,9 @@ class IndexReader:
         Requires a positional index (build_index with_positions=True) —
         the reference's in-index positions (CompileHitList.h:304-315)
         served without re-tokenizing documents."""
+        hit = self._dec_pos_cache.get(term)
+        if hit is not None:
+            return hit
         rows = self.posting_rows(term)
         if not rows:
             e = np.empty(0, np.uint64)
@@ -194,8 +220,10 @@ class IndexReader:
             flats.append(flat)
         tf_all = np.concatenate(tfs)
         row_offsets = np.concatenate(([0], np.cumsum(tf_all))).astype(np.int64)
-        return (np.concatenate(docs), tf_all, np.concatenate(flats),
-                row_offsets)
+        out = (np.concatenate(docs), tf_all, np.concatenate(flats),
+               row_offsets)
+        self._dec_store(self._dec_pos_cache, term, out)
+        return out
 
 
 def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
