@@ -161,14 +161,27 @@ def dictionary_from_postings(postings: rd.Dataset,
            .groupby("term_id")
            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
 
+    # term strings re-attach via a broadcast pd.Series probe (vectorized
+    # hashtable map, not a per-row loop) up to ``broadcast_limit``
+    # distinct terms; above it — a vocabulary too big to broadcast —
+    # fall back to the co-partitioned hash join
+    vocab = vocab.materialize()
+    broadcast_limit = 2_000_000
+    if vocab.count() > broadcast_limit:
+        from ..pipelines.relational import hash_join
+
+        return hash_join(agg, vocab.select_columns(["term_id", "term"]),
+                         on="term_id")
+    import pandas as pd
+
     vocab_pdf = vocab.to_pandas()
-    lut_ref = ray.put(dict(zip(vocab_pdf["term_id"].astype(np.int64),
-                               vocab_pdf["term"])))
+    lut_ref = ray.put(pd.Series(vocab_pdf["term"].to_numpy(),
+                                index=vocab_pdf["term_id"].astype(np.int64)))
 
-    def _attach_term(batch: pa.Table) -> pa.Table:
+    def _attach_term(batch: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(lut_ref)
-        terms = [lut[int(t)] for t in batch["term_id"].to_pylist()]
-        return batch.append_column("term", pa.array(terms, pa.string()))
+        batch["term"] = batch["term_id"].map(lut)
+        return batch
 
-    return agg.map_batches(_attach_term, batch_format="pyarrow",
+    return agg.map_batches(_attach_term, batch_format="pandas",
                            batch_size=None)
