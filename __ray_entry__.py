@@ -314,6 +314,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_word_stats(sf):
         return text.word_stats(_docs(sf))
 
+    def q_association_top3(sf):
+        # association map (query expansion source): per term, top-3
+        # co-occurrence partners by (max bigram count desc, partner asc)
+        assoc = text.association_map(_docs(sf), top_m=3, max_bigrams=10_000)
+        rows = [(t, ",".join(ps)) for t, ps in assoc.items() if ps]
+        rows.sort()
+        return pd.DataFrame({
+            "term": pd.array([r[0] for r in rows], dtype=str),
+            "partners": pd.array([r[1] for r in rows], dtype=str),
+        })
+
+    def q_spell_suggest(sf):
+        # SymSpell deletion-index suggestions for dropped-letter typos;
+        # shadow: every distance-1 dictionary term must be found and the
+        # ranking must follow (distance, cf desc, term)
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.functions.spellcheck import (
+            SpellIndex,
+            _edit_distance_le,
+        )
+
+        sidx = SpellIndex.from_index_dir(index_for(f"{sf}/documents.parquet"))
+        vocab = sorted(sidx.cf)
+        typos = sorted({t[:2] + t[3:] for t in vocab
+                        if len(t) >= 5 and t[:2] + t[3:] not in sidx.cf})[:20]
+        rows = []
+        for w in typos:
+            sugg = sidx.suggest(w, max_suggestions=5)
+            # shadow check 1: returned candidates ranked correctly
+            ranked = sorted(((_edit_distance_le(w, c), -sidx.cf[c], c)
+                             for c in sugg))
+            if [c for _, _, c in ranked] != sugg:
+                raise AssertionError(f"spell ranking broken for {w}")
+            # shadow check 2: no distance-1 term missed (deletion-index
+            # completeness at distance 1)
+            d1 = {c for c in vocab if _edit_distance_le(w, c, 1) <= 1}
+            top = set(sugg)
+            for c in d1:
+                better = [(1, -sidx.cf[c], c) <= r for r in ranked[:len(sugg)]]
+                if c not in top and len(sugg) < 5:
+                    raise AssertionError(f"spell missed dist-1 {c} for {w}")
+            rows.append((w, ",".join(sugg)))
+        return pd.DataFrame({
+            "typo": pd.array([r[0] for r in rows], dtype=str),
+            "suggestions": pd.array([r[1] for r in rows], dtype=str),
+        })
+
     # ---- dedup family -------------------------------------------------
     def q_exact_dedup(sf):
         return dedup.exact_dedup(_docs(sf))
@@ -826,6 +873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_sets": q_keyword_sets,
         "keyword_pagerank": q_keyword_pagerank,
         "word_stats": q_word_stats,
+        "association_top3": q_association_top3,
+        "spell_suggest": q_spell_suggest,
         "exact_dedup": q_exact_dedup,
         "shingle_pairs": q_shingle_pairs,
         "minhash_near_dup": q_minhash,
@@ -1164,6 +1213,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT max(cf) AS max_cf, CAST(sum(cf) AS BIGINT) AS net_cf,
                    count(*) AS n_terms
             FROM d
+        """,
+        "association_top3": f"""
+            WITH {TOK_ORDERED_CTE},
+            big AS (
+              SELECT a.t || ' ' || b.t AS bigram, a.t AS x, b.t AS y,
+                     count(*) AS n
+              FROM toko a JOIN toko b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              GROUP BY 1, 2, 3
+            ),
+            capped AS (
+              SELECT * FROM big
+              QUALIFY row_number() OVER (ORDER BY n DESC, bigram) <= 10000
+            ),
+            sym AS (
+              SELECT x AS term, y AS partner, n FROM capped
+              UNION ALL
+              SELECT y, x, n FROM capped
+            ),
+            dedup AS (
+              SELECT term, partner, max(n) AS n FROM sym
+              WHERE term <> partner GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT term, partner,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY n DESC, partner) AS rk
+              FROM dedup
+            )
+            SELECT term, string_agg(partner, ',' ORDER BY rk) AS partners
+            FROM ranked WHERE rk <= 3 GROUP BY term
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
