@@ -565,6 +565,14 @@ def connected_components(pairs: rd.Dataset, num_buckets: int = 32,
 
     edges = pairs.map_batches(_as_edges, batch_format="pyarrow",
                               batch_size=None).materialize()
+    if edges.count() == 0:
+        # schema-less empty blocks would flow through the star rounds and
+        # fail the final groupby/Min on missing columns — mirror the
+        # minhash empty-candidates guard with a typed empty result
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "root": pa.array([], pa.int64()),
+        }))
     prev = _edge_fingerprint(edges)
     for _ in range(max_rounds):
         edges = _star_round(edges, "large", num_buckets)

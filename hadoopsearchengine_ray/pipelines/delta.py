@@ -222,7 +222,21 @@ class TombstoneReader:
         self.dl = base.dl.copy()
         self.dl[self._tomb] = 0.0
         self._df_cache: dict[str, tuple] = {}
+        # byte-budgeted like IndexReader._dec_store: hot-term decoded
+        # posting arrays can be MBs each, so an entry-count bound alone
+        # could hold GBs before an epoch clear
         self._post_cache: dict[str, tuple] = {}
+        self._post_bytes = 0
+        self._post_budget = 256 * 1024 * 1024
+
+    def _post_store(self, term: str, value: tuple) -> None:
+        nbytes = sum(getattr(v, "nbytes", 0) for v in value)
+        if self._post_bytes + nbytes > self._post_budget:
+            self._post_cache.clear()   # epoch eviction
+            self._post_bytes = 0
+        if nbytes <= self._post_budget:
+            self._post_cache[term] = value
+            self._post_bytes += nbytes
 
     def _alive(self, docs: np.ndarray) -> np.ndarray:
         if len(self._tomb) == 0:
@@ -245,9 +259,7 @@ class TombstoneReader:
         keep = self._alive(d)
         # cache the filtered decode: MaxScore's lookup would otherwise
         # pay a full posting decode AND phase 1 would decode again
-        if len(self._post_cache) > 8192:
-            self._post_cache.clear()
-        self._post_cache[term] = (d[keep], f[keep])
+        self._post_store(term, (d[keep], f[keep]))
         out = (tid, int(keep.sum()))
         self._df_cache[term] = out
         return out   # df 0 still a valid entry (idf ~ max)

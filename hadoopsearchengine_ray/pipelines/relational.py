@@ -184,22 +184,25 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
 
     out_cols = lcols + [c for c in rcols if c not in on_cols]
 
-    def _join(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "__side" not in g.columns:
+    def _join(g: pa.Table) -> pd.DataFrame:
+        if g.num_rows == 0 or "__side" not in g.column_names:
             return pd.DataFrame({c: pd.Series(dtype=ldtypes.get(c, rdtypes.get(c)))
                                  for c in out_cols})
-        lg = g[g["__side"] == 0][lcols]
-        rg = g[g["__side"] == 1][rcols]
-        lcast = {c: dt for c, dt in ldtypes.items() if lg[c].dtype != dt}
-        rcast = {c: dt for c, dt in rdtypes.items() if rg[c].dtype != dt}
-        if lcast:
-            lg = lg.astype(lcast)
-        if rcast:
-            rg = rg.astype(rcast)
+        # split sides IN ARROW and select each side's own columns before
+        # any pandas conversion: the tagged union pads the other side's
+        # columns with nulls, and a null-padded int64 column converted to
+        # pandas promotes to float64 — int64 values >= 2^53 (blake2b ids,
+        # uint64-derived hashes) would silently lose precision and
+        # mis-join.  Own columns have no padding nulls, so dtypes survive.
+        import pyarrow.compute as _pc
+
+        side = g["__side"]
+        lg = g.filter(_pc.equal(side, 0)).select(lcols).to_pandas()
+        rg = g.filter(_pc.equal(side, 1)).select(rcols).to_pandas()
         return lg.merge(rg, on=on_cols, how=how)
 
     out = (lt.union(rt).groupby("__bucket")
-           .map_groups(_join, batch_format="pandas"))
+           .map_groups(_join, batch_format="pyarrow"))
     if restore_order_col is not None:
         out = out.sort(restore_order_col)
     return out
@@ -382,7 +385,14 @@ def hopping_window_agg(events: rd.Dataset, ts_col: str, key: str,
     hop_us = hop_s * 1_000_000
 
     def _expand(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_arr = batch[ts_col]
+        if pa.types.is_timestamp(ts_arr.type):
+            # normalize the unit before the int64 cast: a timestamp[ns]
+            # column (common after pandas round-trips) cast directly to
+            # int64 yields nanoseconds — window starts off by 1000x.
+            # Same hazard sessionize normalizes explicitly.
+            ts_arr = ts_arr.cast(pa.timestamp("us"))
+        ts = ts_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         k0 = np.floor_divide(ts - size_us, hop_us) + 1
         k1 = np.floor_divide(ts, hop_us)
         counts = (k1 - k0 + 1).astype(np.int64)

@@ -155,3 +155,80 @@ def test_minhash_short_docs_not_paired():
     }))
     out = dedup.minhash_lsh_pairs(docs, n=3, jaccard_threshold=0.5).to_pandas()
     assert len(out) == 0
+
+
+# ---- round-3 advice fixes -------------------------------------------------
+
+def test_hash_join_preserves_large_int64_keys():
+    """ADVICE r3: int64 keys >= 2^53 must survive the bucketed join —
+    the tagged union's null padding used to promote them through
+    float64 in pandas group blocks."""
+    from hadoopsearchengine_ray.pipelines.relational import hash_join
+
+    big = [2**62 + 1, 2**62 + 2, -(2**62) - 3, 9007199254740993]  # 2^53+1
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(big, pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(big[:3] + [12345], pa.int64()),
+        "rv": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    out = hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    assert len(out) == 3
+    got = dict(zip(out["k"], out["rv"]))
+    assert got == {big[0]: 1, big[1]: 2, big[2]: 3}
+
+
+def test_hopping_window_normalizes_timestamp_ns():
+    """ADVICE r3: timestamp[ns] input must window identically to the
+    same instants in timestamp[us]."""
+    from hadoopsearchengine_ray.pipelines.relational import hopping_window_agg
+
+    us_vals = [1_000_000, 3_500_000, 7_200_000, 11_000_000]
+    t_us = pa.array(us_vals, pa.timestamp("us"))
+    t_ns = t_us.cast(pa.timestamp("ns"))
+    keys = pa.array([1, 1, 2, 2], pa.int64())
+    vals = pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())
+
+    def run(ts_arr):
+        ds = rd.from_arrow(pa.table({"ts": ts_arr, "k": keys, "v": vals}))
+        return (hopping_window_agg(ds, "ts", "k", "v", size_s=10, hop_s=5)
+                .to_pandas().sort_values(["window_start", "k"])
+                .reset_index(drop=True))
+
+    a, b = run(t_us), run(t_ns)
+    assert a.equals(b)
+    assert set(a["window_start"]) <= {-5, 0, 5, 10}
+
+
+def test_connected_components_empty_pairs():
+    """ADVICE r3: zero edges must return a typed empty (node, root)
+    dataset instead of crashing the star rounds."""
+    pairs = rd.from_arrow(pa.table({
+        "d1": pa.array([], pa.int64()),
+        "d2": pa.array([], pa.int64()),
+    }))
+    out = dedup.connected_components(pairs)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "root"]
+
+
+def test_tombstone_post_cache_byte_budget(tmp_path):
+    """ADVICE r3: TombstoneReader's filtered-decode cache evicts on a
+    byte budget, not just entry count."""
+    from hadoopsearchengine_ray.pipelines.delta import TombstoneReader
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    c = str(tmp_path / "c.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(_corpus_table(
+        [(f"r/{i:03d}", f"p{i:03d}", f"alpha beta doc{i}") for i in range(20)]), c)
+    build_index(c, idx)
+    tr = TombstoneReader(IndexReader(idx), {1, 2})
+    tr._post_budget = 64  # tiny budget forces epoch eviction
+    for t in ("alpha", "beta"):
+        tr.lookup(t)
+    assert tr._post_bytes <= 64 or len(tr._post_cache) <= 1
+    d, _ = tr.decoded_postings("alpha")
+    assert 1 not in d.astype(np.int64) and 2 not in d.astype(np.int64)
