@@ -23,6 +23,28 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix view of a list<float> / fixed_size_list
+    vector column — flatten + reshape, no per-row Python objects (the
+    round-2 ``to_pylist()`` sites churned every vector through Python
+    lists in the hot map stages)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(n, dim).astype(np.float64, copy=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = np.diff(offs)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("ragged vector column (rows of unequal dim)")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(np.float64, copy=False)
+
+
 def knn_cosine(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
     """Exact cosine top-k: returns (qid, rank, vec_id) int64 columns.
@@ -35,8 +57,7 @@ def knn_cosine(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
     def _local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        m = _norm_rows(m)
+        m = _norm_rows(_vec_matrix(batch[vec_col]))
         sims = m @ qm.T                       # (batch, nq)
         kk = min(k, len(ids))
         out_q, out_id, out_s = [], [], []
@@ -80,7 +101,7 @@ def lsh_buckets(embeddings: rd.Dataset, num_planes: int = 8, seed: int = 5,
 
     def _bucket(batch: pa.Table) -> pa.Table:
         pl = ray.get(p_ref)
-        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        m = _vec_matrix(batch[vec_col])
         bits = (m @ pl.T) > 0
         bucket = bits @ (1 << np.arange(pl.shape[0]))
         return pa.table({
@@ -92,57 +113,82 @@ def lsh_buckets(embeddings: rd.Dataset, num_planes: int = 8, seed: int = 5,
                                   zero_copy_batch=True)
 
 
+def _verify_bucket_pairs(g: pa.Table, id_col: str, sim_threshold: float,
+                         max_bucket: int) -> pa.Table:
+    """All-pairs cosine verify inside one LSH bucket; oversized buckets
+    skip LOUDLY (stderr) instead of dropping pairs silently."""
+    empty = pa.table({"d1": pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if g.num_rows < 2 or id_col not in g.column_names:
+        return empty
+    ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) > max_bucket:
+        import sys
+        print(f"[embedding_near_dup] WARNING: bucket with {len(ids)} "
+              f"vectors exceeds max_bucket={max_bucket} and was "
+              "skipped (potential false negatives) — raise "
+              "num_planes or max_bucket", file=sys.stderr)
+        return empty
+    m = _vec_matrix(g["vec"])
+    sims = m @ m.T
+    i, j = np.triu_indices(len(ids), k=1)
+    keep = sims[i, j] >= sim_threshold
+    return pa.table({
+        "d1": pa.array(np.minimum(ids[i][keep], ids[j][keep]), pa.int64()),
+        "d2": pa.array(np.maximum(ids[i][keep], ids[j][keep]), pa.int64()),
+        "sim": pa.array(np.round(sims[i, j][keep], 4), pa.float64()),
+    })
+
+
 def embedding_near_dup(embeddings: rd.Dataset, sim_threshold: float = 0.98,
                        num_planes: int = 10, num_tables: int = 4, seed: int = 5,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id", dim: int = 64) -> rd.Dataset:
+                       id_col: str = "vec_id", dim: int = 64,
+                       max_bucket: int = 1000) -> rd.Dataset:
     """Near-duplicate vector pairs by cosine >= threshold, LSH-bucketed:
     ``num_tables`` independent hyperplane signatures (union of buckets
     recovers pairs split by any single table's boundary), all-pairs
-    verification inside buckets only."""
+    verification inside buckets only.
+
+    Buckets over ``max_bucket`` vectors are SKIPPED loudly (stderr, like
+    dedup.shingle_overlap_pairs' df cap): an oversized bucket means a
+    hot region whose quadratic verify would dominate — raise num_planes
+    (finer buckets) or max_bucket for dup-heavy corpora.  The normalized
+    vectors ride the shuffle as a fixed_size_list column (flatten /
+    reshape on both ends, no per-row Python lists)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim))
     p_ref = ray.put(planes)
 
     def _with_bucket(batch: pa.Table) -> pa.Table:
         pl = ray.get(p_ref)
-        m = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        mn = _norm_rows(m)
+        mn = _norm_rows(_vec_matrix(batch[vec_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_id, out_bucket, out_vec = [], [], []
-        for t in range(pl.shape[0]):
+        nt = pl.shape[0]
+        out_id, out_bucket = [], []
+        for t in range(nt):
             bits = (mn @ pl[t].T) > 0
             bucket = bits @ (1 << np.arange(pl.shape[1]))
             out_id.append(ids)
             out_bucket.append(t * (1 << pl.shape[1]) + bucket.astype(np.int64))
-            out_vec.extend(r.tolist() for r in mn)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(mn.ravel(), nt), pa.float64()), mn.shape[1])
         return pa.table({
             id_col: pa.array(np.concatenate(out_id), pa.int64()),
             "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
-            "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            "vec": vec,
         })
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2 or len(ids) > 1000:
-            return pd.DataFrame({"d1": [], "d2": [], "sim": []})
-        m = np.asarray(list(g["vec"]), dtype=np.float64)
-        sims = m @ m.T
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = sims[i, j] >= sim_threshold
-        order = np.argsort(ids)
-        return pd.DataFrame({
-            "d1": np.minimum(ids[i][keep], ids[j][keep]),
-            "d2": np.maximum(ids[i][keep], ids[j][keep]),
-            "sim": np.round(sims[i, j][keep], 4),
-        })
+    def _pairs(g: pa.Table) -> pa.Table:
+        return _verify_bucket_pairs(g, id_col, sim_threshold, max_bucket)
 
     from ray.data.aggregate import Max
 
     pairs = (embeddings.map_batches(_with_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
              .groupby("bucket")
-             .map_groups(_pairs, batch_format="pandas"))
+             .map_groups(_pairs, batch_format="pyarrow"))
     return pairs.groupby(["d1", "d2"]).aggregate(Max("sim", alias_name="sim"))
 
 
@@ -175,8 +221,7 @@ def kmeans_centroids(embeddings: rd.Dataset, k: int = 64, iters: int = 5,
 
         def _partial(batch: pa.Table, *, _c=c_ref) -> pa.Table:
             c = ray.get(_c)
-            m = _norm_rows(np.asarray(batch[vec_col].to_pylist(),
-                                      dtype=np.float64))
+            m = _norm_rows(_vec_matrix(batch[vec_col]))
             assign = np.argmax(m @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
@@ -207,7 +252,7 @@ def ivf_assign(embeddings: rd.Dataset, centroids: np.ndarray,
 
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), np.float64))
+        m = _norm_rows(_vec_matrix(batch[vec_col]))
         return batch.append_column(
             "list_id", pa.array(np.argmax(m @ c.T, axis=1), pa.int64()))
 
@@ -236,7 +281,7 @@ def ivf_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
         qm, pr = ray.get(q_ref)
         lists = batch["list_id"].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _norm_rows(np.asarray(batch[vec_col].to_pylist(), np.float64))
+        m = _norm_rows(_vec_matrix(batch[vec_col]))
         out_q, out_id, out_s = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(lists, pr[qi])
