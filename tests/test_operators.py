@@ -354,3 +354,34 @@ def test_vec_matrix_fixed_size_list_and_ragged():
     ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
     with pytest.raises(ValueError, match="ragged"):
         similarity._vec_matrix(ragged)
+
+
+def test_keyword_link_edges_matches_driver_loop():
+    """Round-3: the distributed pair builder must aggregate to exactly
+    the driver-loop keyword_links edge multiset."""
+    texts = [
+        "alpha beta gamma alpha beta common common",
+        "alpha beta delta delta common",
+        "gamma delta epsilon common common common",
+        "zeta eta theta",
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    kws_ds = text.keyword_table(docs, top_m=3, pct=0.95).materialize()
+    kws = kws_ds.to_pandas()
+    vocab, links = text.keyword_links(kws)
+    # driver-loop edge weights aggregated per (src, dst)
+    import collections
+    agg = collections.defaultdict(float)
+    for s, d, w in zip(links["src"].to_pylist(), links["dst"].to_pylist(),
+                       links["weight"].to_pylist()):
+        agg[(vocab[s], vocab[d])] += w
+    edges = text.keyword_link_edges(kws_ds).to_pandas()
+    deg = edges.groupby("src_kw")["cnt"].sum()
+    got = {(r.src_kw, r.dst_kw): r.cnt / deg[r.src_kw]
+           for r in edges.itertuples()}
+    assert set(got) == set(agg)
+    for k in got:
+        assert abs(got[k] - agg[k]) < 1e-9, k
