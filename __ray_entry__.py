@@ -227,6 +227,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_search_dedup(sf):
+        # serving-time near-dup removal (D2, the reference's
+        # RemoveDuplicateExcerpt): the corpus is dup-SEEDED — every doc
+        # mirrored at doc_id + N — so the raw BM25 page would pair each
+        # hit with its duplicate; the fingerprint filter must suppress
+        # every mirror (oracle partitions candidates by token sequence)
+        import hashlib
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.pipelines.build_index import build_index
+        from hadoopsearchengine_ray.pipelines.docstore import (
+            search_dedup,
+            write_docstore,
+        )
+
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        n = tbl.num_rows
+        key = hashlib.sha256(f"sdedup:{sf}".encode()).hexdigest()[:16]
+        root = os.path.join("/tmp/hse_sdedup_cache", key)
+        os.makedirs(root, exist_ok=True)
+        seeded = os.path.join(root, "seeded.parquet")
+        store = os.path.join(root, "store")
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            mirror = pa.table({
+                "doc_id": pc.add(tbl["doc_id"], n),
+                "text": tbl["text"],
+            })
+            pq.write_table(pa.concat_tables([tbl, mirror]), seeded)
+            shutil.rmtree(store, ignore_errors=True)
+            write_docstore(rd.read_parquet(seeded), store)
+            open(os.path.join(root, "_DONE"), "w").close()
+        idx = os.path.join(root, "idx")
+        build_index(seeded, idx, id_mode="column", text_col="text")
+        out = search_dedup(idx, store, BM25_TERMS, k=10, k_prime=50,
+                           text_col="text")
+        return out.to_pandas()
+
     def q_anchor_bm25(sf):
         # anchor-text field (J4): deterministic links, source titles as
         # anchor terms, BM25 over the anchor posting index
@@ -863,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_bm25": q_anchor_bm25,
         "bm25_delta_topk": q_bm25_delta,
         "bm25_after_delete": q_bm25_delete,
+        "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
         "lang_id": q_lang_id,
@@ -1038,6 +1080,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "search_dedup": f"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT count(*) FROM documents), text
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t,
+                     generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+              FROM docs2
+            ),
+            toko AS (
+              SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+              FROM raw
+              WHERE length(t) BETWEEN 2 AND 16
+                AND (NOT regexp_full_match(t, '[0-9]+') OR length(t) BETWEEN 4 AND 5)
+            ),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toko GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM docs2) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM docs2) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            cand AS (
+              SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn0
+              FROM sc ORDER BY s DESC, doc_id LIMIT 50
+            ),
+            seq AS (
+              SELECT doc_id, string_agg(t, ' ' ORDER BY rn) AS sq
+              FROM toko GROUP BY doc_id
+            ),
+            ded AS (
+              SELECT cand.doc_id, rn0,
+                     row_number() OVER (PARTITION BY sq ORDER BY rn0) AS dup_rn
+              FROM cand JOIN seq USING (doc_id)
+            )
+            SELECT CAST(row_number() OVER (ORDER BY rn0) AS BIGINT) AS rank,
+                   doc_id
+            FROM ded WHERE dup_rn = 1 ORDER BY rn0 LIMIT 10
         """,
         "anchor_bm25": f"""
             WITH {TOK_ORDERED_CTE},

@@ -166,21 +166,74 @@ def proximity_rerank(index_dir: str, store_dir: str, terms: list[str],
         {"rank": pa.array([], pa.int64())})
 
 
-def search_with_snippets(index_dir: str, store_dir: str, terms: list[str],
-                         k: int = 10) -> pa.Table:
-    """Full serving path: BM25 top-k -> doc fetch -> snippets.
+def _dedup_by_fingerprint(doc_ids, scores, content: dict,
+                          text_col: str = "content"):
+    """Keep the highest-ranked doc per token-sequence fingerprint — the
+    reference's near-duplicate excerpt removal
+    (/root/reference/DyableRequest/DyableQuery/CompileRankedList.h:203-242,
+    excerpt checksum HitScore.h:262-267).  Candidates arrive rank-ordered;
+    a doc whose fingerprint matches an earlier (higher-ranked) doc is
+    dropped.  Returns the surviving (doc_id, score) pairs in rank order."""
+    from ..functions.text import fingerprint_py
+    from ..tokenizer import tokenize_py
 
-    The batch analog of the reference's CGI flow (query servers ->
-    DocumentQuery servers -> rendered excerpts, SURVEY.md §3.3)."""
+    seen: set[int] = set()
+    out = []
+    for d, s in zip(doc_ids, scores):
+        rec = content.get(int(d), {})
+        fp = fingerprint_py(tokenize_py(rec.get(text_col, "") or ""))
+        if fp in seen:
+            continue
+        seen.add(fp)
+        out.append((int(d), float(s)))
+    return out
+
+
+def search_dedup(index_dir: str, store_dir: str, terms: list[str],
+                 k: int = 10, k_prime: int = 50,
+                 text_col: str = "content") -> pa.Table:
+    """BM25 top-k with serving-time near-duplicate removal (D2): retrieve
+    the top ``k_prime`` candidates, fingerprint each candidate's token
+    sequence from the doc store, and keep only the highest-ranked doc per
+    fingerprint — duplicate content never reaches the final page.
+    Output: (rank, doc_id) int64, first k survivors."""
     from .query import BM25Scorer
 
     scorer = BM25Scorer(index_dir)
-    doc_ids, scores = scorer.score(terms, k)
+    doc_ids, scores = scorer.score(terms, k_prime)
     store = DocStore(store_dir)
     docs = store.fetch([int(d) for d in doc_ids])
     content = {r["doc_id"]: r for r in docs.to_pylist()} if docs.num_rows else {}
+    kept = _dedup_by_fingerprint(doc_ids, scores, content, text_col)[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(kept) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in kept], pa.int64()),
+    })
+
+
+def search_with_snippets(index_dir: str, store_dir: str, terms: list[str],
+                         k: int = 10, drop_near_dups: bool = False,
+                         k_prime: int = 50,
+                         text_col: str = "content") -> pa.Table:
+    """Full serving path: BM25 top-k -> doc fetch -> snippets.
+
+    The batch analog of the reference's CGI flow (query servers ->
+    DocumentQuery servers -> rendered excerpts, SURVEY.md §3.3).
+    ``drop_near_dups`` applies the D2 fingerprint filter over ``k_prime``
+    candidates before the final page is assembled."""
+    from .query import BM25Scorer
+
+    scorer = BM25Scorer(index_dir)
+    doc_ids, scores = scorer.score(terms, k_prime if drop_near_dups else k)
+    store = DocStore(store_dir)
+    docs = store.fetch([int(d) for d in doc_ids])
+    content = {r["doc_id"]: r for r in docs.to_pylist()} if docs.num_rows else {}
+    if drop_near_dups:
+        kept = _dedup_by_fingerprint(doc_ids, scores, content, text_col)[:k]
+    else:
+        kept = [(int(d), float(s)) for d, s in zip(doc_ids, scores)]
     rows = []
-    for rank, (d, s) in enumerate(zip(doc_ids, scores), start=1):
+    for rank, (d, s) in enumerate(kept, start=1):
         rec = content.get(int(d), {})
         rows.append({
             "rank": rank,
@@ -188,7 +241,7 @@ def search_with_snippets(index_dir: str, store_dir: str, terms: list[str],
             "score": float(s),
             "repo": rec.get("repo", ""),
             "path": rec.get("path", ""),
-            "snippet": make_snippet(rec.get("content", ""), terms),
+            "snippet": make_snippet(rec.get(text_col, ""), terms),
         })
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"rank": pa.array([], pa.int64())})

@@ -111,3 +111,43 @@ def test_cluster_graph_coarsens():
         n = int(m.max()) + 1
         assert n < len(m)
     assert n <= 400 // 2
+
+
+def test_search_dedup_suppresses_duplicate_content(tmp_path):
+    """Round-3 (D2): docs with identical token sequences collapse to the
+    highest-ranked one in the final page; distinct docs all survive."""
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.docstore import (
+        search_dedup,
+        search_with_snippets,
+    )
+
+    texts = ["needle alpha beta gamma"] * 3 + [
+        f"needle delta{i} epsilon{i} zeta{i}" for i in range(5)
+    ] + ["totally unrelated words"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    cp = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, cp)
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    build_index(cp, idx, id_mode="column", text_col="text")
+    write_docstore(rd.read_parquet(cp), store)
+
+    out = search_dedup(idx, store, ["needle"], k=10, k_prime=20,
+                       text_col="text").to_pandas()
+    # 8 docs match "needle"; the 3 identical ones collapse to doc 0
+    assert len(out) == 6
+    assert 0 in set(out["doc_id"])
+    assert not {1, 2} & set(out["doc_id"])
+    assert list(out["rank"]) == list(range(1, 7))
+
+    # snippet path with the flag on agrees on the surviving doc ids
+    snip = search_with_snippets(idx, store, ["needle"], k=10,
+                                drop_near_dups=True, k_prime=20,
+                                text_col="text")
+    assert snip.column("doc_id").to_pylist() == out["doc_id"].tolist()
