@@ -227,6 +227,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25f(sf):
+        # unified multi-field index (M8 complete): ONE build + ONE
+        # reader pass scores body + title (position-derived) + anchor
+        # (aux channel) together — the reference's hit-type routing
+        from hadoopsearchengine_ray.pipelines.fields import bm25f_topk
+
+        return bm25f_topk(f"{sf}/documents.parquet", BM25_TERMS, 10)
+
     def q_search_dedup(sf):
         # serving-time near-dup removal (D2, the reference's
         # RemoveDuplicateExcerpt): the corpus is dup-SEEDED — every doc
@@ -901,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": q_phrase,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
+        "bm25f_fields": q_bm25f,
         "anchor_bm25": q_anchor_bm25,
         "bm25_delta_topk": q_bm25_delta,
         "bm25_after_delete": q_bm25_delete,
@@ -1076,6 +1085,60 @@ def oracle_sql() -> dict[str, str]:
               JOIN df USING (term)
               JOIN dl USING (doc_id), stats
               GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "bm25f_fields": f"""
+            WITH {TOK_ORDERED_CTE},
+            tfb AS (SELECT doc_id, t AS term, count(*) AS tf,
+                           sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS tft
+                    FROM toko GROUP BY 1, 2),
+            nn AS (SELECT count(*) AS n FROM documents),
+            lk0 AS (
+              SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id AS src, (doc_id*17+3) % (SELECT n FROM nn) AS dst
+              FROM documents
+            ),
+            lk AS (SELECT src, dst FROM lk0 WHERE src != dst),
+            title AS (SELECT doc_id AS src, t AS term FROM toko WHERE rn <= 8),
+            an AS (SELECT lk.dst AS doc_id, title.term, count(*) AS atf
+                   FROM title JOIN lk USING (src) GROUP BY 1, 2),
+            m AS (
+              SELECT coalesce(tfb.doc_id, an.doc_id) AS doc_id,
+                     coalesce(tfb.term, an.term) AS term,
+                     coalesce(tf, 0) AS tf, coalesce(tft, 0) AS tft,
+                     coalesce(atf, 0) AS atf
+              FROM tfb FULL OUTER JOIN an
+                ON tfb.doc_id = an.doc_id AND tfb.term = an.term
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tfb GROUP BY 1),
+            adl AS (SELECT doc_id, sum(atf) AS adl FROM an GROUP BY 1),
+            stats AS (
+              SELECT (SELECT n FROM nn) AS n,
+                     ((SELECT coalesce(sum(dl), 0) FROM dl)
+                      + 1.5 * (SELECT coalesce(sum(adl), 0) FROM adl)) * 1.0
+                     / (SELECT n FROM nn) AS avgdlc
+            ),
+            dfu AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT m.doc_id,
+                 sum( ln((stats.n - dfu.df + 0.5) / (dfu.df + 0.5) + 1.0)
+                      * (m.tf + 1.0*m.tft + 1.5*m.atf) * 2.2
+                      / ((m.tf + 1.0*m.tft + 1.5*m.atf)
+                         + 1.2 * (0.25 + 0.75
+                                  * (coalesce(dl.dl, 0) + 1.5*coalesce(adl.adl, 0))
+                                  / stats.avgdlc)) ) AS s
+              FROM m
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN dfu USING (term)
+              LEFT JOIN dl ON m.doc_id = dl.doc_id
+              LEFT JOIN adl ON m.doc_id = adl.doc_id, stats
+              GROUP BY m.doc_id
             )
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id

@@ -101,7 +101,8 @@ def _list_from_offsets(values: pa.Array, cell_offsets: np.ndarray) -> pa.ListArr
 
 def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
                           tfs: np.ndarray,
-                          positions: np.ndarray | None = None) -> dict[str, pa.Array]:
+                          positions: np.ndarray | None = None,
+                          aux: np.ndarray | None = None) -> dict[str, pa.Array]:
     """Encode ALL terms of a partition at once.
 
     Input: postings sorted by (term, doc_id); ``term_starts`` = start row of
@@ -116,6 +117,14 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
     blob: per doc, first position absolute then delta-gaps (each doc
     self-contained, so block-sliced decode needs no cross-block base).
     Adds ``pos_blob`` + ``skip_pos_off`` columns.
+
+    ``aux``: optional per-posting uint32 channel aligned with doc_ids
+    (one value per posting row) — the unified index's anchor-field tf,
+    the analog of the reference's per-posting hit-type routing
+    (``enc=(pos<<3)|type_bits``, FileStorage.h:317-465,
+    CompileHitList.h:142-177): one posting row carries every field's
+    frequency so one reader pass scores all fields.  Encoded exactly
+    like tf_blob (plain varints, offsets by term).  Adds ``aux_blob``.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
@@ -181,7 +190,21 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
             if len(blk_start) else np.empty(0, np.uint32)
         out["skip_pos_off"] = _list_from_offsets(
             pa.array(skip_pos_off, pa.uint32()), blk_offsets)
+    if aux is not None:
+        a = np.ascontiguousarray(aux, dtype=np.uint64)
+        if len(a) != n:
+            raise ValueError(f"aux length {len(a)} != posting rows {n}")
+        aux_bytes = encode_varints(a)
+        aux_sz = np.concatenate(([0], np.cumsum(varint_sizes(a))))
+        out["aux_blob"] = _binary_from_offsets(aux_bytes, aux_sz[term_starts])
     return out
+
+
+def decode_aux(aux_blob: bytes, df: int) -> np.ndarray:
+    """Decode a term's aux channel (e.g. anchor tf) -> uint64[df]."""
+    vals = decode_varints(np.frombuffer(aux_blob, dtype=np.uint8))
+    assert len(vals) == df, (len(vals), df)
+    return vals
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> dict:

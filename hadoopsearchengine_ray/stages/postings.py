@@ -95,6 +95,8 @@ def make_shard_assigner(hot_term_ids: dict[int, int], num_docs: int,
         }
         if "pos" in batch.column_names:   # positional build: positions ride
             cols["pos"] = batch["pos"]    # the same numeric-only exchange
+        if "atf" in batch.column_names:   # field-aware build: anchor tf
+            cols["atf"] = batch["atf"]    # rides the exchange too
         return pa.table(cols)
 
     return _assign
@@ -107,11 +109,8 @@ def _encode_group(group: pa.Table, num_index_parts: int) -> pa.Table:
     salt = group["salt"].to_numpy(zero_copy_only=False).astype(np.uint8)
 
     order = np.lexsort((doc, tid))
-    tid_s, doc_s, tf_s = tid[order], doc[order], tf[order]
+    tid_s, doc_s, tf_s, salt_s = tid[order], doc[order], tf[order], salt[order]
     n = len(tid_s)
-    starts = np.flatnonzero(np.diff(tid_s)) + 1
-    term_starts = np.concatenate(([0], starts, [n]))
-    first = term_starts[:-1]
 
     from ..codec import encode_term_partition
 
@@ -123,18 +122,48 @@ def _encode_group(group: pa.Table, num_index_parts: int) -> pa.Table:
         plist = plist.take(pa.array(order))
         positions = plist.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
 
-    cols = encode_term_partition(term_starts, doc_s, tf_s, positions=positions)
+    aux = None
+    if "atf" in group.column_names:
+        # field-aware build: a (term, doc) pair may arrive as one BODY
+        # row (tf>0, positions) and one ANCHOR row (tf=0, atf>0) — merge
+        # duplicates into ONE posting carrying both channels (the
+        # reference folds every field's hits into a single posting
+        # stream, CompileHitList.h:142-177).  Duplicates are adjacent
+        # after the (term, doc) sort; positions are unaffected (only
+        # body rows contribute position bytes).
+        atf_s = group["atf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        if n:
+            dup = (np.diff(tid_s) == 0) & (np.diff(doc_s) == 0)
+            keep = np.concatenate(([0], np.flatnonzero(~dup) + 1))
+            tf_s = np.add.reduceat(tf_s, keep)
+            aux = np.add.reduceat(atf_s, keep)
+            tid_s, doc_s, salt_s = tid_s[keep], doc_s[keep], salt_s[keep]
+            n = len(tid_s)
+        else:
+            aux = atf_s
+
+    starts = np.flatnonzero(np.diff(tid_s)) + 1
+    term_starts = np.concatenate(([0], starts, [n]))
+    first = term_starts[:-1]
+
+    cols = encode_term_partition(term_starts, doc_s, tf_s,
+                                 positions=positions, aux=aux)
     t_tid = tid_s[first]
-    t_salt = salt[order][first]
+    t_salt = salt_s[first]
     cf = np.add.reduceat(tf_s.astype(np.int64), first) if n else np.empty(0, np.int64)
     part = (t_tid % np.int64(num_index_parts)).astype(np.int32)
-    return pa.table({
+    out = {
         "term_id": pa.array(t_tid, pa.int64()),
         "salt": pa.array(t_salt, pa.uint8()),
         "cf": pa.array(cf, pa.int64()),
         "part": pa.array(part, pa.int32()),
         **cols,
-    })
+    }
+    if aux is not None:
+        acf = np.add.reduceat(aux.astype(np.int64), first) if n \
+            else np.empty(0, np.int64)
+        out["acf"] = pa.array(acf, pa.int64())
+    return pa.table(out)
 
 
 def build_postings(tokens: rd.Dataset, hot_term_ids: dict[int, int],
