@@ -129,6 +129,16 @@ def run_bench() -> dict:
     run_queries(index_dir, qs, concurrency=max(2, ncpu // 4)).count()
     timings["bm25_pool_200q"] = round(time.perf_counter() - t0, 3)
 
+    # doc-range-partitioned pool (round 3): N range owners, driver merge
+    from hadoopsearchengine_ray.pipelines.pool import RangePartitionedPool
+
+    rpool = RangePartitionedPool(index_dir, num_ranges=max(2, ncpu // 8))
+    rpool.replay(qs[:8])  # warm actor caches
+    t0 = time.perf_counter()
+    rpool.replay(qs)
+    timings["bm25_rangepool_200q"] = round(time.perf_counter() - t0, 3)
+    rpool.shutdown()
+
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         # scaling mode: the efficiency criterion is about the BUILD; the
         # aux pipelines only add noise (and minutes at low cpu counts)
@@ -222,9 +232,49 @@ def run_bench() -> dict:
     build_anchor_index(f"{sf_dir}/documents.parquet", anchor_dir)
     timings["anchor_index_build"] = round(time.perf_counter() - t0, 3)
 
+    # unified body+title+anchor index (round 3): one build, one reader
+    from hadoopsearchengine_ray.pipelines.fields import (
+        BM25FScorer,
+        build_unified_index,
+    )
+
+    uni_dir = f"{out_root}/hse_bench_unified_{ncpu}"
+    shutil.rmtree(uni_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_unified_index(f"{sf_dir}/documents.parquet", uni_dir)
+    timings["unified_index_build"] = round(time.perf_counter() - t0, 3)
+    fscorer = BM25FScorer(uni_dir)
+    u_tbl = pads.dataset(os.path.join(uni_dir, "dictionary")).to_table(
+        columns=["term", "df"])
+    u_terms = u_tbl.column("term").to_pylist()
+    u_dfs = np.asarray(u_tbl.column("df").to_pylist())
+    u_order = np.argsort(u_terms)
+    fq = oracle.queries_from_dictionary(
+        [u_terms[i] for i in u_order], u_dfs[u_order], 50)
+    fscorer.score(fq[0]["terms"], 10)  # warm
+    lat = []
+    for q in fq:
+        t0 = time.perf_counter()
+        fscorer.score(q["terms"], 10)
+        lat.append(time.perf_counter() - t0)
+    timings["bm25f_p50_ms"] = round(
+        float(np.percentile(np.array(lat) * 1e3, 50)), 3)
+
     t0 = time.perf_counter()
     dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
     timings["minhash_near_dup"] = round(time.perf_counter() - t0, 3)
+
+    # distributed keyword co-occurrence graph + PulseRank (round 3) over
+    # the 100k bench corpus (ids attached once via zip_with_index)
+    from hadoopsearchengine_ray.functions.text import keyword_pagerank
+    from hadoopsearchengine_ray.stages.ingest import load_corpus, zip_with_index
+
+    kdocs = zip_with_index(load_corpus(corpus_dir),
+                           sort_keys=["repo", "path", "commit"]) \
+        .select_columns(["doc_id", "content"]).materialize()
+    t0 = time.perf_counter()
+    keyword_pagerank(kdocs, text_col="content", top_m=3, cycles=20)
+    timings["keyword_pagerank_100k"] = round(time.perf_counter() - t0, 3)
 
     from hadoopsearchengine_ray.corpus import links_table
 

@@ -436,9 +436,18 @@ def keyword_pagerank(docs: rd.Dataset, text_col: str = "text",
     from ..pipelines.pagerank import pagerank
 
     kws = keyword_table(docs, text_col, top_m).materialize()
-    vocab_pdf = (kws.groupby("keyword").aggregate(Count(alias_name="n"))
-                 .to_pandas())
-    vocab = sorted(vocab_pdf["keyword"])
+    # distinct keywords via per-block distinct partials (vocabulary-
+    # cardinality per block) + driver unique — a groupby here would pay
+    # the block-count-scaling aggregate cost for a vocab-sized result
+    # (measured 9s vs 0.3s on the 20k-doc bench corpus)
+
+    def _dk(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"keyword": batch["keyword"].combine_chunks().unique()})
+
+    vocab_pdf = kws.map_batches(_dk, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    vocab = sorted(vocab_pdf["keyword"].unique())
     if not vocab:
         return pd.DataFrame({"keyword": pd.Series(dtype=str),
                              "kw_score": pd.Series(dtype=float)})

@@ -63,9 +63,20 @@ def _rows_from_table(tbl: pa.Table) -> list[dict]:
 
 
 class IndexReader:
-    """Loads index metadata + provides term posting lookup with caching."""
+    """Loads index metadata + provides term posting lookup with caching.
 
-    def __init__(self, index_dir: str, cache_terms: int = 8192):
+    ``doc_lo``/``doc_hi`` restrict the reader to one doc-id range — the
+    reference's ``BoundaryPartion`` doc-range slicing
+    (/root/reference/DyableRequest/SearchHitItems/SearchHitItems.h:300-315):
+    the doclen read is row-group-filtered to the range, the dense arrays
+    are RANGE-sized (ids are local: global - doc_lo), and posting decode
+    touches only the skip blocks intersecting the range (hot-term salt
+    sub-shards outside the range never decode).  Global BM25 stats
+    (N, avgdl, df) are unchanged — each doc's full score is computed by
+    exactly one range owner, so a per-range top-k merge is exact."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 8192,
+                 doc_lo: int = 0, doc_hi: int | None = None):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.N = self.meta["num_docs"]
@@ -74,15 +85,27 @@ class IndexReader:
         self.b = self.meta["b"]
         self.nparts = self.meta["num_index_parts"]
         # doc_id space may be sparse / non-dense (generic doc tables)
-        self.doc_space = self.meta.get("doc_id_space", self.N)
+        full_space = self.meta.get("doc_id_space", self.N)
+        self.doc_lo = int(doc_lo)
+        self.doc_hi = full_space if doc_hi is None else min(int(doc_hi),
+                                                            full_space)
+        self.is_range = self.doc_lo > 0 or self.doc_hi < full_space
+        self.doc_space = max(0, self.doc_hi - self.doc_lo)
 
-        dl_tbl = pads.dataset(os.path.join(index_dir, "doclen")).to_table()
+        dl_dataset = pads.dataset(os.path.join(index_dir, "doclen"))
+        if self.is_range:
+            dl_tbl = dl_dataset.to_table(
+                filter=(pads.field("doc_id") >= self.doc_lo)
+                & (pads.field("doc_id") < self.doc_hi))
+        else:
+            dl_tbl = dl_dataset.to_table()
         self.dl = np.zeros(self.doc_space, dtype=np.float64)
-        ids = dl_tbl.column("doc_id").to_numpy().astype(np.int64)
+        ids = dl_tbl.column("doc_id").to_numpy().astype(np.int64) - self.doc_lo
         self.dl[ids] = dl_tbl.column("dl").to_numpy().astype(np.float64)
-        # doc-id range (for delta merge ordering/overlap validation)
-        self.min_doc_id = int(ids.min()) if len(ids) else 0
-        self.max_doc_id = int(ids.max()) if len(ids) else -1
+        # doc-id range (for delta merge ordering/overlap validation;
+        # GLOBAL ids)
+        self.min_doc_id = int(ids.min()) + self.doc_lo if len(ids) else 0
+        self.max_doc_id = int(ids.max()) + self.doc_lo if len(ids) else -1
 
         d_tbl = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
             columns=["term", "term_id", "df"]
@@ -176,8 +199,12 @@ class IndexReader:
             self._dec_bytes += nbytes
 
     def decoded_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full (doc_ids, tfs) for a term, concatenated over salted rows;
-        decoded lists cached per actor under the byte budget."""
+        """(doc_ids, tfs) for a term, concatenated over salted rows;
+        decoded lists cached per actor under the byte budget.
+
+        Range readers decode ONLY the skip blocks intersecting
+        [doc_lo, doc_hi) — a hot term's salt sub-shards outside the
+        range cost nothing — and return LOCAL ids (global - doc_lo)."""
         hit = self._dec_cache.get(term)
         if hit is not None:
             return hit
@@ -185,10 +212,31 @@ class IndexReader:
         if not rows:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
         docs, tfs = [], []
-        for r in rows:
-            d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
-            docs.append(d)
-            tfs.append(f)
+        if not self.is_range:
+            for r in rows:
+                d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
+                docs.append(d)
+                tfs.append(f)
+        else:
+            lo, hi = np.uint64(self.doc_lo), np.uint64(self.doc_hi)
+            for r in rows:
+                sd = np.asarray(r["skip_docs"], dtype=np.uint64)
+                if len(sd) == 0 or sd[-1] < lo:
+                    continue
+                b0 = int(np.searchsorted(sd, lo))         # first block ending in range
+                b1 = int(np.searchsorted(sd, hi - np.uint64(1)))
+                blk = np.arange(b0, min(b1 + 1, len(sd)))
+                if len(blk) == 0:
+                    continue
+                d, f = decode_blocks(
+                    r["doc_blob"], r["tf_blob"], r["df"], blk,
+                    sd, r["skip_doc_off"], r["skip_tf_off"])
+                keep = (d >= lo) & (d < hi)
+                if keep.any():
+                    docs.append(d[keep] - lo)
+                    tfs.append(f[keep])
+            if not docs:
+                return np.empty(0, np.uint64), np.empty(0, np.uint64)
         out = (np.concatenate(docs), np.concatenate(tfs))
         self._dec_store(self._dec_cache, term, out)
         return out
@@ -200,6 +248,10 @@ class IndexReader:
         Requires a positional index (build_index with_positions=True) —
         the reference's in-index positions (CompileHitList.h:304-315)
         served without re-tokenizing documents."""
+        if self.is_range:
+            raise NotImplementedError(
+                "positional decode on a range reader is not supported; "
+                "phrase/proximity serve from the full reader")
         hit = self._dec_pos_cache.get(term)
         if hit is not None:
             return hit
@@ -363,7 +415,10 @@ class BM25Scorer:
     def score(self, terms: list[str], k: int):
         if self.pr is not None:
             return self.score_blended(terms, k)
-        if self.use_maxscore:
+        if self.use_maxscore and not getattr(self.rd, "is_range", False):
+            # MaxScore's phase-2 block slicing works in GLOBAL doc ids;
+            # range readers serve the exact dense path over their slice
+            # (already 1/num_ranges of the work)
             return self.score_maxscore(terms, k)
         return self.score_exact(terms, k)
 

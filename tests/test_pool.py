@@ -1,0 +1,68 @@
+"""Doc-range-partitioned scorer pool: rank identity with the single
+reader at >= 2 ranges (the BoundaryPartion analog)."""
+
+import numpy as np
+import pytest
+
+from hadoopsearchengine_ray.pipelines.pool import RangePartitionedPool
+from hadoopsearchengine_ray.pipelines.query import BM25Scorer, IndexReader
+
+
+@pytest.mark.parametrize("num_ranges", [2, 3, 5])
+def test_pool_rank_identical_to_single_reader(t1_index_dir, t1_oracle,
+                                              num_ranges):
+    from hadoopsearchengine_ray import oracle as omod
+
+    idx, _ = t1_oracle
+    single = BM25Scorer(t1_index_dir)
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=num_ranges)
+    try:
+        for q in omod.make_queries(idx, 40):
+            d1, s1 = single.score(q["terms"], q["k"])
+            d2, s2 = pool.score(q["terms"], q["k"])
+            assert [int(x) for x in d1] == [int(x) for x in d2], q
+            assert np.allclose(s1, s2), q
+    finally:
+        pool.shutdown()
+
+
+def test_pool_replay_matches_per_query(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray import oracle as omod
+
+    idx, _ = t1_oracle
+    qs = omod.make_queries(idx, 20)
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    try:
+        replayed = pool.replay(qs)
+        for q, (d, s) in zip(qs, replayed):
+            de, se = pool.score(q["terms"], q["k"])
+            assert [int(x) for x in d] == [int(x) for x in de]
+    finally:
+        pool.shutdown()
+
+
+def test_range_reader_block_pruning(t1_index_dir):
+    """A range reader decodes only its slice: local ids within
+    [0, hi-lo), and the union over disjoint ranges equals the full
+    decode."""
+    full = IndexReader(t1_index_dir)
+    term = next(t for t in ("the", "data", "spark", "return")
+                if full.lookup(t)) if any(
+        full.lookup(t) for t in ("the", "data", "spark", "return")) else None
+    if term is None:
+        term = next(iter(full._dict))
+    d_full, f_full = full.decoded_postings(term)
+    space = full.doc_space
+    mid = space // 2
+    parts_d, parts_f = [], []
+    for lo, hi in ((0, mid), (mid, space)):
+        r = IndexReader(t1_index_dir, doc_lo=lo, doc_hi=hi)
+        d, f = r.decoded_postings(term)
+        assert len(d) == 0 or (d.astype(np.int64).max() < hi - lo)
+        parts_d.append(d.astype(np.int64) + lo)
+        parts_f.append(f)
+    got_d = np.concatenate(parts_d)
+    got_f = np.concatenate(parts_f)
+    order = np.argsort(got_d)
+    assert list(got_d[order]) == list(d_full.astype(np.int64))
+    assert list(got_f[order]) == list(f_full)
