@@ -176,14 +176,22 @@ def build_index(
         # nothing still count toward BM25's N / avgdl (oracle parity)
         man.finish("tokens", token_rows=n_tokens, corpus_docs=n_corpus_docs)
 
-    # read the token table in ~cluster-core-count blocks: every downstream
-    # aggregate's cost scales with input block count (BASELINE.md) — at
-    # real scale pick total_bytes / ~512MB instead of a constant.
-    # Each consumer reads ONLY its columns (doclen never touches term/pos,
-    # vocab never touches pos — column pruning at the read, SURVEY §7.4)
-    def _tokens(columns, num_blocks=32):
-        return rd.read_parquet(tokens_dir, columns=columns,
-                               override_num_blocks=num_blocks)
+    # read the token table in a BYTES-derived block count: every
+    # downstream aggregate's cost scales with input block count
+    # (BASELINE.md), so the floor stays at the measured 16-block sweet
+    # spot and grows at ~256MB-on-disk per block beyond it (a 100x
+    # token table no longer funnels through 16 blocks — round-2
+    # verdict #4).  Each consumer reads ONLY its columns (doclen never
+    # touches term/pos, vocab never touches pos — column pruning at the
+    # read, SURVEY §7.4)
+    from .._block import blocks_for_bytes, dir_bytes
+
+    tok_blocks = blocks_for_bytes(dir_bytes(tokens_dir))
+
+    def _tokens(columns, num_blocks=None):
+        return rd.read_parquet(
+            tokens_dir, columns=columns,
+            override_num_blocks=num_blocks or tok_blocks)
 
     n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
 
@@ -192,11 +200,11 @@ def build_index(
     if not man.is_done("vocab", lineage, vocab_dir):
         man.start("vocab", lineage, vocab_dir)
         shutil.rmtree(vocab_dir, ignore_errors=True)
-        # string-keyed groupby: the combine level pays here; 16 read
-        # blocks is the measured sweet spot (16 cpus/250k: nb16+cb8
-        # 5.1s vs nb32+cb8 7.0s)
+        # string-keyed groupby: the combine level pays here; the
+        # 16-block floor is the measured sweet spot (16 cpus/250k:
+        # nb16+cb8 5.1s vs nb32+cb8 7.0s), bytes take over beyond it
         def _vocab_run():
-            vocab_table(_tokens(["doc_id", "term"], num_blocks=16),
+            vocab_table(_tokens(["doc_id", "term"]),
                         combine_blocks=8).write_parquet(vocab_dir)
         try:
             _vocab_run()
@@ -230,11 +238,11 @@ def build_index(
         try:
             if run_doclen:
                 shutil.rmtree(doclen_dir, ignore_errors=True)
-                # 16 read blocks: measured sweet spot between read
+                # 16-block floor: measured sweet spot between read
                 # parallelism and sort-aggregate block-count overhead
-                # (16 cpus/250k: nb8 6.6s, nb16 4.5s, nb32 6.2s); at
-                # real scale derive from bytes/256MB
-                doc_lengths(_tokens(["doc_id", "tf"], num_blocks=16),
+                # (16 cpus/250k: nb8 6.6s, nb16 4.5s, nb32 6.2s);
+                # bytes-derived beyond it
+                doc_lengths(_tokens(["doc_id", "tf"]),
                             combine_blocks=0).write_parquet(doclen_dir)
             if run_meta:
                 import pyarrow.compute as pc
@@ -276,7 +284,7 @@ def build_index(
             post_cols = ["doc_id", "term", "tf"] + (
                 ["pos"] if with_positions else [])
             post = build_postings(
-                _tokens(post_cols, num_blocks=16),
+                _tokens(post_cols),
                 hot_term_ids=hot_ids,
                 num_docs=n_docs,
                 num_shards=num_shards,

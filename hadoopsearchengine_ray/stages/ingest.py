@@ -92,7 +92,17 @@ def zip_with_index(ds: rd.Dataset, sort_keys: list[str] | None = None,
     # materializes the key table and nothing is broadcast.  The wide
     # content column crosses exactly one range exchange, which is the
     # minimum any distributed id-by-global-rank assignment can do.
-    full = ds.repartition(16).sort(list(sort_keys))
+    # Block count is BYTES-derived (floor 16 = the measured single-box
+    # sweet spot; ~256MB per block beyond that) so the whole corpus —
+    # content column included — never funnels through a fixed 16 blocks
+    # at 100x scale.
+    from .._block import blocks_for_bytes
+
+    try:
+        nbytes = ds.size_bytes()
+    except Exception:
+        nbytes = 0
+    full = ds.repartition(blocks_for_bytes(nbytes)).sort(list(sort_keys))
     return _attach_block_ranks(full, id_column,
                                check_dup_keys=list(sort_keys))
 

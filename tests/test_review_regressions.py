@@ -232,3 +232,17 @@ def test_tombstone_post_cache_byte_budget(tmp_path):
     assert tr._post_bytes <= 64 or len(tr._post_cache) <= 1
     d, _ = tr.decoded_postings("alpha")
     assert 1 not in d.astype(np.int64) and 2 not in d.astype(np.int64)
+
+
+def test_blocks_for_bytes_scaling():
+    """Round-3: partition counts derive from bytes (floor at the
+    measured 16-block sweet spot, ~256MB per block beyond, capped)."""
+    from hadoopsearchengine_ray._block import blocks_for_bytes
+
+    mb = 1 << 20
+    assert blocks_for_bytes(0) == 16
+    assert blocks_for_bytes(None) == 16
+    assert blocks_for_bytes(100 * mb) == 16          # under the floor
+    assert blocks_for_bytes(16 * 256 * mb) == 16     # exactly the floor
+    assert blocks_for_bytes(32 * 256 * mb) == 32     # bytes take over
+    assert blocks_for_bytes(10**18) == 4096          # capped
