@@ -807,6 +807,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"pagerank self-check: max abs diff {np.abs(got - exp).max()}")
         return out
 
+    def q_expected_reward(sf):
+        # hierarchy-derived ranking (ExpectedReward-lite): BM25 + a
+        # cluster-authority prior (per-cluster mean PulseRank attributed
+        # back to members) blended over the candidate set.  Embedded
+        # exact shadow: numpy PulseRank + OracleIndex BM25 + the same
+        # deterministic hierarchy labels must reproduce the ranking.
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.corpus import links_table
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+        from hadoopsearchengine_ray.pipelines.wavepass import expected_reward
+
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        lt = links_table(n)
+        er, pr, label = expected_reward(rd.from_arrow(lt), n)
+        prior = 0.3 * pr + 0.3 * er
+        idx = index_for(f"{sf}/documents.parquet")
+        d, s = BM25Scorer(idx).score_with_prior(BM25_TERMS, 10, prior)
+
+        if n <= 6000:  # exact shadow (active at the driver's sf runs)
+            from hadoopsearchengine_ray.oracle import (
+                OracleIndex,
+                pagerank_oracle,
+            )
+
+            exp_pr = pagerank_oracle(lt["src"].to_numpy(), lt["dst"].to_numpy(),
+                                     lt["weight"].to_numpy(), n)
+            if not np.allclose(exp_pr, pr, rtol=1e-9, atol=1e-12):
+                raise AssertionError("expected_reward: pagerank mismatch")
+            sizes = np.bincount(label)
+            mass = np.bincount(label, weights=exp_pr)
+            exp_er = (mass / np.maximum(sizes, 1))[label]
+            if not np.allclose(exp_er, er, rtol=1e-9, atol=1e-12):
+                raise AssertionError("expected_reward: cluster mass mismatch")
+            tbl = pq.read_table(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text"])
+            oi = OracleIndex(list(zip(tbl["doc_id"].to_pylist(),
+                                      tbl["text"].to_pylist())))
+            import math
+
+            sc: dict[int, float] = {}
+            for t in sorted(set(BM25_TERMS)):
+                pl = oi.postings.get(t)
+                if not pl:
+                    continue
+                w = oi.idf(t)
+                for did, tf in pl:
+                    dl = oi.doclen[did]
+                    sc[did] = sc.get(did, 0.0) + w * tf * 2.2 / (
+                        tf + 1.2 * (0.25 + 0.75 * dl / oi.avgdl))
+            blended = {did: v + 0.3 * exp_pr[did] + 0.3 * exp_er[did]
+                       for did, v in sc.items()}
+            exp_rank = sorted(blended.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:10]
+            if [int(x) for x in d] != [did for did, _ in exp_rank]:
+                raise AssertionError("expected_reward: blended rank mismatch")
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_wavepass(sf):
         import pyarrow.parquet as pq
 
@@ -947,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_signup": q_asof_signup,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "pagerank": q_pagerank,
+        "expected_reward_topk": q_expected_reward,
         "wavepass_clusters": q_wavepass,
         "dedup_clusters": q_dedup_clusters,
         "dedup_components_dist": q_dedup_components_dist,

@@ -453,10 +453,13 @@ class BM25Scorer:
         docs = np.flatnonzero(touched)
         return _topk_from_scores(docs, scores[docs], k)
 
-    def score_blended(self, terms: list[str], k: int):
-        """BM25 + pr_weight * pagerank over the BM25 candidate set (docs
-        matching >=1 query term — the reference also only ranks posting
-        candidates).  Exact dense path so the additive blend stays exact."""
+    def score_with_prior(self, terms: list[str], k: int,
+                         prior: np.ndarray, prior_weight: float = 1.0):
+        """BM25 + prior_weight * prior[doc] over the BM25 candidate set
+        (docs matching >=1 query term — the reference also only ranks
+        posting candidates).  ``prior`` is any per-doc authority vector
+        (PageRank, hierarchy expected-reward, a blend).  Exact dense
+        path so the additive blend stays exact."""
         r = self.rd
         scores = np.zeros(r.doc_space, dtype=np.float64)
         touched = np.zeros(r.doc_space, dtype=bool)
@@ -473,8 +476,12 @@ class BM25Scorer:
             scores[d] += w * tf * (r.k1 + 1.0) / denom
             touched[d] = True
         docs = np.flatnonzero(touched)
-        blended = scores[docs] + self.pr_weight * self.pr[docs]
+        blended = scores[docs] + prior_weight * prior[docs]
         return _topk_from_scores(docs, blended, k)
+
+    def score_blended(self, terms: list[str], k: int):
+        """BM25 + pr_weight * pagerank (SHitItem.pulse_score blending)."""
+        return self.score_with_prior(terms, k, self.pr, self.pr_weight)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

@@ -269,3 +269,35 @@ def cluster_graph(links: rd.Dataset, num_nodes: int, target_nodes: int = 1000,
                      .aggregate(Sum("weight", alias_name="weight")))
         cur_n = nxt_n
     return maps
+
+
+def expected_reward(links: rd.Dataset, num_nodes: int,
+                    target_nodes: int | None = None, max_levels: int = 5,
+                    pr_cycles: int = 20, k: int = CLASSES,
+                    wp_cycles: int = CYCLES):
+    """Hierarchy-derived authority signal (ExpectedReward-lite).
+
+    The reference blends ABTree traversal probabilities into ranking
+    (/root/reference/DyableRequest/ExpectedReward/BranchAndBound.h:3-6;
+    ``exp_rew`` in SQueryRes, FileStorage.h:186-201).  ABTrees are
+    survey-scoped out (G4); the Ray analog derives the same kind of
+    signal from the cluster hierarchy: PulseRank mass aggregated per
+    top-level cluster (mean per member), attributed back to each doc —
+    a doc in an authoritative neighborhood inherits its cluster's
+    authority.  Returns (exp_rew[num_nodes], pr[num_nodes],
+    label[num_nodes]); fully deterministic (seeded WavePass, exact
+    PulseRank).
+    """
+    from .pagerank import pagerank
+
+    pr = pagerank(links, num_nodes, pr_cycles)
+    target = target_nodes if target_nodes is not None \
+        else max(16, num_nodes // 50)
+    maps = cluster_graph(links, num_nodes, target_nodes=target,
+                         max_levels=max_levels, k=k, cycles=wp_cycles)
+    label = np.arange(num_nodes, dtype=np.int64)
+    for m in maps:
+        label = m[label]
+    sizes = np.bincount(label)
+    mass = np.bincount(label, weights=pr)
+    return (mass / np.maximum(sizes, 1))[label], pr, label

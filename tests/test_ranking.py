@@ -72,3 +72,44 @@ def test_proximity_rerank_prefers_tight_windows(tmp_path, t1_corpus_dir,
              -r["bm25"]) for r in rows]
     assert keys == sorted(keys)
     assert rows[0]["matched_terms"] == 2
+
+
+def test_score_with_prior_matches_manual_blend(t1_index_dir):
+    import numpy as np
+
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    sc = BM25Scorer(t1_index_dir)
+    space = sc.rd.doc_space
+    prior = np.linspace(0.0, 2.0, space)
+    terms = ["data", "spark", "return"]
+    d0, s0 = sc.score_exact(terms, space)  # ALL candidates
+    blend = {int(d): float(s) + 0.4 * prior[int(d)] for d, s in zip(d0, s0)}
+    exp = sorted(blend.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    d1, s1 = sc.score_with_prior(terms, 10, prior, 0.4)
+    assert [int(x) for x in d1] == [k for k, _ in exp]
+    assert np.allclose(s1, [v for _, v in exp])
+
+
+def test_expected_reward_deterministic_and_shaped(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from hadoopsearchengine_ray.corpus import links_table
+    from hadoopsearchengine_ray.oracle import pagerank_oracle
+    from hadoopsearchengine_ray.pipelines.wavepass import expected_reward
+
+    n = 300
+    lt = links_table(n)
+    er1, pr1, lab1 = expected_reward(rd.from_arrow(lt), n)
+    er2, pr2, lab2 = expected_reward(rd.from_arrow(lt), n)
+    assert np.array_equal(lab1, lab2) and np.allclose(er1, er2)
+    exp_pr = pagerank_oracle(lt["src"].to_numpy(), lt["dst"].to_numpy(),
+                             lt["weight"].to_numpy(), n)
+    assert np.allclose(pr1, exp_pr, rtol=1e-9, atol=1e-12)
+    # members of one cluster share the authority value
+    for c in np.unique(lab1)[:5]:
+        vals = er1[lab1 == c]
+        assert np.allclose(vals, vals[0])
+    # hierarchy actually coarsened
+    assert len(np.unique(lab1)) < n
