@@ -55,9 +55,16 @@ def dictionary_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return dictionary_from_token_rows(token_table(docs, text_col))
 
 
-def dictionary_from_token_rows(tok: rd.Dataset) -> rd.Dataset:
+def dictionary_from_token_rows(tok: rd.Dataset,
+                               combine_blocks: int = 8) -> rd.Dataset:
     """Same, over an existing (doc_id, term, tf) table (lets callers
-    that already materialized the token rows avoid a second tokenize)."""
+    that already materialized the token rows avoid a second tokenize).
+
+    The string-keyed final groupby's cost scales with its input BLOCK
+    count (measured: 7.6s over ~100 partial blocks vs ~4s over 16 at
+    the same row count), so partials are repartitioned to
+    ``combine_blocks`` and locally re-combined first — the same
+    two-level combine ``stages.dictionary.vocab_table`` uses."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         d = batch["term"].combine_chunks().dictionary_encode()
@@ -70,8 +77,24 @@ def dictionary_from_token_rows(tok: rd.Dataset) -> rd.Dataset:
             "cf": pa.array(np.bincount(codes, weights=tf, minlength=n).astype(np.int64)),
         })
 
-    return (tok.map_batches(_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-            .groupby("term")
+    def _combine(batch: pa.Table) -> pa.Table:
+        d = batch["term"].combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = batch["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d.dictionary)
+        return pa.table({
+            "term": d.dictionary.cast(pa.string()),
+            "df": pa.array(np.bincount(codes, weights=df, minlength=n).astype(np.int64)),
+            "cf": pa.array(np.bincount(codes, weights=cf, minlength=n).astype(np.int64)),
+        })
+
+    ds = tok.map_batches(_partial, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+    if combine_blocks:
+        ds = (ds.repartition(combine_blocks)
+              .map_batches(_combine, batch_format="pyarrow", batch_size=None))
+    return (ds.groupby("term")
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
 
 
@@ -412,10 +435,46 @@ def keyword_link_edges(kws: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
             "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
+    # final cross-bucket combine: a (src,dst) pair can surface from up to
+    # ``num_buckets`` doc-buckets.  A two-STRING-key groupby().aggregate
+    # here measured 10.8s for 590k rows where an int64-keyed groupby of
+    # the same size runs in <0.3s (Ray's sort-based aggregate pays per
+    # string key column), so pairs are hash-bucketed on one int64 key and
+    # summed EXACTLY inside each group (dictionary-encode + bincount —
+    # hash collisions only co-locate rows, never merge distinct pairs).
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = (pd.util.hash_array(batch["src_kw"].to_pandas().to_numpy())
+             ^ pd.util.hash_array(batch["dst_kw"].to_pandas().to_numpy())
+             * np.uint64(0x9E3779B97F4A7C15))
+        return batch.append_column(
+            "pb", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def _pair_combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "src_kw" not in g.column_names:
+            return pa.table({"src_kw": pa.array([], pa.string()),
+                             "dst_kw": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        s = g["src_kw"].combine_chunks().dictionary_encode()
+        d = g["dst_kw"].combine_chunks().dictionary_encode()
+        si = s.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        di = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed, inv = np.unique(si << np.int64(32) | di, return_inverse=True)
+        total = np.bincount(inv, weights=cnt, minlength=len(packed))
+        return pa.table({
+            "src_kw": s.dictionary.cast(pa.string()).take(
+                pa.array((packed >> np.int64(32)).astype(np.int32))),
+            "dst_kw": d.dictionary.cast(pa.string()).take(
+                pa.array((packed & np.int64(0xFFFFFFFF)).astype(np.int32))),
+            "cnt": pa.array(total.astype(np.int64), pa.int64()),
+        })
+
     return (kws.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
             .groupby("b").map_groups(_pairs, batch_format="pyarrow")
-            .groupby(["src_kw", "dst_kw"])
-            .aggregate(Sum("cnt", alias_name="cnt")))
+            .map_batches(_pair_bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("pb").map_groups(_pair_combine, batch_format="pyarrow"))
 
 
 def keyword_pagerank(docs: rd.Dataset, text_col: str = "text",
