@@ -321,12 +321,40 @@ class BM25Scorer:
             self.pr = np.zeros(self.rd.doc_space, dtype=np.float64)
             ids = pr_tbl.column("doc_id").to_numpy().astype(np.int64)
             self.pr[ids] = pr_tbl.column("pr_score").to_numpy().astype(np.float64)
+        # Reusable per-actor scratch (the reference keeps one dense score
+        # accumulator per SearchHitItems server for its doc range,
+        # SearchHitItems.h:300-315 — not one per query).  Allocated once,
+        # reset in O(#docs touched by the previous query), so per-query
+        # cost is O(postings decoded), not O(doc_space).
+        self._scores: np.ndarray | None = None
+        self._touched: np.ndarray | None = None
+        self._prev: np.ndarray | None = None
+        self._dirty = False
+
+    def _scratch(self) -> tuple[np.ndarray, np.ndarray]:
+        """Dense (scores, touched) buffers, clean. Selective O(prev-touched)
+        reset on the warm path; full reallocation only on first use, a
+        doc-space change (delta merge), or after an aborted query."""
+        n = self.rd.doc_space
+        if self._scores is None or len(self._scores) != n or self._dirty:
+            self._scores = np.zeros(n, dtype=np.float64)
+            self._touched = np.zeros(n, dtype=bool)
+        elif self._prev is not None and len(self._prev):
+            self._scores[self._prev] = 0.0
+            self._touched[self._prev] = False
+        self._dirty = True   # cleared by _finish on clean completion
+        self._prev = None
+        return self._scores, self._touched
+
+    def _finish(self, docs: np.ndarray) -> None:
+        self._prev = docs
+        self._dirty = False
 
     # ---- exact dense TAAT (the shadow path) ---------------------------
     def score_exact(self, terms: list[str], k: int):
         r = self.rd
-        scores = np.zeros(r.doc_space, dtype=np.float64)
-        touched = np.zeros(r.doc_space, dtype=bool)
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
         qterms = sorted(set(terms))
         for t in qterms:
             ent = r.lookup(t)
@@ -338,9 +366,13 @@ class BM25Scorer:
             d = docs.astype(np.int64)
             tf = tfs.astype(np.float64)
             denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
             scores[d] += w * tf * (r.k1 + 1.0) / denom
             touched[d] = True
-        docs = np.flatnonzero(touched)
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
         return _topk_from_scores(docs, scores[docs], k)
 
     # ---- MaxScore with block-max skipping -----------------------------
@@ -361,8 +393,8 @@ class BM25Scorer:
         ubs = np.array([i[0] for i in infos])
         rem = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
 
-        scores = np.zeros(r.doc_space, dtype=np.float64)
-        touched = np.zeros(r.doc_space, dtype=bool)
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
         theta = -np.inf
         n_touched = 0
         i = 0
@@ -375,16 +407,20 @@ class BM25Scorer:
             d = docs.astype(np.int64)
             tf = tfs.astype(np.float64)
             denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
+                n_touched += len(new)
             scores[d] += w * tf * (r.k1 + 1.0) / denom
             touched[d] = True
-            n_touched = int(touched.sum())
             if n_touched >= k:
-                tdocs = np.flatnonzero(touched)
+                tdocs = np.concatenate(parts)
                 theta = np.partition(scores[tdocs], len(tdocs) - k)[len(tdocs) - k]
             i += 1
+        tdocs = (np.concatenate(parts) if parts
+                 else np.empty(0, np.int64))
         # phase 2: non-essential terms — decoded only where candidates live
         if i < len(infos):
-            tdocs = np.flatnonzero(touched)
             cand = tdocs[scores[tdocs] + rem[i - 1] >= theta] if n_touched >= k else tdocs
             for j in range(i, len(infos)):
                 _, w, t, _, _ = infos[j]
@@ -409,8 +445,8 @@ class BM25Scorer:
                         continue
                     denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
                     scores[d] += w * tf * (r.k1 + 1.0) / denom
-        docs = np.flatnonzero(touched)
-        return _topk_from_scores(docs, scores[docs], k)
+        self._finish(tdocs)
+        return _topk_from_scores(tdocs, scores[tdocs], k)
 
     def score(self, terms: list[str], k: int):
         if self.pr is not None:
@@ -431,8 +467,8 @@ class BM25Scorer:
         Title tf is DERIVED from in-index positions, no extra storage:
         tf_eff = tf + (boost-1) * #(positions < title_len)."""
         r = self.rd
-        scores = np.zeros(r.doc_space, dtype=np.float64)
-        touched = np.zeros(r.doc_space, dtype=bool)
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
         for t in sorted(set(terms)):
             ent = r.lookup(t)
             if not ent:
@@ -448,9 +484,13 @@ class BM25Scorer:
                 (flat < np.uint64(title_len)).astype(np.float64), offs[:-1])
             tfe = tf + (boost - 1.0) * tft
             denom = tfe + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
             scores[d] += w * tfe * (r.k1 + 1.0) / denom
             touched[d] = True
-        docs = np.flatnonzero(touched)
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
         return _topk_from_scores(docs, scores[docs], k)
 
     def score_with_prior(self, terms: list[str], k: int,
@@ -461,8 +501,8 @@ class BM25Scorer:
         (PageRank, hierarchy expected-reward, a blend).  Exact dense
         path so the additive blend stays exact."""
         r = self.rd
-        scores = np.zeros(r.doc_space, dtype=np.float64)
-        touched = np.zeros(r.doc_space, dtype=bool)
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
         for t in sorted(set(terms)):
             ent = r.lookup(t)
             if not ent:
@@ -473,9 +513,13 @@ class BM25Scorer:
             d = docs.astype(np.int64)
             tf = tfs.astype(np.float64)
             denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
             scores[d] += w * tf * (r.k1 + 1.0) / denom
             touched[d] = True
-        docs = np.flatnonzero(touched)
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
         blended = scores[docs] + prior_weight * prior[docs]
         return _topk_from_scores(docs, blended, k)
 
