@@ -199,6 +199,12 @@ class BM25FScorer:
         ids = dl_tbl.column("doc_id").to_numpy().astype(np.int64)
         self.adl[ids] = dl_tbl.column("adl").to_numpy().astype(np.float64)
         self._aux_cache: dict[str, np.ndarray] = {}
+        # reusable dense scratch, O(touched)-reset per query (same
+        # pattern as query.BM25Scorer._scratch)
+        self._scores = np.zeros(self.rd.doc_space, dtype=np.float64)
+        self._touched = np.zeros(self.rd.doc_space, dtype=bool)
+        self._prev: np.ndarray | None = None
+        self._dirty = False
 
     def decoded_aux(self, term: str) -> np.ndarray:
         hit = self._aux_cache.get(term)
@@ -221,8 +227,15 @@ class BM25FScorer:
         r = self.rd
         avgdlc = ((r.meta["total_tokens"] + anchor_w * self.total_anchor)
                   / r.N) if r.N else 0.0
-        scores = np.zeros(r.doc_space, dtype=np.float64)
-        touched = np.zeros(r.doc_space, dtype=bool)
+        if self._dirty:
+            self._scores = np.zeros(r.doc_space, dtype=np.float64)
+            self._touched = np.zeros(r.doc_space, dtype=bool)
+        elif self._prev is not None and len(self._prev):
+            self._scores[self._prev] = 0.0
+            self._touched[self._prev] = False
+        self._dirty, self._prev = True, None
+        scores, touched = self._scores, self._touched
+        parts: list[np.ndarray] = []
         for t in sorted(set(terms)):
             ent = r.lookup(t)
             if not ent:
@@ -247,9 +260,13 @@ class BM25FScorer:
             dlc = r.dl[d] + anchor_w * self.adl[d]
             denom = tfc + r.k1 * (1.0 - r.b + r.b * dlc / avgdlc)
             nz = tfc > 0
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
             scores[d[nz]] += w * tfc[nz] * (r.k1 + 1.0) / denom[nz]
             touched[d] = True
-        docs = np.flatnonzero(touched)
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._prev, self._dirty = docs, False
         return self._topk(docs, scores[docs], k)
 
 
