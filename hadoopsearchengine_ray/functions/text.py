@@ -511,9 +511,23 @@ def keyword_pagerank(docs: rd.Dataset, text_col: str = "text",
         return pd.DataFrame({"keyword": pd.Series(dtype=str),
                              "kw_score": pd.Series(dtype=float)})
     edges = keyword_link_edges(kws).materialize()
-    # out-degree per src: edge-table aggregate (vocab-cardinality)
-    deg = edges.groupby("src_kw").aggregate(Sum("cnt", alias_name="deg")) \
-        .to_pandas()
+    # out-degree per src: per-block dictionary-encode + bincount partials
+    # (vocab-cardinality per block) + tiny driver sum — a string-keyed
+    # groupby().aggregate() here measured 2.6s on the 100k-doc bench
+    # corpus where these partials run in <0.2s (Ray's sort-based
+    # aggregate pays per string key; see keyword_link_edges' combine)
+    def _pdeg(batch: pa.Table) -> pa.Table:
+        s = batch["src_kw"].combine_chunks().dictionary_encode()
+        idx = s.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(idx, weights=cnt, minlength=len(s.dictionary))
+        return pa.table({
+            "src_kw": s.dictionary.cast(pa.string()),
+            "deg": pa.array(tot.astype(np.int64), pa.int64()),
+        })
+
+    deg = (edges.map_batches(_pdeg, batch_format="pyarrow", batch_size=None)
+           .to_pandas().groupby("src_kw", as_index=False)["deg"].sum())
     kid = {k: i for i, k in enumerate(vocab)}
     state_ref = ray.put((kid, dict(zip(deg["src_kw"], deg["deg"]))))
 
