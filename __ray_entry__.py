@@ -1018,6 +1018,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_CC_SQL = f"""
+    WITH RECURSIVE {TOK_ORDERED_CTE},
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.t || ' ' || b.t || ' ' || c.t AS shingle
+      FROM toko a
+      JOIN toko b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+      JOIN toko c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+    ),
+    keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sh a JOIN keep USING (shingle)
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.lab
+    )
+    SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from hadoopsearchengine_ray.functions.normalize import MIN_STEM, SUFFIXES
 
@@ -1494,6 +1526,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d1, d2, common FROM pairs WHERE common >= 5
         """,
+        # min-label connected components over the shingle-overlap pair
+        # graph: transitive closure via a recursive CTE (UNION dedup
+        # terminates it), then min reachable id per node.  Covers BOTH
+        # the dense pointer-jumping path and the distributed
+        # large-star/small-star path (identical outputs by construction).
+        "dedup_clusters": _CC_SQL,
+        "dedup_components_dist": _CC_SQL,
         "knn_cosine": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                        WHERE vec_id IN ({knn_ids})),
