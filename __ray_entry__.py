@@ -1470,6 +1470,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_terms
             FROM d
         """,
+        # SymSpell suggestion oracle: the deletion-index candidate set is
+        # exactly "shares a 1-deletion variant (or identity)" — expressed as
+        # a self-join on generated deletion variants; ranking is
+        # (levenshtein, cf DESC, term), top-5, comma-joined.  Token length
+        # is capped at 16 by the tokenizer, so a fixed 1..16 index series
+        # stands in for a lateral generate_series (DuckDB limitation).
+        "spell_suggest": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dict AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+                     FROM tf GROUP BY term),
+            idx AS (SELECT CAST(i AS INT) AS i
+                    FROM generate_series(1, 16) AS gs(i)),
+            typos AS (
+              SELECT typo FROM (
+                SELECT DISTINCT substr(term, 1, 2) || substr(term, 4) AS typo
+                FROM dict WHERE length(term) >= 5
+              ) WHERE typo NOT IN (SELECT term FROM dict)
+              ORDER BY typo LIMIT 20
+            ),
+            tdel AS (
+              SELECT typo, typo AS v FROM typos
+              UNION
+              SELECT typo,
+                     substr(typo, 1, i - 1) || substr(typo, i + 1) AS v
+              FROM typos JOIN idx ON i <= length(typo)
+            ),
+            ddel AS (
+              SELECT term, cf, term AS v FROM dict
+              UNION
+              SELECT term, cf,
+                     substr(term, 1, i - 1) || substr(term, i + 1) AS v
+              FROM dict JOIN idx ON i <= length(term)
+            ),
+            cand AS (
+              SELECT DISTINCT t.typo, d.term, d.cf
+              FROM tdel t JOIN ddel d USING (v)
+            ),
+            scored AS (
+              SELECT typo, term, cf, levenshtein(typo, term) AS dist
+              FROM cand WHERE levenshtein(typo, term) <= 2
+            ),
+            ranked AS (
+              SELECT typo, term,
+                     row_number() OVER (PARTITION BY typo
+                                        ORDER BY dist, cf DESC, term) AS rn
+              FROM scored
+            )
+            SELECT t.typo,
+                   coalesce(string_agg(r.term, ',' ORDER BY r.rn), '')
+                     AS suggestions
+            FROM typos t LEFT JOIN ranked r ON r.typo = t.typo AND r.rn <= 5
+            GROUP BY t.typo ORDER BY t.typo
+        """,
         "association_top3": f"""
             WITH {TOK_ORDERED_CTE},
             big AS (
