@@ -417,6 +417,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_shingle_pairs(sf):
         return dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5, max_df=50)
 
+    def q_ngram_jaccard(sf):
+        # exact n-gram Jaccard near-dup (the value MinHash estimates):
+        # universe = shingles with df <= 50, threshold 0.5
+        return dedup.ngram_jaccard_pairs(_docs(sf), n=3, threshold=0.5,
+                                         min_common=3, max_df=50)
+
     # self-check scale guard: the non-SQL-expressible queries embed an
     # exact Python shadow (dual implementation, SURVEY.md §5) and raise
     # on mismatch — active up to this many docs (covers the driver's
@@ -990,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": q_spell_suggest,
         "exact_dedup": q_exact_dedup,
         "shingle_pairs": q_shingle_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash,
         "simhash_near_dup": q_simhash,
         "doc_fingerprints": q_fingerprints,
@@ -1579,6 +1586,40 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT d1, d2, common FROM pairs WHERE common >= 5
+        """,
+        # exact n-gram Jaccard: same shingle universe as shingle_pairs
+        # but df-capped on BOTH the intersection and the set sizes
+        # (df <= 50 including singletons); jaccard is a double division
+        # of exact ints — IEEE-identical between numpy and DuckDB
+        "ngram_jaccard": f"""
+            WITH {TOK_ORDERED_CTE},
+            sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.t || ' ' || b.t || ' ' || c.t AS shingle
+              FROM toko a
+              JOIN toko b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              JOIN toko c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+            ),
+            keep AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= 50
+            ),
+            kpt AS (SELECT s.doc_id, s.shingle
+                    FROM sh s JOIN keep USING (shingle)),
+            szs AS (SELECT doc_id, count(*) AS sz FROM kpt GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+              FROM kpt a
+              JOIN kpt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 3
+            )
+            SELECT d1, d2,
+                   common * 1.0 / (s1.sz + s2.sz - common) AS jaccard
+            FROM pairs
+            JOIN szs s1 ON s1.doc_id = d1
+            JOIN szs s2 ON s2.doc_id = d2
+            WHERE common * 1.0 / (s1.sz + s2.sz - common) >= 0.5
         """,
         # min-label connected components over the shingle-overlap pair
         # graph: transitive closure via a recursive CTE (UNION dedup

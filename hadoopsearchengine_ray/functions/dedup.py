@@ -210,6 +210,79 @@ def shingle_overlap_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
             .map_groups(_combine_pairs, batch_format="pandas"))
 
 
+def ngram_jaccard_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5, min_common: int = 3,
+                        max_df: int = 50, num_buckets: int = 32) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs: (d1 < d2, jaccard: double).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over each doc's DISTINCT
+    n-gram shingle set, restricted to shingles with global df <=
+    ``max_df`` (boilerplate shingles are excluded from BOTH the
+    intersection and the set sizes, so the cap changes the universe, not
+    just the candidate recall — same skew amputation as
+    ``shingle_overlap_pairs``).  No sketching: this is the exact
+    counterpart the MinHash estimate converges to.
+
+    Shuffle shape: the pair side reuses ``shingle_overlap_pairs``
+    (bucketed double-combine); the size side is one pass over the same
+    hash-bucketed shingle table (df per shingle is exact within a bucket
+    because bucketing is by shingle hash) + a doc-cardinality groupby;
+    sizes attach to the pair list via two co-partitioned hash joins —
+    no driver materialization, no broadcast of a corpus-sized side."""
+    from ..pipelines.relational import hash_join
+
+    pairs = shingle_overlap_pairs(docs, text_col, n, min_common, max_df,
+                                  num_buckets)
+    sh = shingle_table(docs, text_col, n)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        s = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((s % np.uint64(num_buckets)).astype(np.int64)))
+
+    def _sizes(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["shingle"].to_numpy().astype(np.uint64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        uniq, inv, cnt = np.unique(s, return_inverse=True, return_counts=True)
+        keep = cnt[inv] <= max_df
+        ud, c = np.unique(ids[keep], return_counts=True)
+        return pd.DataFrame({"doc_id": ud, "psz": c.astype(np.int64)})
+
+    sizes = (sh.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+             .groupby("bucket")
+             .map_groups(_sizes, batch_format="pandas")
+             .groupby("doc_id").sum("psz"))
+
+    def _as_side(col: str, out: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                col: batch["doc_id"].cast(pa.int64()),
+                out: batch["sum(psz)"].cast(pa.int64()),
+            })
+        return _r
+
+    j = hash_join(pairs,
+                  sizes.map_batches(_as_side("d1", "sz1"),
+                                    batch_format="pyarrow"), on="d1")
+    j = hash_join(j,
+                  sizes.map_batches(_as_side("d2", "sz2"),
+                                    batch_format="pyarrow"), on="d2")
+
+    def _jac(batch: pa.Table) -> pa.Table:
+        common = batch["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz1 = batch["sz1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz2 = batch["sz2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = common / (sz1 + sz2 - common)
+        keep = jac >= threshold
+        return pa.table({
+            "d1": batch["d1"].cast(pa.int64()).filter(pa.array(keep)),
+            "d2": batch["d2"].cast(pa.int64()).filter(pa.array(keep)),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return j.map_batches(_jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_signatures(docs: rd.Dataset, text_col: str = "text", n: int = 3,
                        num_perm: int = 64, seed: int = 13) -> rd.Dataset:
     """Per-doc MinHash signature over n-gram shingles (list<uint64>)."""

@@ -60,6 +60,29 @@ def test_shingle_overlap_pairs():
     assert pairs.get((0, 1)) == 6
 
 
+def test_ngram_jaccard_matches_bruteforce():
+    out = dedup.ngram_jaccard_pairs(
+        _doc_ds(TEXTS), n=2, threshold=0.3, min_common=1, max_df=50).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out.d1, out.d2, out.jaccard)}
+    # brute force over distinct 2-gram sets (df cap inactive at df<=50)
+    sets = []
+    for t in TEXTS:
+        toks = tokenize_py(t)
+        sets.append({tuple(toks[i:i + 2]) for i in range(len(toks) - 1)})
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            if inter:
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= 0.3:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, k
+    assert got[(0, 1)] == 1.0
+
+
 def test_dedup_clusters_connected_components():
     # chain 0-1-2, pair 5-6, singleton 3,4
     pairs = rd.from_arrow(pa.table({
