@@ -24,35 +24,71 @@ from ..codec import SKIP_BLOCK, decode_blocks, decode_positions_blocks
 from .query import BM25Scorer, IndexReader
 
 
+def _sorted_keys(reader, term: str) -> np.ndarray:
+    """Sorted packed occurrence keys for ``term`` — via the reader's
+    per-actor cache when it has one (IndexReader), else built inline
+    (merged / tombstone readers)."""
+    fn = getattr(reader, "decoded_phrase_keys", None)
+    if fn is not None:
+        return fn(term)
+    d, f, flat, _ = reader.decoded_positions(term)
+    if len(d) == 0:
+        return np.empty(0, np.uint64)
+    keys = (np.repeat(d.astype(np.uint64) << np.uint64(32),
+                      f.astype(np.int64)) | flat.astype(np.uint64))
+    keys.sort()
+    return keys
+
+
+def _sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique uint64 arrays.  Same
+    concat+sort+adjacent-equal shape as np.intersect1d, but with a
+    STABLE (timsort) sort that detects the two pre-sorted runs and
+    merges them in O(n) — measured 36ms vs 56ms (intersect1d) vs 81ms
+    (binary-search probing) on 2x2.1M keys."""
+    if len(a) == 0 or len(b) == 0:
+        return np.empty(0, np.uint64)
+    aux = np.concatenate((a, b))
+    aux.sort(kind="stable")
+    return aux[:-1][aux[1:] == aux[:-1]]
+
+
 def _phrase_keys(reader: IndexReader, term: str, slot: int,
                  want: np.ndarray | None = None) -> np.ndarray:
-    """int64 keys doc_id * 2^32 + (pos - slot) for every occurrence.
+    """SORTED uint64 keys (doc_id << 32 | pos) - slot per occurrence.
 
     A phrase occurrence at start position p contributes the SAME key
     (doc*2^32 + p) from every slot, so the phrase scan is one
-    intersection per slot.  Negative shifted positions can't collide
-    with slot-0 keys (positions are < 2^32 - phrase_len).
+    intersection per slot.  Occurrences with pos < slot can't start a
+    phrase and are dropped before the shift, so the subtraction never
+    wraps and sortedness is preserved (borrowing into the doc part keeps
+    relative order).
 
-    ``want`` (sorted doc ids): only decode the skip blocks containing
+    ``want`` (SORTED doc ids): only decode the skip blocks containing
     those docs and emit keys for those docs — the block-max-style
     random-access path.  Chosen PER TERM: a term whose posting list is
     much larger than the surviving doc set decodes block-sliced; a term
-    comparable to it decodes globally (one vectorized pass beats a
-    per-block loop)."""
+    comparable to it uses the cached pre-sorted global key array (one
+    binary-search filter beats a per-block loop)."""
     rows = reader.posting_rows(term)
     total_df = sum(int(r["df"]) for r in rows)
     if want is None or len(want) * 4 >= total_df:
-        d, f, flat, _ = reader.decoded_positions(term)
-        if len(d) == 0:
-            return np.empty(0, np.int64)
-        d64 = d.astype(np.int64)
-        tfi = f.astype(np.int64)
-        if want is not None:
-            mask = np.isin(d64, want, assume_unique=True)
-            flat = flat[np.repeat(mask, tfi)]
-            d64, tfi = d64[mask], tfi[mask]
-        doc_rep = np.repeat(d64, tfi)
-        return doc_rep * np.int64(1 << 32) + (flat.astype(np.int64) - slot)
+        keys = _sorted_keys(reader, term)
+        if len(keys) == 0:
+            return keys
+        if want is not None and len(want) * 2 < total_df:
+            # the filter is a per-occurrence binary search (~32ms on 2.1M
+            # keys) — only worth it when it halves the intersect input;
+            # hot x hot (want ~= df) skips it and lets the intersection
+            # discard non-common docs for free
+            docs_of = (keys >> np.uint64(32)).astype(np.int64)
+            w = np.searchsorted(want, docs_of)
+            w[w == len(want)] = 0
+            keys = keys[want[w] == docs_of]
+        if slot:
+            keys = keys[np.searchsorted(keys, np.uint64(slot)):]
+            keys = keys - np.uint64(slot)
+        return keys
     out = []
     for r in rows:
         if "pos_blob" not in r or r["pos_blob"] is None:
@@ -83,12 +119,16 @@ def _phrase_keys(reader: IndexReader, term: str, slot: int,
             mask = np.isin(d64, want, assume_unique=True)
             flat = flat[np.repeat(mask, tfi)]
             d64, tfi = d64[mask], tfi[mask]
-        doc_rep = np.repeat(d64, tfi)
-        out.append(doc_rep * np.int64(1 << 32)
-                   + (flat.astype(np.int64) - slot))
+        out.append(np.repeat(d64.astype(np.uint64) << np.uint64(32), tfi)
+                   | flat.astype(np.uint64))
     if not out:
-        return np.empty(0, np.int64)
-    return np.concatenate(out)
+        return np.empty(0, np.uint64)
+    keys = np.concatenate(out)
+    keys.sort()              # rows are salt sub-shards: doc-interleaved
+    if slot:
+        keys = keys[np.searchsorted(keys, np.uint64(slot)):]
+        keys = keys - np.uint64(slot)
+    return keys
 
 
 def phrase_counts(reader: IndexReader, phrase: list[str]):
@@ -108,21 +148,28 @@ def phrase_counts(reader: IndexReader, phrase: list[str]):
             np.isin(common, d, assume_unique=True)]
         if len(common) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
+    common.sort()            # _phrase_keys' want contract: sorted ids
     # per-term strategy (inside _phrase_keys): block-sliced decode where
-    # the posting list dwarfs the survivors, global vectorized decode
-    # otherwise — hot x hot keeps the one-pass decode, rare x hot prunes
-    # the hot term's blocks
+    # the posting list dwarfs the survivors, global pre-sorted cached
+    # keys otherwise — hot x hot pays no per-query sort, rare x hot
+    # prunes the hot term's blocks
     inter = _phrase_keys(reader, phrase[0], 0, want=common)
     for i, t in enumerate(phrase[1:], start=1):
         if len(inter) == 0:
             break
-        inter = np.intersect1d(inter, _phrase_keys(reader, t, i, want=common),
-                               assume_unique=True)
+        inter = _sorted_intersect(inter, _phrase_keys(reader, t, i,
+                                                      want=common))
     if len(inter) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    docs = (inter >> np.int64(32)).astype(np.int64)
-    uniq, cnt = np.unique(docs, return_counts=True)
-    return uniq, cnt.astype(np.int64)
+    docs = (inter >> np.uint64(32)).astype(np.int64)
+    # inter is sorted, so docs are grouped: run-length encode instead of
+    # a re-sorting np.unique
+    change = np.empty(len(docs), bool)
+    change[0] = True
+    np.not_equal(docs[1:], docs[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    cnt = np.diff(np.append(starts, len(docs)))
+    return docs[starts], cnt.astype(np.int64)
 
 
 def phrase_table(index_dir: str, phrase: list[str]) -> pd.DataFrame:

@@ -126,6 +126,7 @@ class IndexReader:
         # once per actor, not once per query
         self._dec_cache: dict[str, tuple] = {}
         self._dec_pos_cache: dict[str, tuple] = {}
+        self._dec_key_cache: dict[str, tuple] = {}
         self._dec_bytes = 0
         self._dec_budget = 256 * 1024 * 1024
         self._part_ds: dict[int, pads.Dataset] = {}  # opened part dirs
@@ -193,6 +194,7 @@ class IndexReader:
         if self._dec_bytes + nbytes > self._dec_budget:
             self._dec_cache.clear()
             self._dec_pos_cache.clear()
+            self._dec_key_cache.clear()
             self._dec_bytes = 0      # epoch eviction, like _pcache
         if nbytes <= self._dec_budget:
             cache[term] = value
@@ -276,6 +278,27 @@ class IndexReader:
                row_offsets)
         self._dec_store(self._dec_pos_cache, term, out)
         return out
+
+    def decoded_phrase_keys(self, term: str) -> np.ndarray:
+        """SORTED uint64 occurrence keys ``doc_id << 32 | position`` —
+        the slot-independent phrase-scan operand.  A hot term's salted
+        sub-shards concatenate doc-interleaved, so the positional decode
+        is unsorted; one sort here (cached per actor under the decoded
+        byte budget) buys sort-free merge intersections for every later
+        phrase query touching the term."""
+        hit = self._dec_key_cache.get(term)
+        if hit is not None:
+            return hit[0]
+        d, f, flat, _ = self.decoded_positions(term)
+        if len(d) == 0:
+            keys = np.empty(0, np.uint64)
+        else:
+            keys = (np.repeat(d.astype(np.uint64) << np.uint64(32),
+                              f.astype(np.int64))
+                    | flat.astype(np.uint64))
+            keys.sort()
+        self._dec_store(self._dec_key_cache, term, (keys,))
+        return keys
 
 
 def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
