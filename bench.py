@@ -264,6 +264,10 @@ def run_bench() -> dict:
     dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
     timings["minhash_near_dup"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    dedup.ngram_jaccard_pairs(docs, threshold=0.5, min_common=3).count()
+    timings["ngram_jaccard"] = round(time.perf_counter() - t0, 3)
+
     # distributed keyword co-occurrence graph + PulseRank (round 3) over
     # the 100k bench corpus (ids attached once via zip_with_index)
     from hadoopsearchengine_ray.functions.text import keyword_pagerank
