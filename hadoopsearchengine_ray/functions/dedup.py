@@ -212,7 +212,8 @@ def shingle_overlap_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
 
 def ngram_jaccard_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
                         threshold: float = 0.5, min_common: int = 3,
-                        max_df: int = 50, num_buckets: int = 32) -> rd.Dataset:
+                        max_df: int = 50, num_buckets: int = 32,
+                        broadcast_max_docs: int = 5_000_000) -> rd.Dataset:
     """EXACT n-gram Jaccard near-dup pairs: (d1 < d2, jaccard: double).
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over each doc's DISTINCT
@@ -230,9 +231,10 @@ def ngram_jaccard_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
     bincount combine — NOT a doc-cardinality ``groupby().sum()``, whose
     per-group overhead was measured at 11.7s for 117k partial rows.
     Size attach is size-dispatched like minhash verification: corpora
-    <= 5M docs broadcast one (doc_id, sz) lookup via ``ray.put`` (read
-    zero-copy in every pair task); bigger corpora go through two
-    co-partitioned hash joins — never a driver-side pair loop."""
+    <= ``broadcast_max_docs`` broadcast one (doc_id, sz) lookup via
+    ``ray.put`` (read zero-copy in every pair task); bigger corpora go
+    through two co-partitioned hash joins — never a driver-side pair
+    loop.  Both paths produce identical rows (pytest-checked)."""
     import ray
 
     from ..pipelines.relational import hash_join
@@ -280,7 +282,7 @@ def ngram_jaccard_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
         })
 
     n_docs = docs.count()   # parquet metadata — no execution
-    if n_docs <= 5_000_000:
+    if n_docs <= broadcast_max_docs:
         stbl = [ray.get(r) for r in sizes.to_arrow_refs()]
         stbl = [t for t in stbl if t.num_rows]
         if stbl:

@@ -83,6 +83,18 @@ def test_ngram_jaccard_matches_bruteforce():
     assert got[(0, 1)] == 1.0
 
 
+def test_ngram_jaccard_join_path_matches_broadcast():
+    kw = dict(n=2, threshold=0.3, min_common=1, max_df=50)
+    a = dedup.ngram_jaccard_pairs(_doc_ds(TEXTS), **kw).to_pandas()
+    b = dedup.ngram_jaccard_pairs(_doc_ds(TEXTS), broadcast_max_docs=0,
+                                  **kw).to_pandas()
+    cols = ["d1", "d2", "jaccard"]
+    a = a[cols].sort_values(["d1", "d2"]).reset_index(drop=True)
+    b = b[cols].sort_values(["d1", "d2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
 def test_dedup_clusters_connected_components():
     # chain 0-1-2, pair 5-6, singleton 3,4
     pairs = rd.from_arrow(pa.table({
