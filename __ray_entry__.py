@@ -755,6 +755,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(_shape, batch_format="pyarrow", batch_size=None)
 
+    def q_range_join(sf):
+        # attribution-window range join: every non-purchase event inside
+        # the 2h window opened by a purchase of the SAME user
+        import pyarrow.compute as pc
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+
+        def _points(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.not_equal(b["event_type"], "purchase"))
+            return pa.table({
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts": b["ts"],
+            })
+
+        def _intervals(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], "purchase"))
+            s = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            e = pc.add(s, pa.scalar(2 * 3600 * 1_000_000, pa.int64()))
+            return pa.table({
+                "purchase_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "w_start": s.cast(pa.timestamp("us")),
+                "w_end": e.cast(pa.timestamp("us")),
+            })
+
+        pts = ev.map_batches(_points, batch_format="pyarrow",
+                             batch_size=None)
+        ivs = ev.map_batches(_intervals, batch_format="pyarrow",
+                             batch_size=None)
+        out = rel.range_join(pts, ivs, on="ts", start_col="w_start",
+                             end_col="w_end", by="user_id")
+
+        def _shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": b["event_id"].cast(pa.int64()),
+                "purchase_id": b["purchase_id"].cast(pa.int64()),
+            })
+
+        return out.map_batches(_shape, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_asof_signup(sf):
         ev = rd.read_parquet(f"{sf}/events.parquet",
                              columns=["event_id", "user_id", "ts"])
@@ -1013,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
+        "range_join": q_range_join,
         "asof_last_signup": q_asof_signup,
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "pagerank": q_pagerank,
@@ -1711,6 +1756,13 @@ def oracle_sql() -> dict[str, str]:
                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS session_id
             FROM e
+        """,
+        "range_join": """
+            SELECT e.event_id, p.event_id AS purchase_id
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id AND p.event_type = 'purchase'
+             AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 2 HOUR
+            WHERE e.event_type <> 'purchase'
         """,
         "asof_last_signup": """
             SELECT e.event_id, e.user_id,

@@ -367,6 +367,148 @@ def kth_percentile(ds: rd.Dataset, col: str, q: float) -> float:
     return counts[col].iloc[idx]
 
 
+def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
+               start_col: str, end_col: str, by: str | None = None,
+               num_buckets: int = 32, bucket_width_us: int | None = None,
+               warn_pairs_per_bucket: int = 5_000_000) -> rd.Dataset:
+    """Interval-containment join: every (point, interval) pair with
+    ``start <= point.on < end`` — optionally also matching an equality
+    key ``by`` (the attribution-window join).  Ray Data has no non-equi
+    join; this is the documented composition (ray_guide "As-of / range
+    join"), same bucket discipline as ``asof_join``.
+
+    Partitioning:
+    - ``by`` given: both sides hash-bucket on the key; per bucket ONE
+      pandas key-merge + a vectorized containment filter.  A hot key
+      with P points and I intervals materializes P*I candidate rows
+      before the filter — warned loudly past ``warn_pairs_per_bucket``
+      (the bucket still computes: dropping rows would be wrong, unlike
+      the dedup candidate caps).
+    - ``by`` None: the TIME axis is bucketed (width = max interval
+      length unless given, so an interval spans <= 2 buckets); points
+      land in floor(ts/W), intervals replicate to every bucket they
+      overlap.  Each qualifying pair meets in exactly one bucket (the
+      point's), so no dedup pass is needed.
+
+    Timestamps normalize to microseconds (``datetime64[us]``) before
+    comparison, like ``sessionize`` — a ns input cannot silently shift
+    the window 1000x.  Non-key output columns must be disjoint."""
+    pcols = points.schema().names
+    icols = intervals.schema().names
+    shared = (set(pcols) & set(icols)) - ({by} if by else set())
+    if shared:
+        raise ValueError(f"range_join requires disjoint non-key columns; "
+                         f"rename {sorted(shared)} first")
+    out_cols = pcols + [c for c in icols if c not in pcols]
+
+    def _us(s: pd.Series) -> np.ndarray:
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+    def _containment(merged: pd.DataFrame) -> pd.DataFrame:
+        ts = _us(merged[on])
+        keep = (ts >= _us(merged[start_col])) & (ts < _us(merged[end_col]))
+        return merged[keep]
+
+    if by is not None:
+        def _tag(side: int):
+            def _t(batch: pa.Table) -> pa.Table:
+                cols = {c: batch[c] for c in batch.column_names}
+                cols["__side"] = pa.array(
+                    np.full(batch.num_rows, side, np.int8))
+                h = pd.util.hash_array(batch[by].to_pandas().to_numpy())
+                cols["__bucket"] = pa.array((h % num_buckets).astype(np.int64))
+                return pa.table(cols)
+            return _t
+
+        both = (points.map_batches(_tag(0), batch_format="pyarrow",
+                                   batch_size=None)
+                .union(intervals.map_batches(_tag(1), batch_format="pyarrow",
+                                             batch_size=None)))
+
+        def _rjoin(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or "__side" not in g.columns:
+                return pd.DataFrame(columns=out_cols)
+            lg = g[g["__side"] == 0][pcols]
+            rg = g[g["__side"] == 1][icols]
+            if len(lg) == 0 or len(rg) == 0:
+                return pd.DataFrame(columns=out_cols)
+            lc = lg[by].value_counts()
+            rc = rg[by].value_counts()
+            est = int((lc * rc).dropna().sum())
+            if est > warn_pairs_per_bucket:
+                import sys
+                print(f"[range_join] bucket materializes ~{est} candidate "
+                      f"pairs (> {warn_pairs_per_bucket}); raise num_buckets "
+                      "or pre-filter the hot keys", file=sys.stderr)
+            return _containment(lg.merge(rg, on=by))[out_cols]
+
+        return both.groupby("__bucket").map_groups(_rjoin,
+                                                   batch_format="pandas")
+
+    # keyless: time-axis bucketing
+    if bucket_width_us is None:
+        def _maxlen(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            s = batch[start_col].cast(pa.timestamp("us")).cast(pa.int64())
+            e = batch[end_col].cast(pa.timestamp("us")).cast(pa.int64())
+            d = pc.subtract(e, s)
+            m = pc.max(d).as_py() if batch.num_rows else None
+            return pa.table({"len_us": pa.array(
+                [m if m is not None else 0], pa.int64())})
+        bucket_width_us = max(int(intervals.map_batches(
+            _maxlen, batch_format="pyarrow").max("len_us") or 1), 1)
+    W = np.int64(bucket_width_us)
+
+    def _pbucket(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names}
+        ts = batch[on].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        cols["__side"] = pa.array(np.full(batch.num_rows, 0, np.int8))
+        cols["__bucket"] = pa.array(ts // W)
+        return pa.table(cols)
+
+    def _ibucket(batch: pa.Table) -> pa.Table:
+        s = batch[start_col].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch[end_col].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        valid = e > s
+        s, e = s[valid], e[valid]
+        tbl = batch.filter(pa.array(valid))
+        b0 = s // W
+        cnt = (e - 1) // W - b0 + 1
+        idx = np.repeat(np.arange(len(s)), cnt)
+        off = np.arange(len(idx)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cols = {c: tbl[c].take(pa.array(idx)) for c in tbl.column_names}
+        cols["__side"] = pa.array(np.full(len(idx), 1, np.int8))
+        cols["__bucket"] = pa.array(b0[idx] + off)
+        return pa.table(cols)
+
+    both = (points.map_batches(_pbucket, batch_format="pyarrow",
+                               batch_size=None)
+            .union(intervals.map_batches(_ibucket, batch_format="pyarrow",
+                                         batch_size=None)))
+
+    def _rjoin_t(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "__side" not in g.columns:
+            return pd.DataFrame(columns=out_cols)
+        lg = g[g["__side"] == 0][pcols]
+        rg = g[g["__side"] == 1][icols]
+        if len(lg) == 0 or len(rg) == 0:
+            return pd.DataFrame(columns=out_cols)
+        if len(lg) * len(rg) > warn_pairs_per_bucket:
+            import sys
+            print(f"[range_join] time bucket materializes "
+                  f"{len(lg) * len(rg)} candidate pairs "
+                  f"(> {warn_pairs_per_bucket}); shrink bucket_width_us",
+                  file=sys.stderr)
+        merged = lg.merge(rg, how="cross")
+        return _containment(merged)[out_cols]
+
+    return both.groupby("__bucket").map_groups(_rjoin_t,
+                                               batch_format="pandas")
+
+
 def hopping_window_agg(events: rd.Dataset, ts_col: str, key: str,
                        value_col: str, size_s: int, hop_s: int) -> rd.Dataset:
     """Hopping (sliding) event-time window aggregate: count + sum per

@@ -95,6 +95,50 @@ def test_ngram_jaccard_join_path_matches_broadcast():
     assert len(a) > 0
 
 
+def test_range_join_keyed_and_keyless_match_bruteforce():
+    rng = np.random.default_rng(11)
+    n_p, n_i = 400, 60
+    base = np.datetime64("2024-01-01", "us")
+    p_ts = base + rng.integers(0, 10**7, n_p).astype("timedelta64[us]")
+    p_k = rng.integers(0, 8, n_p)
+    s = base + rng.integers(0, 10**7, n_i).astype("timedelta64[us]")
+    e = s + rng.integers(1, 5 * 10**5, n_i).astype("timedelta64[us]")
+    i_k = rng.integers(0, 8, n_i)
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array(range(n_p), pa.int64()),
+        "k": pa.array(p_k, pa.int64()),
+        "ts": pa.array(p_ts),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "iid": pa.array(range(n_i), pa.int64()),
+        "k": pa.array(i_k, pa.int64()),
+        "s": pa.array(s),
+        "e": pa.array(e),
+    }))
+    contain = (p_ts[:, None] >= s[None, :]) & (p_ts[:, None] < e[None, :])
+    keyed_want = {(p, i) for p, i in zip(*np.nonzero(
+        contain & (p_k[:, None] == i_k[None, :])))}
+    keyless_want = {(p, i) for p, i in zip(*np.nonzero(contain))}
+
+    out = rel.range_join(pts, ivs, on="ts", start_col="s", end_col="e",
+                         by="k").to_pandas()
+    assert set(zip(out.pid, out.iid)) == keyed_want
+
+    out2 = rel.range_join(pts.select_columns(["pid", "ts"]),
+                          ivs.select_columns(["iid", "s", "e"]),
+                          on="ts", start_col="s", end_col="e").to_pandas()
+    assert set(zip(out2.pid, out2.iid)) == keyless_want
+
+    # ns-unit points must normalize to us, not shift the window 1000x
+    pts_ns = rd.from_arrow(pa.table({
+        "pid": pa.array(range(n_p), pa.int64()),
+        "ts": pa.array(p_ts.astype("datetime64[ns]")),
+    }))
+    out3 = rel.range_join(pts_ns, ivs.select_columns(["iid", "s", "e"]),
+                          on="ts", start_col="s", end_col="e").to_pandas()
+    assert set(zip(out3.pid, out3.iid)) == keyless_want
+
+
 def test_dedup_clusters_connected_components():
     # chain 0-1-2, pair 5-6, singleton 3,4
     pairs = rd.from_arrow(pa.table({
