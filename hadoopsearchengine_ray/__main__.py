@@ -1,0 +1,117 @@
+"""Job-submission entry point: ``python -m hadoopsearchengine_ray ...``.
+
+The reference runs as hand-sequenced binaries driven by DyableCommand
+(/root/reference/DyableCommand/DyableCommand.cpp:641-724); the Ray-native
+equivalent is one module runnable directly or via the cluster job API::
+
+    ray job submit --working-dir . -- \
+        python -m hadoopsearchengine_ray build --corpus /data/corpus --index /data/index
+
+Subcommands:
+
+- ``gen``    write the deterministic synthetic corpus (FIXTURES.md §1)
+- ``build``  run (or resume — the manifest skips finished stages) the
+             full index build and print the manifest metrics as JSON
+- ``query``  score ad-hoc queries against a built index and print top-k
+
+Ray session ownership: this CLI initialises Ray itself (guarded) because
+it IS a job entry point; library code never does.  ``RAY_ADDRESS`` is
+honoured, so the same command line works on a laptop (``local``) and on
+a cluster head node (``auto``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _cmd_gen(a: argparse.Namespace) -> int:
+    from . import corpus
+
+    _init_ray()
+    corpus.write_corpus(a.out, a.docs, seed=a.seed)
+    print(json.dumps({"corpus": a.out, "docs": a.docs, "seed": a.seed}))
+    return 0
+
+
+def _cmd_build(a: argparse.Namespace) -> int:
+    from .pipelines.build_index import build_index
+    from .state.manifest import Manifest
+
+    _init_ray()
+    meta = build_index(a.corpus, a.index, with_positions=not a.no_positions,
+                       hot_df_frac=a.hot_df_frac)
+    man = Manifest.load(os.path.join(a.index, "manifest.json"))
+    print(json.dumps({
+        "index": a.index,
+        "num_docs": meta["num_docs"],
+        "total_tokens": meta["total_tokens"],
+        "stages": {s: {"status": e.get("status"),
+                       "wall_sec": e.get("wall_sec"),
+                       "metrics": e.get("metrics")}
+                   for s, e in man.stages.items()},
+    }, indent=1))
+    return 0
+
+
+def _cmd_query(a: argparse.Namespace) -> int:
+    from .pipelines.query import BM25Scorer
+
+    _init_ray()
+    sc = BM25Scorer(a.index)
+    for q in a.terms:
+        ids, scores = sc.score(q.split(), a.k)
+        print(json.dumps({"query": q,
+                          "hits": [{"doc_id": int(d), "score": round(float(s), 6)}
+                                   for d, s in zip(ids, scores)]}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m hadoopsearchengine_ray",
+                                description=__doc__.split("\n\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="write the synthetic source-code corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=_cmd_gen)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--hot-df-frac", type=float, default=0.25)
+    b.set_defaults(fn=_cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k against a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("terms", nargs="+",
+                   help="one or more queries, each a space-joined term list")
+    q.set_defaults(fn=_cmd_query)
+
+    a = p.parse_args(argv)
+    try:
+        return a.fn(a)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,33 @@ B = 0.75
 INDEX_FORMAT_VERSION = 3  # v3: positional postings (pos_blob/skip_pos_off)
 
 
+def _partition_metrics(out_dir: str) -> dict:
+    """Per-partition rows/bytes for a hive-partitioned stage output, read
+    from Parquet FOOTERS only (no data pages touched) — the manifest's
+    per-partition lineage record.  A resumed run compares these against
+    the on-disk reality to spot partial writes."""
+    import pyarrow.parquet as pq
+
+    parts: dict[str, dict] = {}
+    for root, _, files in os.walk(out_dir):
+        pfiles = [f for f in files if f.endswith(".parquet")]
+        if not pfiles:
+            continue
+        key = os.path.relpath(root, out_dir)
+        ent = parts.setdefault(key, {"rows": 0, "bytes": 0, "files": 0})
+        for f in pfiles:
+            fp = os.path.join(root, f)
+            ent["rows"] += pq.ParquetFile(fp).metadata.num_rows
+            ent["bytes"] += os.path.getsize(fp)
+            ent["files"] += 1
+    return {
+        "partitions": len(parts),
+        "total_rows": sum(e["rows"] for e in parts.values()),
+        "total_bytes": sum(e["bytes"] for e in parts.values()),
+        "per_partition": dict(sorted(parts.items())),
+    }
+
+
 def _write_empty_index(index_dir, num_shards, num_salts, num_index_parts,
                        id_col, hot_df_frac) -> dict:
     import pyarrow as pa
@@ -326,11 +353,11 @@ def build_index(
         if errs:
             raise errs[0]
     if run_doclen:
-        man.finish("doclen")
+        man.finish("doclen", **_partition_metrics(doclen_dir))
     if run_meta:
         man.finish("meta", num_docs=n_docs, hot_terms=len(hot_ids))
     if run_post:
-        man.finish("postings")
+        man.finish("postings", **_partition_metrics(post_dir))
 
     with open(meta_path) as f:
         meta = json.load(f)
@@ -349,6 +376,6 @@ def build_index(
             _dict_run()
         except Exception:
             _dict_run()  # clean retry once (transient worker failures)
-        man.finish("dictionary")
+        man.finish("dictionary", **_partition_metrics(dict_dir))
 
     return meta
