@@ -1611,6 +1611,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
+        # exact integer parity with fingerprint_table: the token hash IS
+        # DuckDB's md5_number_lower, the rolling hash is HUGEINT math mod
+        # 2^64, and list_* preserves token order — no float tolerance
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                       list_transform(
+                         list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> length(t) BETWEEN 2 AND 16
+                                AND (NOT regexp_full_match(t, '[0-9]+')
+                                     OR length(t) BETWEEN 4 AND 5)),
+                         t -> CAST(md5_number_lower(t) AS HUGEINT))),
+                     (a, b) -> (a * 1099511628211 + b)
+                               % CAST(18446744073709551616 AS HUGEINT)
+                   ) % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+                     AS fingerprint
+            FROM documents
+        """,
         "shingle_pairs": f"""
             WITH {TOK_ORDERED_CTE},
             sh AS (

@@ -40,6 +40,17 @@ def hashed_uniques(dictionary: pa.Array) -> np.ndarray:
         np.uint64, len(dictionary))
 
 
+def md5_low64_uniques(dictionary: pa.Array) -> np.ndarray:
+    """md5 low-64 (bytes [8:16], little-endian) per distinct token — the
+    DuckDB ``md5_number_lower`` value, so operators built on it (the doc
+    fingerprint) stay SQL-oracle-expressible.  Hashed once per batch
+    dictionary, never per occurrence."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+         for t in dictionary.to_pylist()),
+        np.uint64, len(dictionary))
+
+
 def doc_term_counts(codes: np.ndarray, doc_idx: np.ndarray):
     """Distinct (doc_idx, code) pairs + occurrence counts via one packed
     np.unique — the per-(doc, term) tf combine."""

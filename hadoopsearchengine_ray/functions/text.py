@@ -258,13 +258,14 @@ _FP_OFFSET = np.uint64(0xCBF29CE484222325)  # leading coefficient (FNV basis)
 def fingerprint_py(tokens: list[str]) -> int:
     """Single-process shadow of the doc fingerprint (dual-implementation
     testing, SURVEY.md §5): polynomial rolling hash mod 2^64 over the
-    per-token blake2b-64 hash sequence, order-sensitive."""
+    per-token md5-low-64 hash sequence, order-sensitive.  The token hash
+    is DuckDB's ``md5_number_lower`` (digest bytes [8:16], little-endian)
+    so the whole fingerprint has an exact integer SQL oracle."""
     import hashlib
 
     h = int(_FP_OFFSET)
     for t in tokens:
-        th = int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        th = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
         h = (h * int(_FP_P) + th) & 0xFFFFFFFFFFFFFFFF
     return h & 0x7FFFFFFFFFFFFFFF
 
@@ -275,22 +276,20 @@ def fingerprint_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     (/root/reference/DyableRequest/HitScore.h:262-267).
 
     Vectorized (round-2 fix of the per-byte Python loop): each DISTINCT
-    token in the batch is hashed once (blake2b-64 over the dictionary,
+    token in the batch is hashed once (md5-low-64 over the dictionary,
     unique terms << total tokens), then every doc's fingerprint is the
     polynomial rolling hash  OFFSET*P^n + Σ th_j * P^(n-1-j)  mod 2^64
     over its token-hash sequence — computed with one precomputed power
     table and a single ``np.add.at`` scatter (uint64 wraparound is the
-    mod).  Identical to ``fingerprint_py`` per doc.
-    Non-SQL-expressible; exact-checked against fingerprint_py in pytest
-    and by the driver entry's embedded shadow."""
-    import hashlib
-
+    mod).  Identical to ``fingerprint_py`` per doc, and — because the
+    token hash equals DuckDB's ``md5_number_lower`` — to the exact
+    integer SQL oracle (list_reduce rolling hash in HUGEINT)."""
     def _fp(batch: pa.Table) -> pa.Table:
-        from .._tokflat import flat_token_view, hashed_uniques
+        from .._tokflat import flat_token_view, md5_low64_uniques
 
         counts, d, codes, doc_idx = flat_token_view(tokenize_column(batch[text_col]))
         ndoc = len(counts)
-        uhash = hashed_uniques(d.dictionary)
+        uhash = md5_low64_uniques(d.dictionary)
         th = uhash[codes] if len(codes) else np.empty(0, np.uint64)
         maxlen = int(counts.max()) if ndoc else 0
         pows = np.empty(maxlen + 1, np.uint64)
