@@ -211,6 +211,31 @@ def run_bench() -> dict:
                   value_cols=["signup_us"]).count()
     timings["asof_join"] = round(time.perf_counter() - t0, 3)
 
+    # keyed interval-containment join (attribution windows): purchases
+    # open 2h windows, every same-user event inside one matches
+    def _points(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.not_equal(b["event_type"], "purchase"))
+        return pa.table({"user_id": f["user_id"], "ts": f["ts"]})
+
+    def _ivals(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "purchase"))
+        s = f["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        e = pc.add(s, pa.scalar(2 * 3600 * 1_000_000, pa.int64()))
+        return pa.table({"user_id": f["user_id"],
+                         "w_start": s.cast(pa.timestamp("us")),
+                         "w_end": e.cast(pa.timestamp("us"))})
+
+    ev3 = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "ts", "event_type"])
+    t0 = time.perf_counter()
+    rel.range_join(ev3.map_batches(_points, batch_format="pyarrow",
+                                   batch_size=None),
+                   ev3.map_batches(_ivals, batch_format="pyarrow",
+                                   batch_size=None),
+                   on="ts", start_col="w_start", end_col="w_end",
+                   by="user_id").count()
+    timings["range_join"] = round(time.perf_counter() - t0, 3)
+
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
     od = rd.read_parquet(f"{sf_dir}/orders.parquet",

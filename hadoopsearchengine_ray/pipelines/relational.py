@@ -85,7 +85,9 @@ def merge_set(ds: rd.Dataset, key: str, value_col: str,
                .reset_index())
         return out.rename(columns={value_col: alias})
 
-    return (ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+    return (_coalesce_for_buckets(
+                ds.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None), num_buckets)
             .groupby("__bucket")
             .map_groups(_merge, batch_format="pandas"))
 
@@ -105,6 +107,18 @@ def broadcast_join(big: rd.Dataset, small: pd.DataFrame, on: str,
 
 # rows per side under which ``join`` picks the broadcast plan
 BROADCAST_JOIN_MAX_ROWS = 2_000_000
+
+
+def _coalesce_for_buckets(ds: rd.Dataset, num_buckets: int) -> rd.Dataset:
+    """Coalesce pre-shuffle blocks to the bucket count.  The sort shuffle
+    behind ``groupby`` creates ~B output ranges for B input blocks and
+    B×R partition objects; with only ``num_buckets`` distinct group keys,
+    anything past ~num_buckets blocks is pure scheduling overhead
+    (measured 3.4× on range_join at 128 tiny input blocks).  Block size
+    becomes ≈ total/num_buckets — the same one-bucket-per-task assumption
+    these operators already document, so raising ``num_buckets`` for
+    bigger inputs keeps blocks bounded too."""
+    return ds.repartition(num_buckets)
 
 
 def _as_arrow_schema(schema) -> pa.Schema:
@@ -201,7 +215,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
         rg = g.filter(_pc.equal(side, 1)).select(rcols).to_pandas()
         return lg.merge(rg, on=on_cols, how=how)
 
-    out = (lt.union(rt).groupby("__bucket")
+    out = (_coalesce_for_buckets(lt.union(rt), num_buckets)
+           .groupby("__bucket")
            .map_groups(_join, batch_format="pyarrow"))
     if restore_order_col is not None:
         out = out.sort(restore_order_col)
@@ -241,27 +256,45 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     bucket's rows fit one task (raise num_buckets / salt by time range
     if not)."""
 
-    def _tag(side: int):
+    left_cols = list(_as_arrow_schema(left.schema()).names)
+    rschema = _as_arrow_schema(right.schema())
+    right_cols = [by, on] + value_cols
+    types = {f.name: f.type for f in _as_arrow_schema(left.schema())}
+    types.update({f.name: f.type for f in rschema})
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    # both sides padded to ONE schema with typed nulls (hash_join's
+    # pattern): the pre-groupby coalesce concatenates blocks from both
+    # sides, which requires schema-aligned blocks
+    def _tag(side: int, have: list[str]):
         def _t(batch: pa.Table) -> pa.Table:
-            cols = {c: batch[c] for c in batch.column_names}
-            cols["__side"] = pa.array(np.full(batch.num_rows, side, np.int8))
+            n = batch.num_rows
+            cols = {c: (batch[c] if c in have else pa.nulls(n, types[c]))
+                    for c in all_cols}
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
             h = pd.util.hash_array(batch[by].to_pandas().to_numpy())
             cols["__bucket"] = pa.array((h % num_buckets).astype(np.int64))
             return pa.table(cols)
         return _t
 
-    lt = left.map_batches(_tag(0), batch_format="pyarrow", batch_size=None)
-    rt = right.map_batches(_tag(1), batch_format="pyarrow", batch_size=None)
+    lt = left.map_batches(_tag(0, left_cols), batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(_tag(1, right_cols), batch_format="pyarrow",
+                           batch_size=None)
     both = lt.union(rt)
 
-    left_cols = left.schema().names
+    def _asof(g: pa.Table) -> pd.DataFrame:
+        # split sides IN ARROW and select own columns first: padding
+        # nulls from the other side would promote int64 -> float64 in a
+        # whole-group pandas frame (the hash_join precision hazard)
+        import pyarrow.compute as _pc
 
-    def _asof(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "__side" not in g.columns:
+        if g.num_rows == 0 or "__side" not in g.column_names:
             return pd.DataFrame(columns=left_cols + value_cols)
-        lg = (g[g["__side"] == 0][left_cols]
+        side = g["__side"]
+        lg = (g.filter(_pc.equal(side, 0)).select(left_cols).to_pandas()
               .sort_values(on, kind="mergesort"))
-        rg = (g[g["__side"] == 1][[by, on] + value_cols]
+        rg = (g.filter(_pc.equal(side, 1)).select(right_cols).to_pandas()
               .rename(columns={on: "__r_on"})
               .sort_values("__r_on", kind="mergesort"))
         if len(lg) == 0:
@@ -275,7 +308,9 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
                             by=by, direction="backward")
         return out.drop(columns=["__r_on"])
 
-    return both.groupby("__bucket").map_groups(_asof, batch_format="pandas")
+    return (_coalesce_for_buckets(both, num_buckets)
+            .groupby("__bucket")
+            .map_groups(_asof, batch_format="pyarrow"))
 
 
 def sessionize(events: rd.Dataset, key: str, ts_col: str,
@@ -319,8 +354,9 @@ def sessionize(events: rd.Dataset, key: str, ts_col: str,
         g["session_id"] = cum - cum[first_idx]
         return g
 
-    return (events.map_batches(_bucket, batch_format="pyarrow",
-                               batch_size=None)
+    return (_coalesce_for_buckets(
+                events.map_batches(_bucket, batch_format="pyarrow",
+                                   batch_size=None), num_buckets)
             .groupby("__bucket")
             .map_groups(_sessions, batch_format="pandas"))
 
@@ -345,7 +381,9 @@ def top_k_per_group(ds: rd.Dataset, key: str, sort_col: str, k: int,
                           ascending=[True, not descending] + [True] * len(other))
         return g.groupby(key, sort=False).head(k)
 
-    return (ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+    return (_coalesce_for_buckets(
+                ds.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None), num_buckets)
             .groupby("__bucket")
             .map_groups(_heads, batch_format="pandas"))
 
@@ -393,13 +431,23 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
     Timestamps normalize to microseconds (``datetime64[us]``) before
     comparison, like ``sessionize`` — a ns input cannot silently shift
     the window 1000x.  Non-key output columns must be disjoint."""
-    pcols = points.schema().names
-    icols = intervals.schema().names
+    pschema = _as_arrow_schema(points.schema())
+    ischema = _as_arrow_schema(intervals.schema())
+    pcols, icols = list(pschema.names), list(ischema.names)
     shared = (set(pcols) & set(icols)) - ({by} if by else set())
     if shared:
         raise ValueError(f"range_join requires disjoint non-key columns; "
                          f"rename {sorted(shared)} first")
     out_cols = pcols + [c for c in icols if c not in pcols]
+    types = {f.name: f.type for f in pschema}
+    types.update({f.name: f.type for f in ischema})
+
+    def _pad(batch: pa.Table, have: list[str]) -> dict:
+        # both sides padded to ONE schema with typed nulls so the
+        # pre-groupby coalesce can concatenate blocks from either side
+        n = batch.num_rows
+        return {c: (batch[c] if c in have else pa.nulls(n, types[c]))
+                for c in out_cols}
 
     def _us(s: pd.Series) -> np.ndarray:
         return s.astype("datetime64[us]").astype("int64").to_numpy()
@@ -409,10 +457,20 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
         keep = (ts >= _us(merged[start_col])) & (ts < _us(merged[end_col]))
         return merged[keep]
 
+    def _split(g: pa.Table):
+        # Arrow-side split + own-column select before pandas: padding
+        # nulls would promote the other side's int64 columns to float64
+        # (the hash_join precision hazard)
+        import pyarrow.compute as _pc
+
+        side = g["__side"]
+        return (g.filter(_pc.equal(side, 0)).select(pcols).to_pandas(),
+                g.filter(_pc.equal(side, 1)).select(icols).to_pandas())
+
     if by is not None:
-        def _tag(side: int):
+        def _tag(side: int, have: list[str]):
             def _t(batch: pa.Table) -> pa.Table:
-                cols = {c: batch[c] for c in batch.column_names}
+                cols = _pad(batch, have)
                 cols["__side"] = pa.array(
                     np.full(batch.num_rows, side, np.int8))
                 h = pd.util.hash_array(batch[by].to_pandas().to_numpy())
@@ -420,16 +478,16 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
                 return pa.table(cols)
             return _t
 
-        both = (points.map_batches(_tag(0), batch_format="pyarrow",
+        both = (points.map_batches(_tag(0, pcols), batch_format="pyarrow",
                                    batch_size=None)
-                .union(intervals.map_batches(_tag(1), batch_format="pyarrow",
+                .union(intervals.map_batches(_tag(1, icols),
+                                             batch_format="pyarrow",
                                              batch_size=None)))
 
-        def _rjoin(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) == 0 or "__side" not in g.columns:
+        def _rjoin(g: pa.Table) -> pd.DataFrame:
+            if g.num_rows == 0 or "__side" not in g.column_names:
                 return pd.DataFrame(columns=out_cols)
-            lg = g[g["__side"] == 0][pcols]
-            rg = g[g["__side"] == 1][icols]
+            lg, rg = _split(g)
             if len(lg) == 0 or len(rg) == 0:
                 return pd.DataFrame(columns=out_cols)
             lc = lg[by].value_counts()
@@ -442,8 +500,9 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
                       "or pre-filter the hot keys", file=sys.stderr)
             return _containment(lg.merge(rg, on=by))[out_cols]
 
-        return both.groupby("__bucket").map_groups(_rjoin,
-                                                   batch_format="pandas")
+        return (_coalesce_for_buckets(both, num_buckets)
+                .groupby("__bucket")
+                .map_groups(_rjoin, batch_format="pyarrow"))
 
     # keyless: time-axis bucketing
     if bucket_width_us is None:
@@ -460,7 +519,7 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
     W = np.int64(bucket_width_us)
 
     def _pbucket(batch: pa.Table) -> pa.Table:
-        cols = {c: batch[c] for c in batch.column_names}
+        cols = _pad(batch, pcols)
         ts = batch[on].cast(pa.timestamp("us")).cast(
             pa.int64()).to_numpy(zero_copy_only=False)
         cols["__side"] = pa.array(np.full(batch.num_rows, 0, np.int8))
@@ -479,7 +538,10 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
         cnt = (e - 1) // W - b0 + 1
         idx = np.repeat(np.arange(len(s)), cnt)
         off = np.arange(len(idx)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        cols = {c: tbl[c].take(pa.array(idx)) for c in tbl.column_names}
+        take = pa.array(idx)
+        cols = {c: (tbl[c].take(take) if c in icols
+                    else pa.nulls(len(idx), types[c]))
+                for c in out_cols}
         cols["__side"] = pa.array(np.full(len(idx), 1, np.int8))
         cols["__bucket"] = pa.array(b0[idx] + off)
         return pa.table(cols)
@@ -489,11 +551,10 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
             .union(intervals.map_batches(_ibucket, batch_format="pyarrow",
                                          batch_size=None)))
 
-    def _rjoin_t(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or "__side" not in g.columns:
+    def _rjoin_t(g: pa.Table) -> pd.DataFrame:
+        if g.num_rows == 0 or "__side" not in g.column_names:
             return pd.DataFrame(columns=out_cols)
-        lg = g[g["__side"] == 0][pcols]
-        rg = g[g["__side"] == 1][icols]
+        lg, rg = _split(g)
         if len(lg) == 0 or len(rg) == 0:
             return pd.DataFrame(columns=out_cols)
         if len(lg) * len(rg) > warn_pairs_per_bucket:
@@ -505,8 +566,9 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
         merged = lg.merge(rg, how="cross")
         return _containment(merged)[out_cols]
 
-    return both.groupby("__bucket").map_groups(_rjoin_t,
-                                               batch_format="pandas")
+    return (_coalesce_for_buckets(both, num_buckets)
+            .groupby("__bucket")
+            .map_groups(_rjoin_t, batch_format="pyarrow"))
 
 
 def hopping_window_agg(events: rd.Dataset, ts_col: str, key: str,
