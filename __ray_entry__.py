@@ -295,6 +295,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_lang_id(sf):
         return text.lang_id_table(_docs(sf))
 
+    def q_token_count(sf):
+        return text.token_count_table(_docs(sf))
+
+    def q_stratified_sample(sf):
+        # deterministic 2-per-user event downsample (class balancing)
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "user_id"])
+        out = rel.stratified_sample(ev, key="user_id", id_col="event_id",
+                                    n=2)
+
+        def _shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+            })
+
+        return out.map_batches(_shape, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_bigrams(sf):
         return text.bigram_table(_docs(sf), k=100)
 
@@ -1029,6 +1048,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
         "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "stratified_sample": q_stratified_sample,
         "bigram_top100": q_bigrams,
         "term_cf_p95": q_cf_p95,
         "stemmed_dictionary": q_stemmed_dict,
@@ -1445,6 +1466,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens, CAST(sum(length(term)) AS BIGINT) AS total_chars,
                    count(DISTINCT term) AS n_distinct
             FROM tok GROUP BY doc_id
+        """,
+        # same RE2 patterns run in Arrow count_substring_regex and
+        # DuckDB regexp_extract_all — exact integer parity
+        "token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_ws,
+                   len(regexp_extract_all(text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS n_bpe
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT event_id, user_id FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY md5_number_lower(CAST(event_id AS VARCHAR))
+                         % 9223372036854775808, event_id) <= 2
         """,
         "lang_id": f"""
             WITH {TOK_CTE},

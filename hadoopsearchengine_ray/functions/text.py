@@ -150,6 +150,33 @@ def quality_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return docs.map_batches(_quality, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# BPE-style pre-tokenizer split (letter runs / digit runs / symbol runs,
+# each with an optional leading space) — the token-budget estimator a
+# training-data pipeline runs before real BPE.  RE2 syntax: the SAME
+# pattern string runs in Arrow's count_substring_regex and in DuckDB's
+# regexp_extract_all (both RE2), so the SQL oracle is exact.
+BPE_SPLIT_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+WS_SPLIT_RE = r"\S+"
+
+
+def token_count_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Per-doc token budgets: whitespace token count and BPE-ish
+    pre-tokenizer piece count — both as one vectorized Arrow regex-count
+    kernel per column, no per-row Python."""
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_ws": pc.count_substring_regex(txt, WS_SPLIT_RE).cast(pa.int64()),
+            "n_bpe": pc.count_substring_regex(txt, BPE_SPLIT_RE).cast(pa.int64()),
+        })
+
+    return docs.map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def lang_id_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Stopword-vote language ID: argmax language by stopword hits,
     ties broken by language code asc, no hits -> 'und'."""

@@ -388,6 +388,36 @@ def top_k_per_group(ds: rd.Dataset, key: str, sort_col: str, k: int,
             .map_groups(_heads, batch_format="pandas"))
 
 
+def stratified_sample(ds: rd.Dataset, key: str, id_col: str, n: int,
+                      num_buckets: int = 32) -> rd.Dataset:
+    """Deterministic per-key quota sample: for every distinct ``key``,
+    keep the ``n`` rows whose md5-low-63 hash of ``str(id_col)`` ranks
+    smallest — the class-balancing downsample of a training-data
+    pipeline, reproducible across runs/cluster sizes because the sample
+    is a pure function of the ids.
+
+    The hash is DuckDB's ``md5_number_lower(CAST(id AS VARCHAR)) %
+    2^63`` exactly, so the SQL oracle (QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY hash, id) <= n) selects the same rows.
+    Scale shape: one bucketed shuffle (``top_k_per_group``); per-key
+    state never leaves its bucket."""
+    import hashlib
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") & 0x7FFFFFFFFFFFFFFF
+             for i in ids),
+            np.int64, len(ids))
+        return batch.append_column("__rk", pa.array(h, pa.int64()))
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow", batch_size=None)
+    out = top_k_per_group(ranked, key, "__rk", n, descending=False,
+                          num_buckets=num_buckets)
+    return out.drop_columns(["__rk"])
+
+
 def kth_percentile(ds: rd.Dataset, col: str, q: float) -> float:
     """Exact discrete percentile (KthOrderStat / FindOccurrenceThreshold,
     /root/reference/DyableLexonWords/LexonWords.cpp:87-102).

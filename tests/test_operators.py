@@ -139,6 +139,48 @@ def test_range_join_keyed_and_keyless_match_bruteforce():
     assert set(zip(out3.pid, out3.iid)) == keyless_want
 
 
+def test_token_count_matches_python_re():
+    import re
+
+    texts = TEXTS + ["", "  x12 3.14 foo_bar!!  ", "def f(x): return x+1"]
+    out = (text.token_count_table(_doc_ds(texts)).to_pandas()
+           .set_index("doc_id").sort_index())
+    ws = re.compile(r"\S+")
+    bpe = re.compile(r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+")
+    for i, t in enumerate(texts):
+        assert out.loc[i, "n_ws"] == len(ws.findall(t))
+        assert out.loc[i, "n_bpe"] == len(bpe.findall(t))
+
+
+def test_stratified_sample_deterministic_quota():
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    n = 500
+    keys = rng.integers(0, 20, n)
+    ids = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+    }))
+    out = rel.stratified_sample(ds, key="k", id_col="id", n=3).to_pandas()
+    assert "__rk" not in out.columns and "__bucket" not in out.columns
+
+    def h(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                              "little") & 0x7FFFFFFFFFFFFFFF
+
+    want = set()
+    df = pd.DataFrame({"id": ids, "k": keys})
+    for k, g in df.groupby("k"):
+        picked = sorted(g["id"], key=lambda i: (h(i), i))[:3]
+        want.update((k, i) for i in picked)
+    assert set(zip(out.k, out.id)) == want
+    # rerun is identical (pure function of ids)
+    out2 = rel.stratified_sample(ds, key="k", id_col="id", n=3).to_pandas()
+    assert set(zip(out2.k, out2.id)) == want
+
+
 def test_dedup_clusters_connected_components():
     # chain 0-1-2, pair 5-6, singleton 3,4
     pairs = rd.from_arrow(pa.table({
