@@ -80,7 +80,7 @@ def _cmd_query(a: argparse.Namespace) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m hadoopsearchengine_ray",
-                                description=__doc__.split("\n\n")[0])
+                                description=(__doc__ or "").split("\n\n")[0])
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen", help="write the synthetic source-code corpus")

@@ -40,15 +40,20 @@ def hashed_uniques(dictionary: pa.Array) -> np.ndarray:
         np.uint64, len(dictionary))
 
 
+def md5_low64(s: str) -> int:
+    """md5 low-64 of a string: digest bytes [8:16], little-endian — the
+    single source of the DuckDB ``md5_number_lower`` parity definition.
+    Every operator that sorts or hashes by this value (doc fingerprint,
+    stratified sampling) must call this (or ``md5_low64_uniques``) so a
+    future tweak cannot silently break one oracle and not the others."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
 def md5_low64_uniques(dictionary: pa.Array) -> np.ndarray:
-    """md5 low-64 (bytes [8:16], little-endian) per distinct token — the
-    DuckDB ``md5_number_lower`` value, so operators built on it (the doc
-    fingerprint) stay SQL-oracle-expressible.  Hashed once per batch
+    """``md5_low64`` per distinct token, hashed once per batch
     dictionary, never per occurrence."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
-         for t in dictionary.to_pylist()),
-        np.uint64, len(dictionary))
+    return np.fromiter((md5_low64(t) for t in dictionary.to_pylist()),
+                       np.uint64, len(dictionary))
 
 
 def doc_term_counts(codes: np.ndarray, doc_idx: np.ndarray):

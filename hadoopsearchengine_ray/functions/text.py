@@ -286,14 +286,13 @@ def fingerprint_py(tokens: list[str]) -> int:
     """Single-process shadow of the doc fingerprint (dual-implementation
     testing, SURVEY.md §5): polynomial rolling hash mod 2^64 over the
     per-token md5-low-64 hash sequence, order-sensitive.  The token hash
-    is DuckDB's ``md5_number_lower`` (digest bytes [8:16], little-endian)
+    is DuckDB's ``md5_number_lower`` (the shared ``_tokflat.md5_low64``)
     so the whole fingerprint has an exact integer SQL oracle."""
-    import hashlib
+    from .._tokflat import md5_low64
 
     h = int(_FP_OFFSET)
     for t in tokens:
-        th = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
-        h = (h * int(_FP_P) + th) & 0xFFFFFFFFFFFFFFFF
+        h = (h * int(_FP_P) + md5_low64(t)) & 0xFFFFFFFFFFFFFFFF
     return h & 0x7FFFFFFFFFFFFFFF
 
 

@@ -180,7 +180,21 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     rdtypes = {n: rschema.field(n).type.to_pandas_dtype() for n in rcols}
 
     def _tag(side: int, have: list[str]):
+        # SQL join semantics: a NULL key never matches.  Right-side
+        # null-key rows can never contribute (inner or left); left-side
+        # ones only survive a left join (emitted unmatched, which the
+        # pandas merge then does naturally since the right NaNs are
+        # gone — pandas would otherwise pair NaN==NaN).
+        drop_null_keys = side == 1 or how == "inner"
+
         def _t(batch: pa.Table) -> pa.Table:
+            if drop_null_keys:
+                import pyarrow.compute as _pc
+
+                mask = _pc.is_valid(batch[on_cols[0]])
+                for c in on_cols[1:]:
+                    mask = _pc.and_(mask, _pc.is_valid(batch[c]))
+                batch = batch.filter(mask)
             n = batch.num_rows
             cols = {c: (batch[c] if c in have else pa.nulls(n, types[c]))
                     for c in all_cols}
@@ -256,10 +270,11 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     bucket's rows fit one task (raise num_buckets / salt by time range
     if not)."""
 
-    left_cols = list(_as_arrow_schema(left.schema()).names)
+    lschema = _as_arrow_schema(left.schema())
     rschema = _as_arrow_schema(right.schema())
+    left_cols = list(lschema.names)
     right_cols = [by, on] + value_cols
-    types = {f.name: f.type for f in _as_arrow_schema(left.schema())}
+    types = {f.name: f.type for f in lschema}
     types.update({f.name: f.type for f in rschema})
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
@@ -401,14 +416,12 @@ def stratified_sample(ds: rd.Dataset, key: str, id_col: str, n: int,
     (PARTITION BY key ORDER BY hash, id) <= n) selects the same rows.
     Scale shape: one bucketed shuffle (``top_k_per_group``); per-key
     state never leaves its bucket."""
-    import hashlib
+    from .._tokflat import md5_low64
 
     def _rank(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         h = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
-                            "little") & 0x7FFFFFFFFFFFFFFF
-             for i in ids),
+            (md5_low64(str(i)) & 0x7FFFFFFFFFFFFFFF for i in ids),
             np.int64, len(ids))
         return batch.append_column("__rk", pa.array(h, pa.int64()))
 
@@ -471,6 +484,27 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
     out_cols = pcols + [c for c in icols if c not in pcols]
     types = {f.name: f.type for f in pschema}
     types.update({f.name: f.type for f in ischema})
+    dtypes = {c: types[c].to_pandas_dtype() for c in out_cols}
+
+    def _typed_empty() -> pd.DataFrame:
+        # hash_join's typed-empty pattern: an untyped
+        # pd.DataFrame(columns=...) block would carry object dtypes into
+        # downstream schema unification
+        return pd.DataFrame({c: pd.Series(dtype=dtypes[c])
+                             for c in out_cols})
+
+    def _notnull(batch: pa.Table, cols: list[str]) -> pa.Table:
+        # SQL comparison semantics: a NULL key or NULL timestamp can
+        # never satisfy the join predicate — drop those rows up front
+        # (pandas merge would otherwise match NaN==NaN, and a null
+        # timestamp would promote the int64 bucket column to float64)
+        import pyarrow.compute as _pc
+
+        mask = None
+        for c in cols:
+            v = _pc.is_valid(batch[c])
+            mask = v if mask is None else _pc.and_(mask, v)
+        return batch.filter(mask) if mask is not None else batch
 
     def _pad(batch: pa.Table, have: list[str]) -> dict:
         # both sides padded to ONE schema with typed nulls so the
@@ -499,7 +533,10 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
 
     if by is not None:
         def _tag(side: int, have: list[str]):
+            need = [by, on] if side == 0 else [by, start_col, end_col]
+
             def _t(batch: pa.Table) -> pa.Table:
+                batch = _notnull(batch, need)
                 cols = _pad(batch, have)
                 cols["__side"] = pa.array(
                     np.full(batch.num_rows, side, np.int8))
@@ -516,10 +553,10 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
 
         def _rjoin(g: pa.Table) -> pd.DataFrame:
             if g.num_rows == 0 or "__side" not in g.column_names:
-                return pd.DataFrame(columns=out_cols)
+                return _typed_empty()
             lg, rg = _split(g)
             if len(lg) == 0 or len(rg) == 0:
-                return pd.DataFrame(columns=out_cols)
+                return _typed_empty()
             lc = lg[by].value_counts()
             rc = rg[by].value_counts()
             est = int((lc * rc).dropna().sum())
@@ -536,6 +573,10 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
 
     # keyless: time-axis bucketing
     if bucket_width_us is None:
+        # the max-length scan consumes the intervals pipeline once and
+        # _ibucket consumes it again — pin it so the upstream chain
+        # doesn't execute twice
+        intervals = intervals.materialize()
         def _maxlen(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             s = batch[start_col].cast(pa.timestamp("us")).cast(pa.int64())
@@ -549,6 +590,7 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
     W = np.int64(bucket_width_us)
 
     def _pbucket(batch: pa.Table) -> pa.Table:
+        batch = _notnull(batch, [on])
         cols = _pad(batch, pcols)
         ts = batch[on].cast(pa.timestamp("us")).cast(
             pa.int64()).to_numpy(zero_copy_only=False)
@@ -557,6 +599,7 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
         return pa.table(cols)
 
     def _ibucket(batch: pa.Table) -> pa.Table:
+        batch = _notnull(batch, [start_col, end_col])
         s = batch[start_col].cast(pa.timestamp("us")).cast(
             pa.int64()).to_numpy(zero_copy_only=False)
         e = batch[end_col].cast(pa.timestamp("us")).cast(
@@ -583,10 +626,10 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, on: str,
 
     def _rjoin_t(g: pa.Table) -> pd.DataFrame:
         if g.num_rows == 0 or "__side" not in g.column_names:
-            return pd.DataFrame(columns=out_cols)
+            return _typed_empty()
         lg, rg = _split(g)
         if len(lg) == 0 or len(rg) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return _typed_empty()
         if len(lg) * len(rg) > warn_pairs_per_bucket:
             import sys
             print(f"[range_join] time bucket materializes "

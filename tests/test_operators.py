@@ -181,6 +181,48 @@ def test_stratified_sample_deterministic_quota():
     assert set(zip(out2.k, out2.id)) == want
 
 
+def test_joins_null_key_sql_semantics():
+    # SQL: NULL keys never match (pandas merge would pair NaN==NaN)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "b": pa.array([100, 200], pa.int64()),
+    }))
+    inner = rel.hash_join(left, right, on="k", num_buckets=4).to_pandas()
+    assert set(zip(inner.k, inner.a, inner.b)) == {(1, 10, 100)}
+    lj = rel.hash_join(left, right, on="k", how="left",
+                       num_buckets=4).to_pandas()
+    assert len(lj) == 3  # null-key left row kept, but UNMATCHED
+    assert lj[lj.a == 30]["b"].isna().all()
+
+
+def test_range_join_null_rows_dropped():
+    base = np.datetime64("2024-01-01", "us")
+    m = np.timedelta64(60_000_000, "us")
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array([0, 1, 2], pa.int64()),
+        "k": pa.array([1, 1, None], pa.int64()),
+        "ts": pa.array([base, None, base]),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "iid": pa.array([0, 1], pa.int64()),
+        "k": pa.array([1, None], pa.int64()),
+        "s": pa.array([base - m, None]),
+        "e": pa.array([base + m, base]),
+    }))
+    out = rel.range_join(pts, ivs, on="ts", start_col="s", end_col="e",
+                         by="k").to_pandas()
+    assert set(zip(out.pid, out.iid)) == {(0, 0)}
+    # keyless: null ts / null interval bounds drop, valid pairs remain
+    out2 = rel.range_join(pts.select_columns(["pid", "ts"]),
+                          ivs.select_columns(["iid", "s", "e"]),
+                          on="ts", start_col="s", end_col="e").to_pandas()
+    assert set(zip(out2.pid, out2.iid)) == {(0, 0), (2, 0)}
+
+
 def test_dedup_clusters_connected_components():
     # chain 0-1-2, pair 5-6, singleton 3,4
     pairs = rd.from_arrow(pa.table({
