@@ -51,7 +51,8 @@ def _cmd_build(a: argparse.Namespace) -> int:
 
     _init_ray()
     meta = build_index(a.corpus, a.index, with_positions=not a.no_positions,
-                       hot_df_frac=a.hot_df_frac)
+                       hot_df_frac=a.hot_df_frac,
+                       exclude_terms=tuple(a.exclude))
     man = Manifest.load(os.path.join(a.index, "manifest.json"))
     print(json.dumps({
         "index": a.index,
@@ -94,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--no-positions", action="store_true")
     b.add_argument("--hot-df-frac", type=float, default=0.25)
+    b.add_argument("--exclude", nargs="*", default=[], metavar="TERM",
+                   help="stopword amputation (M3); default keeps every "
+                        "term via lossless hot-term salting")
     b.set_defaults(fn=_cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k against a built index")

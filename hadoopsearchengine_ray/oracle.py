@@ -43,14 +43,21 @@ def sha256_hex(text: str) -> str:
 class OracleIndex:
     """In-memory index over a list of (doc_id, content) rows."""
 
-    def __init__(self, docs: list[tuple[int, str]]):
+    def __init__(self, docs: list[tuple[int, str]],
+                 exclude_terms: tuple[str, ...] = ()):
+        # exclude_terms: the reference's stopword amputation
+        # (Webpage.h:334-346) — excluded terms vanish before indexing,
+        # so dl and positions are over the KEPT token sequence
         self.postings: dict[str, list[tuple[int, int]]] = {}
         self.doclen: dict[int, int] = {}
         # per (term, doc): ascending within-doc token positions (0-based) —
         # the positional shadow (reference SWordHit positions)
         self.positions: dict[str, dict[int, list[int]]] = {}
+        excl = frozenset(exclude_terms)
         for doc_id, content in docs:
             toks = tokenize_py(content)
+            if excl:
+                toks = [t for t in toks if t not in excl]
             self.doclen[doc_id] = len(toks)
             for term, tf in sorted(Counter(toks).items()):
                 self.postings.setdefault(term, []).append((doc_id, tf))

@@ -131,12 +131,21 @@ def build_index(
     with_sha256: bool = True,
     with_positions: bool = True,
     tokenize_batch_size: int = 512,
+    exclude_terms: tuple[str, ...] = (),   # M3 stopword amputation (opt-in)
 ) -> dict:
     """Run (or resume) the full build; returns the meta dict."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest.load(os.path.join(index_dir, "manifest.json"))
-    lineage = (f"v{INDEX_FORMAT_VERSION}:pos={int(with_positions)}:"
-               f"{lineage_fingerprint([corpus_path])}")
+    # exclude list is part of the lineage: a changed stopword set must
+    # rebuild, not resume into mixed state
+    excl_tag = ""
+    if exclude_terms:
+        import hashlib as _hl
+
+        excl_tag = ":excl=" + _hl.sha256(
+            "\n".join(sorted(exclude_terms)).encode()).hexdigest()[:16]
+    lineage = (f"v{INDEX_FORMAT_VERSION}:pos={int(with_positions)}"
+               f"{excl_tag}:{lineage_fingerprint([corpus_path])}")
 
     # empty corpus -> valid empty index (write_parquet of an empty Dataset
     # creates no directory at all, so every stage would 404)
@@ -183,7 +192,8 @@ def build_index(
             sha_thread.start()
         tokens = tokenize_stage(corpus, text_col=text_col, id_col=id_col,
                                 batch_size=tokenize_batch_size,
-                                with_positions=with_positions)
+                                with_positions=with_positions,
+                                exclude_terms=tuple(exclude_terms))
         tokens.write_parquet(tokens_dir)
         if sha_thread is not None:
             sha_thread.join()
@@ -298,6 +308,7 @@ def build_index(
                     "num_index_parts": num_index_parts,
                     "id_col": id_col,
                     "with_positions": with_positions,
+                    "exclude_terms": sorted(exclude_terms),
                 }
                 with open(meta_path + ".tmp", "w") as f:
                     json.dump(meta, f, indent=1)

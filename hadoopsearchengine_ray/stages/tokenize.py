@@ -26,18 +26,36 @@ TOKEN_SCHEMA = pa.schema(
 
 def tokenize_batch(batch: pa.Table, text_col: str = "content",
                    id_col: str = "doc_id",
-                   with_positions: bool = False) -> pa.Table:
+                   with_positions: bool = False,
+                   exclude_terms: tuple[str, ...] = ()) -> pa.Table:
     """(doc_id, text) batch -> unique (doc_id, term, tf) rows.
 
     ``with_positions`` adds a ``pos: list<uint32>`` column — the 0-based
     indices of the term within the doc's VALID token sequence, ascending
     (the positional-posting source, reference SWordHit positions,
-    CompileHitList.h:304-315)."""
+    CompileHitList.h:304-315).
+
+    ``exclude_terms``: optional stopword amputation, the reference's
+    exclude-word filter (Webpage.h:334-346).  Excluded terms vanish
+    before anything downstream sees them: dl, positions and df are all
+    over the KEPT token sequence.  The engine's default is lossless
+    hot-term salting instead — use this only when the reference's
+    lossy behavior is wanted."""
     tokens = tokenize_column(batch[text_col])  # list<string>, one per doc
     flat = tokens.values
     ndocs = len(tokens)
     counts = np.diff(tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
     doc_idx = np.repeat(np.arange(ndocs, dtype=np.uint64), counts)
+    if exclude_terms:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.is_in(
+            flat, value_set=pa.array(list(exclude_terms), pa.string())))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        doc_idx = doc_idx[keep_np]
+        counts = np.bincount(doc_idx.astype(np.int64),
+                             minlength=ndocs).astype(np.int64)
 
     # count (doc, term) pairs vectorized: dictionary-encode terms, pack
     # (local_doc, code) into one uint64 key, np.unique with counts
@@ -78,14 +96,16 @@ def tokenize_batch(batch: pa.Table, text_col: str = "content",
 
 def tokenize_stage(corpus: rd.Dataset, text_col: str = "content",
                    id_col: str = "doc_id", batch_size: int = 512,
-                   with_positions: bool = False) -> rd.Dataset:
+                   with_positions: bool = False,
+                   exclude_terms: tuple[str, ...] = ()) -> rd.Dataset:
     """corpus (doc_id, content, ...) -> token rows (doc_id, term, tf[, pos]).
 
     ``batch_size`` is deliberately small: content rows can be MBs
     (SURVEY.md §7.4 "wide rows") and the token fan-out is ~100x rows.
     """
     ds = corpus.map_batches(
-        lambda b: tokenize_batch(b, text_col, id_col, with_positions),
+        lambda b: tokenize_batch(b, text_col, id_col, with_positions,
+                                 exclude_terms),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

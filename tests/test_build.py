@@ -110,3 +110,40 @@ def test_duplicate_content_rows_index_independently(t1_index_dir, t1_oracle):
     assert dups
     for i in dups:
         assert sha[i] == sha[i - 1]
+
+
+def test_exclude_terms_amputation(t1_corpus_dir, tmp_path):
+    """M3 stopword amputation (opt-in): build with an exclude list ->
+    excluded terms absent from dictionary, dl/df/BM25 computed over the
+    kept token sequence, exactly like the oracle with the same list."""
+    from hadoopsearchengine_ray import corpus, oracle
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    excl = ("def", "return", "the", "and")
+    idx_dir = str(tmp_path / "excl_index")
+    meta = build_index(t1_corpus_dir, idx_dir, exclude_terms=excl)
+    assert meta["exclude_terms"] == sorted(excl)
+
+    tbl = corpus.gen_rows(np.arange(600))
+    gold = oracle.OracleIndex(
+        [(i, tbl["content"][i].as_py()) for i in range(600)],
+        exclude_terms=excl)
+    assert meta["num_docs"] == gold.N
+    assert abs(meta["avgdl"] - gold.avgdl) < 1e-9
+
+    eng = (pads.dataset(f"{idx_dir}/dictionary").to_table().to_pandas()
+           .sort_values("term").reset_index(drop=True))
+    gdict = gold.dictionary()
+    assert set(eng.term) == {t for t, _, _, _ in gdict}
+    assert not (set(excl) & set(eng.term))
+    for (t, tid, df, cf), row in zip(gdict, eng.itertuples()):
+        assert (row.term, row.term_id, row.df, row.cf) == (t, tid, df, cf)
+
+    sc = BM25Scorer(idx_dir)
+    for q in oracle.make_queries(gold, 20):
+        ids, _ = sc.score(q["terms"], q["k"])
+        assert list(ids) == [d for d, s in gold.bm25_topk(q["terms"], q["k"])]
+    # excluded term queries return nothing (reference: unsearchable)
+    ids, _ = sc.score(["def"], 5)
+    assert len(ids) == 0
