@@ -154,9 +154,28 @@ def _pairs_from_bounds(bounds: np.ndarray, doc_ids: np.ndarray,
             cnt.astype(np.int64))
 
 
+def _bucketed_shingles(docs: rd.Dataset, text_col: str, n: int,
+                       num_buckets: int) -> rd.Dataset:
+    """Hash-bucketed shingle rows, coalesced to ``num_buckets`` blocks:
+    the sort shuffle behind the downstream groupby makes ~B output
+    ranges for B input blocks, so with only num_buckets distinct bucket
+    keys the coalesce removes pure scheduling overhead (the
+    relational._coalesce_for_buckets finding)."""
+    sh = shingle_table(docs, text_col, n)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        s = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((s % np.uint64(num_buckets)).astype(np.int64)))
+
+    return (sh.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+            .repartition(num_buckets))
+
+
 def shingle_overlap_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
                           min_common: int = 5, max_df: int = 50,
-                          num_buckets: int = 32) -> rd.Dataset:
+                          num_buckets: int = 32,
+                          sh_bucketed: rd.Dataset | None = None) -> rd.Dataset:
     """n-gram-overlap candidate pairs: (d1 < d2, common shingle count).
 
     Shingles shared by more than ``max_df`` docs are excluded on BOTH the
@@ -167,13 +186,13 @@ def shingle_overlap_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
     ``num_buckets`` groups, not one per shingle — per-shingle pair
     emission happens vectorized inside each bucket task with local
     (d1, d2) pre-aggregation (thousands of tiny map_groups calls cost
-    more than the pairs themselves; see BASELINE.md)."""
-    sh = shingle_table(docs, text_col, n)
+    more than the pairs themselves; see BASELINE.md).
 
-    def _bucket(batch: pa.Table) -> pa.Table:
-        s = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column(
-            "bucket", pa.array((s % np.uint64(num_buckets)).astype(np.int64)))
+    ``sh_bucketed``: optional pre-built ``_bucketed_shingles`` dataset
+    (ngram_jaccard_pairs shares ONE materialized table between the pair
+    and the size side instead of shingling the corpus twice)."""
+    if sh_bucketed is None:
+        sh_bucketed = _bucketed_shingles(docs, text_col, n, num_buckets)
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(g["shingle"].to_numpy(), kind="stable")
@@ -203,7 +222,7 @@ def shingle_overlap_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
             "common": tot[keep],
         })
 
-    return (sh.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+    return (sh_bucketed
             .groupby("bucket")
             .map_groups(_pairs, batch_format="pandas")
             .groupby("pbucket")
@@ -239,14 +258,13 @@ def ngram_jaccard_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
 
     from ..pipelines.relational import hash_join
 
+    # shingle the corpus ONCE: the pair side and the size side consume
+    # the same materialized bucketed table (two separate shingle_table
+    # chains would tokenize+hash the whole corpus twice)
+    sh_bucketed = _bucketed_shingles(docs, text_col, n,
+                                     num_buckets).materialize()
     pairs = shingle_overlap_pairs(docs, text_col, n, min_common, max_df,
-                                  num_buckets)
-    sh = shingle_table(docs, text_col, n)
-
-    def _bucket(batch: pa.Table) -> pa.Table:
-        s = batch["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column(
-            "bucket", pa.array((s % np.uint64(num_buckets)).astype(np.int64)))
+                                  num_buckets, sh_bucketed=sh_bucketed)
 
     def _sizes(g: pd.DataFrame) -> pd.DataFrame:
         s = g["shingle"].to_numpy().astype(np.uint64)
@@ -265,7 +283,7 @@ def ngram_jaccard_pairs(docs: rd.Dataset, text_col: str = "text", n: int = 3,
         tot = np.bincount(inv, weights=psz).astype(np.int64)
         return pd.DataFrame({"doc_id": uniq, "sz": tot})
 
-    sizes = (sh.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
+    sizes = (sh_bucketed
              .groupby("bucket")
              .map_groups(_sizes, batch_format="pandas")
              .groupby("dbucket")
