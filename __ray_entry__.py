@@ -114,6 +114,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_lengths(sf):
         return text.doc_length_table(_docs(sf))
 
+    def q_stop_excluded_dictionary(sf):
+        # M3 stopword amputation through the REAL engine tokenize stage
+        # (stages/tokenize exclude_terms), not a post-filter
+        from hadoopsearchengine_ray.functions.text import (
+            dictionary_from_token_rows,
+        )
+        from hadoopsearchengine_ray.stages.tokenize import tokenize_stage
+
+        tok = tokenize_stage(_docs(sf), text_col="text", id_col="doc_id",
+                             exclude_terms=("spark", "window", "merge"))
+        return dictionary_from_token_rows(tok)
+
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
@@ -1035,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize_tf": q_tokenize,
         "dictionary": q_dictionary,
+        "stop_excluded_dictionary": q_stop_excluded_dictionary,
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
         "phrase_match": q_phrase,
@@ -1139,6 +1152,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {TOK_CTE},
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
             SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+        """,
+        "stop_excluded_dictionary": f"""
+            WITH {TOK_CTE},
+            kept AS (SELECT * FROM tok
+                     WHERE term NOT IN ('spark', 'window', 'merge')),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2)
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY term
         """,
         "doc_lengths": f"""
             WITH {TOK_CTE}
