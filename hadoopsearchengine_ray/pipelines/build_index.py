@@ -213,6 +213,42 @@ def build_index(
         # nothing still count toward BM25's N / avgdl (oracle parity)
         man.finish("tokens", token_rows=n_tokens, corpus_docs=n_corpus_docs)
 
+    return _build_from_tokens(
+        index_dir, man, lineage,
+        hot_df_frac=hot_df_frac, num_shards=num_shards,
+        num_salts=num_salts, num_index_parts=num_index_parts,
+        id_col=id_col, with_positions=with_positions,
+        exclude_terms=exclude_terms)
+
+
+def _build_from_tokens(
+    index_dir: str,
+    man: Manifest,
+    lineage: str,
+    *,
+    hot_df_frac: float,
+    num_shards: int,
+    num_salts: int,
+    num_index_parts: int,
+    id_col: str,
+    with_positions: bool,
+    exclude_terms: tuple[str, ...] = (),
+    doc_id_space_floor: int = 0,
+) -> dict:
+    """Stages 2-7 of the build (vocab/hot → doclen ∥ postings → meta →
+    dictionary), starting from an already-written ``index_dir/tokens``
+    whose manifest entry records ``corpus_docs``.  Shared by the normal
+    build and by delta compaction (pipelines/delta.py), which merges the
+    token tables of main + deltas minus tombstones and skips
+    re-tokenizing.  ``doc_id_space_floor`` keeps the compacted index's
+    id space from shrinking below previously-issued ids (doc-store rows
+    and future delta floors stay valid after deletions)."""
+    tokens_dir = os.path.join(index_dir, "tokens")
+    doclen_dir = os.path.join(index_dir, "doclen")
+    dict_dir = os.path.join(index_dir, "dictionary")
+    post_dir = os.path.join(index_dir, "postings")
+    meta_path = os.path.join(index_dir, "meta.json")
+
     # read the token table in a BYTES-derived block count: every
     # downstream aggregate's cost scales with input block count
     # (BASELINE.md), so the floor stays at the measured 16-block sweet
@@ -296,7 +332,7 @@ def build_index(
                            if dl_tbl.num_rows else 0)
                 meta = {
                     "num_docs": n_docs,
-                    "doc_id_space": max(dl_size, n_docs),
+                    "doc_id_space": max(dl_size, n_docs, doc_id_space_floor),
                     "total_tokens": total_tokens,
                     "avgdl": avgdl,
                     "k1": K1,

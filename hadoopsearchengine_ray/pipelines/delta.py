@@ -15,8 +15,13 @@ delta directory; serving merges main + deltas logically:
   the doc-ordered invariants (delta-gap decode, MaxScore skip blocks)
   hold without re-encoding.
 
-Compaction (folding deltas into the main index) is a rebuild over the
-union — the manifest/lineage machinery already covers it.
+Compaction (``compact_index``) folds main + deltas + tombstones into a
+fresh standalone index WITHOUT re-tokenizing: the per-segment token
+tables (the checkpointed stage-1 output each segment already carries)
+are unioned, tombstoned docs filtered out in one streaming pass, and
+the standard distributed stages 2-7 run over the merged table
+(build_index._build_from_tokens).  Tokenize dominates build wall time,
+so compaction costs roughly a build minus its most expensive stage.
 """
 
 from __future__ import annotations
@@ -296,3 +301,118 @@ class TombstoneReader:
         f2 = f[keep]
         offs2 = np.concatenate(([0], np.cumsum(f2.astype(np.int64))))
         return d[keep], f2, flat[flat_keep], offs2
+
+
+# ---------------------------------------------------------------------------
+# compaction (main + deltas + tombstones -> fresh standalone index)
+# ---------------------------------------------------------------------------
+
+def compact_index(main_index_dir: str, out_dir: str,
+                  delta_dirs: list[str] | None = None,
+                  **build_kwargs) -> dict:
+    """Fold ``main_index_dir`` + its deltas + its tombstones into a
+    fresh standalone index at ``out_dir``; returns the new meta dict.
+
+    The reference's only compaction is a from-scratch pipeline rerun
+    (stage toggling, /root/reference/DyableCommand/DyableCommand.cpp:641-724).
+    Here nothing re-tokenizes: each segment's checkpointed token table
+    is read back, the union is filtered against the tombstone set in
+    one streaming map_batches pass, and the standard distributed
+    stages (vocab/hot -> doclen ∥ postings -> meta -> dictionary) run
+    over the merged table.  Resumable like any build via ``out_dir``'s
+    manifest; rerunning with unchanged segments + tombstones skips
+    completed stages.  Doc ids are NOT renumbered, and the compacted
+    ``doc_id_space`` keeps the pre-compaction ceiling so doc-store rows
+    and future delta-id floors stay valid.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..state.manifest import Manifest, lineage_fingerprint
+    from .build_index import INDEX_FORMAT_VERSION, _build_from_tokens
+
+    if os.path.abspath(out_dir) == os.path.abspath(main_index_dir):
+        raise ValueError("compaction must write to a NEW directory — "
+                         "compacting in place would destroy the inputs "
+                         "it is still reading")
+    if delta_dirs is None:
+        droot = os.path.join(main_index_dir, "deltas")
+        delta_dirs = sorted(
+            os.path.join(droot, d) for d in os.listdir(droot)
+        ) if os.path.isdir(droot) else []
+    segments = [main_index_dir] + list(delta_dirs)
+    metas = []
+    for seg in segments:
+        with open(os.path.join(seg, "meta.json")) as f:
+            metas.append(json.load(f))
+    main_meta = metas[0]
+    tomb = load_tombstones(main_index_dir)
+    # delete_documents' contract: every tombstone is a real indexed doc,
+    # so the alive count is a pure subtraction (zero-token docs included
+    # — they are corpus rows even though they appear in no token row)
+    alive_docs = sum(m["num_docs"] for m in metas) - len(tomb)
+    space_floor = max((m["doc_id_space"] for m in metas), default=0)
+    with_positions = bool(main_meta.get("with_positions", True))
+    id_col = main_meta.get("id_col", "doc_id")
+
+    # only segments that indexed at least one doc carry a tokens dir
+    tok_srcs = [os.path.join(s, "tokens") for s in segments
+                if os.path.isdir(os.path.join(s, "tokens"))]
+    sha_srcs = [os.path.join(s, "sha256") for s in segments
+                if os.path.isdir(os.path.join(s, "sha256"))]
+
+    lineage = (f"compact:v{INDEX_FORMAT_VERSION}:pos={int(with_positions)}:"
+               + lineage_fingerprint(
+                   tok_srcs + [_tombstone_path(main_index_dir)]))
+    os.makedirs(out_dir, exist_ok=True)
+    man = Manifest.load(os.path.join(out_dir, "manifest.json"))
+    tokens_dir = os.path.join(out_dir, "tokens")
+
+    tomb_arr = pa.array(sorted(tomb), pa.uint64())
+
+    def _drop_tombstoned(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch[id_col].cast(pa.uint64()),
+                               value_set=tomb_arr)))
+
+    def _merged(srcs: list[str]) -> rd.Dataset:
+        # read_parquet expands a single directory but treats a LIST as
+        # file paths — enumerate the segment files explicitly
+        files = sorted(
+            os.path.join(r, f)
+            for s in srcs for r, _, fs in os.walk(s) for f in fs
+            if f.endswith(".parquet"))
+        ds = rd.read_parquet(files)
+        if tomb:
+            ds = ds.map_batches(_drop_tombstoned, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return ds
+
+    if not man.is_done("tokens", lineage, tokens_dir):
+        man.start("tokens", lineage, tokens_dir)
+        shutil.rmtree(tokens_dir, ignore_errors=True)
+        _merged(tok_srcs).write_parquet(tokens_dir)
+        if sha_srcs:
+            sha_dir = os.path.join(out_dir, "sha256")
+            shutil.rmtree(sha_dir, ignore_errors=True)
+            _merged(sha_srcs).write_parquet(sha_dir)
+        n_tokens = int(pads.dataset(tokens_dir).count_rows())
+        man.finish("tokens", token_rows=n_tokens, corpus_docs=alive_docs)
+
+    return _build_from_tokens(
+        out_dir, man, lineage,
+        hot_df_frac=build_kwargs.get(
+            "hot_df_frac", main_meta.get("hot_df_frac", 0.25)),
+        num_shards=build_kwargs.get("num_shards", main_meta["num_shards"]),
+        num_salts=build_kwargs.get("num_salts", main_meta["num_salts"]),
+        num_index_parts=build_kwargs.get(
+            "num_index_parts", main_meta["num_index_parts"]),
+        id_col=id_col,
+        with_positions=with_positions,
+        exclude_terms=tuple(main_meta.get("exclude_terms", ())),
+        doc_id_space_floor=space_floor,
+    )

@@ -189,3 +189,63 @@ def test_media_resizer_gates_on_kind():
             # audio/video untouched (round-2 review: no cross-kind resize)
             assert out.loc[mid, "payload"] == src.loc[mid, "payload"]
             assert out.loc[mid, "width"] == src.loc[mid, "width"]
+
+
+def test_compact_index_matches_merged_and_oracle(delta_dirs, tmp_path):
+    """Compaction (main + delta + tombstones -> one fresh index) must be
+    rank- AND score-identical to the merged+tombstoned view and to the
+    oracle over the surviving corpus; the result is standalone (plain
+    BM25Scorer, no MergedIndexReader / TombstoneReader)."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import (
+        compact_index,
+        delete_documents,
+        merged_scorer,
+    )
+
+    main, delta, full, root = delta_dirs
+    # fresh copy (deltas/ rides along) so the module fixture stays clean
+    src = str(tmp_path / "main_copy")
+    shutil.copytree(main, src)
+    dead = [i for i in range(500) if i % 13 == 0]   # spans main AND delta
+    delete_documents(src, dead)
+
+    out = str(tmp_path / "compacted")
+    meta = compact_index(src, out)
+    assert meta["num_docs"] == 500 - len(dead)
+    # id space must NOT shrink below the pre-compaction ceiling
+    assert meta["doc_id_space"] == 500
+
+    sc = BM25Scorer(out)                 # plain scorer: standalone index
+    ms = merged_scorer(src)              # merged + tombstoned view
+    tbl = corpus.gen_rows(np.arange(500))
+    alive = [(i, tbl["content"][i].as_py()) for i in range(500)
+             if i % 13 != 0]
+    oidx = oracle.OracleIndex(alive)
+    assert sc.rd.N == oidx.N
+    assert abs(sc.rd.avgdl - oidx.avgdl) < 1e-9
+    for q in oracle.make_queries(oidx, 25):
+        dc, scs = sc.score(q["terms"], 10)
+        dm, sms = ms.score(q["terms"], 10)
+        exp = oidx.bm25_topk(q["terms"], 10)
+        assert [int(x) for x in dc] == [int(t[0]) for t in exp], q["terms"]
+        assert [int(x) for x in dc] == [int(x) for x in dm]
+        assert np.allclose(scs, [t[1] for t in exp])
+        assert np.allclose(scs, sms)
+
+    # resume: a second compact run with unchanged inputs skips every
+    # stage (manifest lineage) — postings mtimes must not change
+    import os
+
+    post = os.path.join(out, "postings")
+    before = {p: os.path.getmtime(os.path.join(r, p))
+              for r, _, fs in os.walk(post) for p in fs}
+    compact_index(src, out)
+    after = {p: os.path.getmtime(os.path.join(r, p))
+             for r, _, fs in os.walk(post) for p in fs}
+    assert before == after
+
+    # in-place compaction is refused
+    with pytest.raises(ValueError, match="NEW directory"):
+        compact_index(src, src)
