@@ -239,6 +239,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25_compacted(sf):
+        # compaction: main index over the first 80% of docs, delta over
+        # the rest, doc_id % 17 == 0 tombstoned, then compact_index
+        # folds all three into ONE fresh standalone index (token tables
+        # merged, no re-tokenize) — served by the PLAIN scorer, no
+        # merged/tombstone readers.  Oracle = BM25 over survivors.
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.pipelines.build_index import build_index
+        from hadoopsearchengine_ray.pipelines.delta import (
+            add_documents,
+            compact_index,
+            delete_documents,
+        )
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        n = tbl.num_rows
+        cut = (n * 4) // 5
+        key = hashlib.sha256(f"compact:{sf}".encode()).hexdigest()[:16]
+        root = os.path.join("/tmp/hse_compact_cache", key)
+        os.makedirs(root, exist_ok=True)
+        mainp = os.path.join(root, "main.parquet")
+        newp = os.path.join(root, "new.parquet")
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            srt = tbl.sort_by("doc_id")
+            pq.write_table(srt.slice(0, cut), mainp)
+            pq.write_table(srt.slice(cut), newp)
+            open(os.path.join(root, "_DONE"), "w").close()
+        main_idx = os.path.join(root, "main_idx")
+        build_index(mainp, main_idx, id_mode="column", text_col="text")
+        add_documents(main_idx, newp)
+        delete_documents(main_idx, [i for i in range(n) if i % 17 == 0])
+        out = os.path.join(root, "compacted")
+        meta = compact_index(main_idx, out)
+        expect = n - len(range(0, n, 17))
+        if meta["num_docs"] != expect:
+            raise AssertionError(
+                f"compacted num_docs {meta['num_docs']} != alive {expect}")
+        d, _ = BM25Scorer(out).score(BM25_TERMS, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1057,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_bm25": q_anchor_bm25,
         "bm25_delta_topk": q_bm25_delta,
         "bm25_after_delete": q_bm25_delete,
+        "bm25_compacted_topk": q_bm25_compacted,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1247,6 +1297,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         "bm25_after_delete": f"""
+            WITH alive AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
+            tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM alive
+              ) WHERE length(t) BETWEEN 2 AND 16
+                AND (NOT regexp_full_match(t, '[0-9]+') OR length(t) BETWEEN 4 AND 5)
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM alive) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM alive) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # compaction contract: the fresh standalone index over
+        # main+delta−tombstones must score exactly like BM25 over the
+        # surviving corpus (same alive set as bm25_after_delete, but the
+        # Ray side here is a compacted rebuild, not a tombstone reader)
+        "bm25_compacted_topk": f"""
             WITH alive AS (SELECT * FROM documents WHERE doc_id % 17 != 0),
             tok AS (
               SELECT doc_id, t AS term FROM (

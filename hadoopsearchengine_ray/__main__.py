@@ -13,6 +13,8 @@ Subcommands:
 - ``build``  run (or resume — the manifest skips finished stages) the
              full index build and print the manifest metrics as JSON
 - ``query``  score ad-hoc queries against a built index and print top-k
+- ``compact`` fold an index + its deltas + tombstones into a fresh
+             standalone index (no re-tokenize; resumable)
 
 Ray session ownership: this CLI initialises Ray itself (guarded) because
 it IS a job entry point; library code never does.  ``RAY_ADDRESS`` is
@@ -79,6 +81,25 @@ def _cmd_query(a: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(a: argparse.Namespace) -> int:
+    from .pipelines.delta import compact_index
+    from .state.manifest import Manifest
+
+    _init_ray()
+    meta = compact_index(a.index, a.out)
+    man = Manifest.load(os.path.join(a.out, "manifest.json"))
+    print(json.dumps({
+        "index": a.out,
+        "num_docs": meta["num_docs"],
+        "doc_id_space": meta["doc_id_space"],
+        "total_tokens": meta["total_tokens"],
+        "stages": {s: {"status": e.get("status"),
+                       "wall_sec": e.get("wall_sec")}
+                   for s, e in man.stages.items()},
+    }, indent=1))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m hadoopsearchengine_ray",
                                 description=(__doc__ or "").split("\n\n")[0])
@@ -106,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("terms", nargs="+",
                    help="one or more queries, each a space-joined term list")
     q.set_defaults(fn=_cmd_query)
+
+    c = sub.add_parser("compact", help="fold index + deltas + tombstones "
+                                       "into a fresh standalone index")
+    c.add_argument("--index", required=True,
+                   help="main index dir (deltas/tombstones auto-discovered)")
+    c.add_argument("--out", required=True, help="new index dir (must differ)")
+    c.set_defaults(fn=_cmd_compact)
 
     a = p.parse_args(argv)
     try:
