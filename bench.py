@@ -90,7 +90,8 @@ def run_bench() -> dict:
     # clear ALL stale bench indexes (any cpu level / corpus size): leftovers
     # in shm eat the page cache and skew back-to-back scaling runs
     import glob
-    for d in glob.glob(f"{out_root}/hse_bench_index_*"):
+    for d in glob.glob(f"{out_root}/hse_bench_index_*") + \
+            glob.glob(f"{out_root}/hse_bench_compact_*"):
         shutil.rmtree(d, ignore_errors=True)
     index_dir = f"{out_root}/hse_bench_index_{n_docs}_{ncpu}"
     # best-of-2: single-box builds share page cache / scheduler state and
@@ -150,6 +151,29 @@ def run_bench() -> dict:
         }
         ray.shutdown()
         return result
+
+    # ---- compaction: fold index + tombstones into a fresh index ------
+    # posting-level blob merge (pipelines/compaction.py): one streaming
+    # pass over the encoded posting rows, NO token shuffle — the
+    # incremental-maintenance cost a 100-TB deploy pays instead of a
+    # full rebuild.  ~6% of the docs are tombstoned so the re-encode
+    # path is exercised, not just the verbatim copy.
+    from hadoopsearchengine_ray.pipelines.delta import (
+        compact_index,
+        delete_documents,
+    )
+
+    delete_documents(index_dir, list(range(0, n_docs, 17)))
+    compact_dir = f"{out_root}/hse_bench_compact_{n_docs}_{ncpu}"
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    cmeta = compact_index(index_dir, compact_dir, mode="merge")
+    timings["compact_merge_sec"] = round(time.perf_counter() - t0, 3)
+    assert cmeta["num_docs"] == n_docs - len(range(0, n_docs, 17))
+    assert cmeta.get("compacted_from") == 1
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    # plain scorers below ignore tombstones, but leave the index pristine
+    os.remove(os.path.join(index_dir, "tombstones.json"))
 
     # ---- positional serving (phrase + proximity, round 2) ------------
     from hadoopsearchengine_ray.pipelines.positional import (

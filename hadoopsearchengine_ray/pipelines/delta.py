@@ -16,18 +16,21 @@ delta directory; serving merges main + deltas logically:
   hold without re-encoding.
 
 Compaction (``compact_index``) folds main + deltas + tombstones into a
-fresh standalone index WITHOUT re-tokenizing: the per-segment token
-tables (the checkpointed stage-1 output each segment already carries)
-are unioned, tombstoned docs filtered out in one streaming pass, and
-the standard distributed stages 2-7 run over the merged table
-(build_index._build_from_tokens).  Tokenize dominates build wall time,
-so compaction costs roughly a build minus its most expensive stage.
+fresh standalone index.  The default strategy is the posting-level blob
+merge (pipelines/compaction.py): one streaming pass over the segments'
+already-encoded posting rows — no token shuffle, O(index bytes).  The
+fallback/re-tuning strategy is a token-level rebuild: union the
+checkpointed per-segment token tables minus tombstones and rerun the
+standard distributed stages 2-7 (build_index._build_from_tokens),
+paying the posting shuffle again but re-packing every term into
+minimal rows.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -309,22 +312,46 @@ class TombstoneReader:
 
 def compact_index(main_index_dir: str, out_dir: str,
                   delta_dirs: list[str] | None = None,
+                  mode: str = "auto",
                   **build_kwargs) -> dict:
     """Fold ``main_index_dir`` + its deltas + its tombstones into a
     fresh standalone index at ``out_dir``; returns the new meta dict.
 
-    The reference's only compaction is a from-scratch pipeline rerun
-    (stage toggling, /root/reference/DyableCommand/DyableCommand.cpp:641-724).
-    Here nothing re-tokenizes: each segment's checkpointed token table
-    is read back, the union is filtered against the tombstone set in
-    one streaming map_batches pass, and the standard distributed
-    stages (vocab/hot -> doclen ∥ postings -> meta -> dictionary) run
-    over the merged table.  Resumable like any build via ``out_dir``'s
-    manifest; rerunning with unchanged segments + tombstones skips
-    completed stages.  Doc ids are NOT renumbered, and the compacted
-    ``doc_id_space`` keeps the pre-compaction ceiling so doc-store rows
-    and future delta-id floors stay valid.
+    Two strategies (the reference's only compaction is a from-scratch
+    pipeline rerun — stage toggling,
+    /root/reference/DyableCommand/DyableCommand.cpp:641-724):
+
+    - ``merge`` (pipelines/compaction.py): posting-level blob merge —
+      one streaming pass over the segments' encoded posting rows, NO
+      token shuffle; tombstoned docs filtered in place, untouched rows
+      copied verbatim.  O(index bytes), no all-to-all.
+    - ``rebuild``: union the segments' checkpointed token tables (minus
+      tombstones) and rerun the standard distributed stages 2-7 — full
+      posting shuffle, but re-packs every term into minimal rows and
+      honours ``build_kwargs`` re-tuning (hot_df_frac, shard counts).
+
+    ``mode="auto"`` (default) uses merge, falling back to rebuild when
+    segments are merge-incompatible or when build_kwargs are passed
+    (re-tuning implies re-encoding).  Both are resumable via
+    ``out_dir``'s manifest.  Doc ids are NOT renumbered, and the
+    compacted ``doc_id_space`` keeps the pre-compaction ceiling so
+    doc-store rows and future delta-id floors stay valid.
     """
+    if mode not in ("auto", "merge", "rebuild"):
+        raise ValueError(f"unknown compaction mode {mode!r}")
+    if mode != "rebuild" and not build_kwargs:
+        from .compaction import MergeIncompatible, merge_compact_index
+
+        try:
+            return merge_compact_index(main_index_dir, out_dir, delta_dirs)
+        except MergeIncompatible as e:
+            if mode == "merge":
+                raise
+            print(f"[compact] merge-incompatible ({e}); falling back to "
+                  "token-level rebuild", file=sys.stderr)
+    elif mode == "merge":
+        raise ValueError("mode='merge' does not honour build_kwargs — "
+                         "use mode='rebuild' to re-tune the index")
     import shutil
 
     import pyarrow as pa

@@ -191,11 +191,14 @@ def test_media_resizer_gates_on_kind():
             assert out.loc[mid, "width"] == src.loc[mid, "width"]
 
 
-def test_compact_index_matches_merged_and_oracle(delta_dirs, tmp_path):
+@pytest.mark.parametrize("mode", ["merge", "rebuild"])
+def test_compact_index_matches_merged_and_oracle(delta_dirs, tmp_path, mode):
     """Compaction (main + delta + tombstones -> one fresh index) must be
     rank- AND score-identical to the merged+tombstoned view and to the
     oracle over the surviving corpus; the result is standalone (plain
-    BM25Scorer, no MergedIndexReader / TombstoneReader)."""
+    BM25Scorer, no MergedIndexReader / TombstoneReader).  Both
+    strategies — the posting-level blob merge and the token-level
+    rebuild — must produce the same ranking."""
     import shutil
 
     from hadoopsearchengine_ray.pipelines.delta import (
@@ -212,10 +215,11 @@ def test_compact_index_matches_merged_and_oracle(delta_dirs, tmp_path):
     delete_documents(src, dead)
 
     out = str(tmp_path / "compacted")
-    meta = compact_index(src, out)
+    meta = compact_index(src, out, mode=mode)
     assert meta["num_docs"] == 500 - len(dead)
     # id space must NOT shrink below the pre-compaction ceiling
     assert meta["doc_id_space"] == 500
+    assert (meta.get("compacted_from") == 2) == (mode == "merge")
 
     sc = BM25Scorer(out)                 # plain scorer: standalone index
     ms = merged_scorer(src)              # merged + tombstoned view
@@ -241,7 +245,7 @@ def test_compact_index_matches_merged_and_oracle(delta_dirs, tmp_path):
     post = os.path.join(out, "postings")
     before = {p: os.path.getmtime(os.path.join(r, p))
               for r, _, fs in os.walk(post) for p in fs}
-    compact_index(src, out)
+    compact_index(src, out, mode=mode)
     after = {p: os.path.getmtime(os.path.join(r, p))
              for r, _, fs in os.walk(post) for p in fs}
     assert before == after
