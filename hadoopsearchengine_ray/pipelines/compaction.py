@@ -305,7 +305,10 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
         _union_filtered("doclen", True).write_parquet(doclen_dir)
         dl_ds = rd.read_parquet(doclen_dir)
         total_tokens = int(dl_ds.sum("dl") or 0)
-        meta = {
+        # segment-type-specific keys (with_fields, title_len, …) carry
+        # over from the main meta; everything recomputable is recomputed
+        meta = dict(main_meta)
+        meta.update({
             "num_docs": alive_docs,
             "doc_id_space": space_floor,
             "total_tokens": total_tokens,
@@ -326,10 +329,11 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
             "exclude_terms": sorted({t for m in metas
                                      for t in m.get("exclude_terms", [])}),
             "compacted_from": len(segments),
-        }
-        for extra in ("total_anchor_tokens", "anchor_weight"):
-            if extra in main_meta:
-                meta[extra] = main_meta[extra]
+        })
+        if "adl" in pads.dataset(doclen_dir).schema.names:
+            # unified field index: anchor length total must track the
+            # surviving docs too (BM25F's avgdlc depends on it)
+            meta["total_anchor_tokens"] = int(dl_ds.sum("adl") or 0)
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(meta_path + ".tmp", meta_path)
@@ -345,6 +349,18 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
         from ray.data.aggregate import Sum
 
         vocab_union = _union_filtered("vocab", False)
+        if vocab_union is None:
+            # segments without a vocab dir (e.g. the unified field
+            # index): synthesize term<->term_id from the segment
+            # dictionaries; exact df stands in for the sampled df (the
+            # hot set derived from it is advisory routing metadata)
+            dicts = _union_filtered("dictionary", False)
+            if dicts is not None:
+                vocab_union = dicts.map_batches(
+                    lambda b: pa.table({"term": b["term"],
+                                        "df_sample": b["df"]}),
+                    batch_format="pyarrow", batch_size=None,
+                    zero_copy_batch=True)
         if vocab_union is not None:
             (vocab_union.groupby("term")
              .aggregate(Sum("df_sample", alias_name="df_sample"))

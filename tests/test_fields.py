@@ -19,11 +19,19 @@ from hadoopsearchengine_ray.tokenizer import tokenize_py
 TITLE_LEN, WT, WA, K1, B = 8, 2.0, 1.5, 1.2, 0.75
 
 
-def _shadow(texts):
-    """Pure-python BM25F: tf/tft/atf/dl/adl maps + union df."""
-    n = len(texts)
+def _shadow(texts, alive=None):
+    """Pure-python BM25F: tf/tft/atf/dl/adl maps + union df.
+
+    ``alive`` restricts stats (N, df, avgdlc) and candidates to the
+    surviving docs — the compaction semantics: per-doc field tfs are
+    unchanged (anchor text contributed BY a deleted source doc stays
+    attributed to its target, exactly as the index cannot un-attribute
+    it), only deleted docs' own rows and stats disappear."""
+    if alive is None:
+        alive = set(range(len(texts)))
+    n = len(alive)
     toks = [tokenize_py(t) for t in texts]
-    links = anchor_links(n)
+    links = anchor_links(len(texts))
     atf, tf, tft = {}, {}, {}
     for s, d in zip(links["src"].to_pylist(), links["dst"].to_pylist()):
         for t in toks[s][:TITLE_LEN]:
@@ -33,14 +41,16 @@ def _shadow(texts):
             tf[(i, t)] = tf.get((i, t), 0) + 1
             if p < TITLE_LEN:
                 tft[(i, t)] = tft.get((i, t), 0) + 1
-    dl = {i: len(ts) for i, ts in enumerate(toks)}
+    dl = {i: len(ts) for i, ts in enumerate(toks) if i in alive}
     adl = {}
     for (d, t), v in atf.items():
-        adl[d] = adl.get(d, 0) + v
+        if d in alive:
+            adl[d] = adl.get(d, 0) + v
     avgdlc = (sum(dl.values()) + WA * sum(adl.values())) / n
     dfu = {}
     for (d, t) in set(tf) | set(atf):
-        dfu[t] = dfu.get(t, 0) + 1
+        if d in alive:
+            dfu[t] = dfu.get(t, 0) + 1
 
     def score(terms, k):
         sc = {}
@@ -48,7 +58,7 @@ def _shadow(texts):
             if t not in dfu:
                 continue
             w = math.log((n - dfu[t] + 0.5) / (dfu[t] + 0.5) + 1.0)
-            for d in range(n):
+            for d in sorted(alive):
                 tfc = (tf.get((d, t), 0) + (WT - 1) * tft.get((d, t), 0)
                        + WA * atf.get((d, t), 0))
                 if tfc <= 0:
@@ -127,3 +137,48 @@ def test_aux_blob_roundtrip():
         assert list(d) == list(docs[lo:hi])
         assert list(f) == list(tfs[lo:hi])
         assert list(a) == list(aux[lo:hi])
+
+
+def test_merge_compacted_unified_matches_alive_shadow(unified, tmp_path):
+    """Merge compaction of the UNIFIED field index (tombstones + the
+    aux-channel re-encode path): the compacted index must score
+    BM25F exactly like the alive-restricted shadow — per-doc field tfs
+    unchanged, N/df/avgdl/avgdlc over survivors only."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.compaction import (
+        merge_compact_index,
+    )
+    from hadoopsearchengine_ray.pipelines.delta import delete_documents
+
+    idx, texts = unified
+    src = str(tmp_path / "ucopy")
+    shutil.copytree(idx, src)
+    dead = set(range(0, 80, 7))
+    delete_documents(src, sorted(dead))
+    out = str(tmp_path / "ucompact")
+    meta = merge_compact_index(src, out)
+
+    alive = set(range(80)) - dead
+    assert meta["num_docs"] == len(alive)
+    assert meta["doc_id_space"] == 80
+    assert meta["with_fields"] is True and meta["title_len"] == TITLE_LEN
+    # anchor totals must track survivors (avgdlc depends on them)
+    toks = [tokenize_py(t) for t in texts]
+    links = anchor_links(80)
+    adl = {}
+    for s, d in zip(links["src"].to_pylist(), links["dst"].to_pylist()):
+        if d in alive:
+            adl[d] = adl.get(d, 0) + len(toks[s][:TITLE_LEN])
+    assert meta["total_anchor_tokens"] == sum(adl.values())
+    assert meta["total_tokens"] == sum(len(toks[i]) for i in alive)
+
+    scorer = BM25FScorer(out)
+    shadow = _shadow(texts, alive=alive)
+    for terms in (["spark"], ["spark", "window"], ["merge", "w1", "w2"],
+                  ["w0"], ["absent"], ["w3", "absent", "spark"],
+                  ["w5", "w6", "w7"]):
+        d, s = scorer.score(terms, 10)
+        exp = shadow(terms, 10)
+        assert [int(x) for x in d] == [x for x, _ in exp], terms
+        assert np.allclose(s, [v for _, v in exp]), terms
