@@ -86,7 +86,7 @@ def _cmd_compact(a: argparse.Namespace) -> int:
     from .state.manifest import Manifest
 
     _init_ray()
-    meta = compact_index(a.index, a.out)
+    meta = compact_index(a.index, a.out, mode=a.mode)
     man = Manifest.load(os.path.join(a.out, "manifest.json"))
     print(json.dumps({
         "index": a.out,
@@ -133,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True,
                    help="main index dir (deltas/tombstones auto-discovered)")
     c.add_argument("--out", required=True, help="new index dir (must differ)")
+    c.add_argument("--mode", choices=["auto", "merge", "rebuild"],
+                   default="auto",
+                   help="merge = posting-level blob merge (no token "
+                        "shuffle); rebuild = token-level rerun of "
+                        "stages 2-7; auto = merge with loud fallback")
     c.set_defaults(fn=_cmd_compact)
 
     a = p.parse_args(argv)

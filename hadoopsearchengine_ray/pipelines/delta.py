@@ -443,3 +443,29 @@ def compact_index(main_index_dir: str, out_dir: str,
         exclude_terms=tuple(main_meta.get("exclude_terms", ())),
         doc_id_space_floor=space_floor,
     )
+
+
+def maybe_compact(main_index_dir: str, out_dir: str,
+                  max_segments: int = 4,
+                  max_tombstone_frac: float = 0.1,
+                  mode: str = "auto", **build_kwargs) -> dict | None:
+    """Tiered maintenance trigger (the merge-policy analog of Lucene's
+    segment thresholds): compact when the segment count exceeds
+    ``max_segments`` OR tombstones exceed ``max_tombstone_frac`` of the
+    indexed docs; otherwise a no-op returning None.  The caller swaps
+    ``out_dir`` in for ``main_index_dir`` after a non-None return —
+    compaction never mutates its inputs, so serving can keep reading
+    the old segments until the swap."""
+    droot = os.path.join(main_index_dir, "deltas")
+    delta_dirs = sorted(
+        os.path.join(droot, d) for d in os.listdir(droot)
+    ) if os.path.isdir(droot) else []
+    total = 0
+    for seg in [main_index_dir] + delta_dirs:
+        with open(os.path.join(seg, "meta.json")) as f:
+            total += json.load(f)["num_docs"]
+    tomb_frac = len(load_tombstones(main_index_dir)) / total if total else 0.0
+    if 1 + len(delta_dirs) <= max_segments and tomb_frac <= max_tombstone_frac:
+        return None
+    return compact_index(main_index_dir, out_dir, delta_dirs,
+                         mode=mode, **build_kwargs)

@@ -253,3 +253,37 @@ def test_compact_index_matches_merged_and_oracle(delta_dirs, tmp_path, mode):
     # in-place compaction is refused
     with pytest.raises(ValueError, match="NEW directory"):
         compact_index(src, src)
+
+
+def test_maybe_compact_policy(delta_dirs, tmp_path):
+    """Tiered trigger: no-op under thresholds; fires on tombstone
+    fraction; the produced index is the standard compaction output."""
+    import os
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import (
+        delete_documents,
+        maybe_compact,
+    )
+
+    main, _, _, _ = delta_dirs
+    src = str(tmp_path / "main_copy")
+    shutil.copytree(main, src)
+    out = str(tmp_path / "auto_compacted")
+
+    # 2 segments, no tombstones: below both thresholds -> no-op
+    assert maybe_compact(src, out) is None
+    assert not os.path.exists(out)
+
+    # tombstone 10% of 500 docs +1 -> exceeds max_tombstone_frac=0.1
+    delete_documents(src, list(range(51)))
+    meta = maybe_compact(src, out)
+    assert meta is not None and meta["num_docs"] == 500 - 51
+
+    # segment-count trigger: max_segments=1 fires even with 0 tombstones
+    src2 = str(tmp_path / "main_copy2")
+    shutil.copytree(main, src2)
+    out2 = str(tmp_path / "auto_compacted2")
+    assert maybe_compact(src2, out2, max_segments=2) is None
+    meta2 = maybe_compact(src2, out2, max_segments=1)
+    assert meta2 is not None and meta2["num_docs"] == 500
