@@ -225,9 +225,15 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
             and os.path.isdir(os.path.join(s, "postings"))]
     if not live:
         raise MergeIncompatible("no non-empty segments to merge")
+    main_meta = live[0][1]
+    # segment ordinals must follow DOC RANGE, not directory-name order
+    # (deltas are auto-discovered by fingerprint name): ranges are
+    # disjoint (add_documents enforces the floor), so doc_id_space is a
+    # total order — this keeps each term's salt-ordered sub-rows
+    # doc-ascending, matching the fresh-build invariant
+    live.sort(key=lambda sm: sm[1]["doc_id_space"])
     segments = [s for s, _ in live]
     metas = [m for _, m in live]
-    main_meta = metas[0]
 
     wp = {bool(m.get("with_positions", True)) for m in metas}
     if len(wp) != 1:

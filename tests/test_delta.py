@@ -287,3 +287,54 @@ def test_maybe_compact_policy(delta_dirs, tmp_path):
     assert maybe_compact(src2, out2, max_segments=2) is None
     meta2 = maybe_compact(src2, out2, max_segments=1)
     assert meta2 is not None and meta2["num_docs"] == 500
+
+
+def test_merge_compact_many_segments(tmp_path, ray_session):
+    """4 segments (main + 3 deltas) + tombstones in every segment:
+    the segment-major salt renumbering must keep each term's sub-rows
+    doc-ordered, and scoring must match the oracle over survivors."""
+    from hadoopsearchengine_ray.pipelines.compaction import (
+        merge_compact_index,
+    )
+    from hadoopsearchengine_ray.pipelines.delta import (
+        add_documents,
+        delete_documents,
+    )
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    root = tmp_path
+    pq.write_table(_doc_table(0, 120), str(root / "main.parquet"))
+    main = str(root / "main_idx")
+    build_index(str(root / "main.parquet"), main,
+                id_mode="column", text_col="text")
+    for lo, hi in ((120, 180), (180, 260), (260, 300)):
+        p = str(root / f"d{lo}.parquet")
+        pq.write_table(_doc_table(lo, hi), p)
+        add_documents(main, p)
+    dead = [i for i in range(300) if i % 11 == 0]   # hits all 4 segments
+    delete_documents(main, dead)
+
+    out = str(root / "compacted")
+    meta = merge_compact_index(main, out)
+    assert meta["compacted_from"] == 4
+    assert meta["num_docs"] == 300 - len(dead)
+    assert meta["doc_id_space"] == 300
+
+    tbl = corpus.gen_rows(np.arange(300))
+    alive = [(i, tbl["content"][i].as_py()) for i in range(300)
+             if i % 11 != 0]
+    oidx = oracle.OracleIndex(alive)
+    sc = BM25Scorer(out)
+    assert sc.rd.N == oidx.N
+    assert abs(sc.rd.avgdl - oidx.avgdl) < 1e-9
+    for q in oracle.make_queries(oidx, 20):
+        d, s = sc.score(q["terms"], 10)
+        exp = oidx.bm25_topk(q["terms"], 10)
+        assert [int(x) for x in d] == [int(t[0]) for t in exp], q["terms"]
+        assert np.allclose(s, [t[1] for t in exp])
+
+    # sub-rows concatenate doc-ordered: reader-decoded postings ascend
+    r = IndexReader(out)
+    for t in ("def", "return", "import"):
+        d, _ = r.decoded_postings(t)
+        assert (np.diff(d.astype(np.int64)) > 0).all(), t
