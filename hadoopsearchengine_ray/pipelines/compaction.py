@@ -107,13 +107,17 @@ def _merge_batch(batch: pa.Table, tomb_ref, salt_stride: int,
     else:
         dead = np.zeros(len(docs), dtype=bool)
 
-    def _passthrough() -> pa.Table:
+    def _passthrough(row_mask: np.ndarray | None = None) -> pa.Table:
+        sel = (np.flatnonzero(row_mask) if row_mask is not None
+               else np.arange(batch.num_rows))
         cols = {}
         for f in target_schema.names:
             if f == "salt":
-                cols[f] = pa.array(new_salt, pa.uint8())
+                cols[f] = pa.array(new_salt[sel], pa.uint8())
             elif f == "part":
-                cols[f] = pa.array(part, pa.int32())
+                cols[f] = pa.array(part[sel], pa.int32())
+            elif row_mask is not None:
+                cols[f] = batch[f].take(pa.array(sel))
             else:
                 cols[f] = batch[f]
         return pa.table(cols).cast(target_schema)
@@ -121,7 +125,18 @@ def _merge_batch(batch: pa.Table, tomb_ref, salt_stride: int,
     if not dead.any():
         return _passthrough()
 
-    # --- re-encode path: filter per posting, rebuild blob columns -----
+    # --- split at ROW granularity: only term rows that actually contain
+    # a tombstoned doc re-encode; the rest copy verbatim (at scale,
+    # tombstones are sparse but widespread — batch granularity would
+    # re-encode nearly every byte).  When MOST rows are dirty (dense
+    # tombstones), the split's take/concat/re-sort overhead exceeds its
+    # savings — re-encode the whole batch in one pass instead.
+    rows_dead = np.add.reduceat(dead.astype(np.int64), row_starts) > 0
+    if rows_dead.mean() > 0.5:
+        rows_dead = np.ones(len(rows_dead), dtype=bool)
+    clean = _passthrough(~rows_dead)
+
+    # --- re-encode path over the dead rows only -------------------------
     tfs = decode_varints(_slab(batch["tf_blob"])[0])
     aux = decode_varints(_slab(batch["aux_blob"])[0]) if has_aux else None
     pos_flat = None
@@ -129,9 +144,12 @@ def _merge_batch(batch: pa.Table, tomb_ref, salt_stride: int,
         pos_bytes, _ = _slab(batch["pos_blob"])
         pos_flat, _ = decode_positions(pos_bytes.tobytes(), tfs)
 
-    keep = ~dead
-    new_dfs = np.add.reduceat(keep.astype(np.int64), row_starts)
-    live_rows = new_dfs > 0
+    in_dead = np.repeat(rows_dead, dfs)
+    keep = in_dead & ~dead                  # surviving postings of dead rows
+    sub_starts = row_starts[rows_dead] if rows_dead.any() else np.empty(0, np.int64)
+    new_dfs = np.add.reduceat(keep.astype(np.int64), sub_starts) \
+        if len(sub_starts) else np.empty(0, np.int64)
+    live_rows = new_dfs > 0                 # per dead row
     docs_f, tfs_f = docs[keep], tfs[keep]
     aux_f = aux[keep] if has_aux else None
     pos_f = pos_flat[np.repeat(keep, tfs.astype(np.int64))] if has_pos else None
@@ -143,19 +161,25 @@ def _merge_batch(batch: pa.Table, tomb_ref, salt_stride: int,
     n_out = len(first)
     cf = (np.add.reduceat(tfs_f.astype(np.int64), first) if n_out
           else np.empty(0, np.int64))
+    dead_rows_idx = np.flatnonzero(rows_dead)[live_rows]
     out = {
-        "term_id": pa.array(tid[live_rows], pa.int64()),
-        "salt": pa.array(new_salt[live_rows], pa.uint8()),
+        "term_id": pa.array(tid[dead_rows_idx], pa.int64()),
+        "salt": pa.array(new_salt[dead_rows_idx], pa.uint8()),
         "cf": pa.array(cf, pa.int64()),
-        "part": pa.array(part[live_rows], pa.int32()),
+        "part": pa.array(part[dead_rows_idx], pa.int32()),
         **cols,
     }
     if has_aux:
         out["acf"] = pa.array(
             np.add.reduceat(aux_f.astype(np.int64), first) if n_out
             else np.empty(0, np.int64), pa.int64())
-    tbl = pa.table(out)
-    return tbl.select(target_schema.names).cast(target_schema)
+    reenc = pa.table(out).select(target_schema.names).cast(target_schema)
+    if clean.num_rows == 0:
+        return reenc              # row order unchanged -> already sorted
+    # restore (term_id, salt) order within the block so per-file
+    # row-group statistics keep pruning term lookups
+    return pa.concat_tables([clean, reenc]).sort_by(
+        [("term_id", "ascending"), ("salt", "ascending")])
 
 
 def _segment_postings(seg_dirs: list[str]) -> tuple[rd.Dataset, pa.Schema]:
