@@ -288,6 +288,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25_conjunctive(sf):
+        # AND semantics: only docs containing EVERY query term rank;
+        # BM25 scores unchanged (global stats)
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_conjunctive(BM25_TERMS, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
+    def q_bm25_filtered(sf):
+        # metadata-filtered search (filter context): candidates narrowed
+        # to lang='en' docs, idf/avgdl stay corpus-global
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "lang"])
+        allowed = np.sort(
+            t.filter(pc.equal(t["lang"], "en"))["doc_id"].to_numpy())
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_filtered(BM25_TERMS, 10, allowed)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1107,6 +1141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delta_topk": q_bm25_delta,
         "bm25_after_delete": q_bm25_delete,
         "bm25_compacted_topk": q_bm25_compacted,
+        "bm25_conjunctive_topk": q_bm25_conjunctive,
+        "bm25_filtered_topk": q_bm25_filtered,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1328,6 +1364,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # AND semantics: candidate set = docs containing every query
+        # term; scores/stats unchanged from the global BM25
+        "bm25_conjunctive_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            cand AS (
+              SELECT tf.doc_id FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              GROUP BY tf.doc_id
+              HAVING count(DISTINCT tf.term)
+                     = (SELECT count(DISTINCT term) FROM q)
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN cand USING (doc_id)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # filter context: global BM25 CTE, metadata predicate applied at
+        # the final select only (idf/avgdl stay corpus-global)
+        "bm25_filtered_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, sc.doc_id) AS BIGINT) AS rank,
+                   sc.doc_id
+            FROM sc JOIN documents USING (doc_id)
+            WHERE documents.lang = 'en'
+            ORDER BY s DESC, sc.doc_id LIMIT 10
         """,
         # compaction contract: the fresh standalone index over
         # main+delta−tombstones must score exactly like BM25 over the

@@ -550,6 +550,78 @@ class BM25Scorer:
         """BM25 + pr_weight * pagerank (SHitItem.pulse_score blending)."""
         return self.score_with_prior(terms, k, self.pr, self.pr_weight)
 
+    def score_conjunctive(self, terms: list[str], k: int):
+        """AND semantics: only docs containing EVERY query term rank
+        (the strict form of the reference's match-count-first ordering,
+        CompileRankedList.h multi-key comparators).  No dense arrays:
+        posting lists are doc-ascending (fresh, merged and compacted
+        indexes all guarantee it), so candidates narrow via sorted
+        intersection and per-term tfs attach by searchsorted —
+        O(sum df) per query."""
+        r = self.rd
+        qterms = sorted(set(terms))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not qterms:
+            return empty
+        dec = []
+        for t in qterms:
+            ent = r.lookup(t)
+            if ent is None:
+                return empty          # a term matched nowhere -> AND is empty
+            d, f = r.decoded_postings(t)
+            dec.append((r.idf(ent[1]), d, f))
+        cand = dec[0][1]
+        for _, d, _ in dec[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        ci = cand.astype(np.int64)
+        scores = np.zeros(len(cand), dtype=np.float64)
+        norm = r.k1 * (1.0 - r.b + r.b * r.dl[ci] / r.avgdl)
+        for w, d, f in dec:
+            tf = f[np.searchsorted(d, cand)].astype(np.float64)
+            scores += w * tf * (r.k1 + 1.0) / (tf + norm)
+        return _topk_from_scores(ci, scores, k)
+
+    def score_filtered(self, terms: list[str], k: int,
+                       allowed_ids: np.ndarray):
+        """BM25 restricted to docs in ``allowed_ids`` (sorted int64 —
+        e.g. a metadata predicate's doc set), with GLOBAL corpus stats:
+        the filter narrows candidates, it does not reweight idf/avgdl —
+        standard filter-context semantics, and what the SQL oracle
+        computes (global BM25 CTE, predicate at the final select)."""
+        r = self.rd
+        scores, touched = self._scratch()
+        allowed = np.asarray(allowed_ids, dtype=np.int64)
+        parts: list[np.ndarray] = []
+        for t in sorted(set(terms)):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = r.idf(df)
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            # drop disallowed docs BEFORE accumulation: at scale the
+            # filter is usually selective, so the dense buffers only
+            # ever see the allowed subset
+            idx = np.searchsorted(allowed, d)
+            idx[idx == len(allowed)] = 0
+            ok = len(allowed) > 0
+            inset = (allowed[idx] == d) if ok else np.zeros(len(d), bool)
+            d, tf = d[inset], tfs[inset].astype(np.float64)
+            if len(d) == 0:
+                continue
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
+        return _topk_from_scores(docs, scores[docs], k)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, terms, k in zip(

@@ -57,3 +57,43 @@ def test_hot_term_query_uses_salted_rows(t1_index_dir, t1_oracle):
     gd, gs = _gold(idx, {"terms": [term], "k": 10})
     assert list(d) == gd
     assert np.allclose(s, gs, atol=1e-6)
+
+
+def test_conjunctive_matches_bruteforce(t1_index_dir, t1_oracle):
+    """AND semantics: candidates = docs containing every term; scores
+    equal the plain BM25 scores of those docs."""
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    for q in oracle.make_queries(idx, 60):
+        terms = sorted(set(q["terms"]))
+        doc_sets = [set(d for d, _ in idx.postings.get(t, ()))
+                    for t in terms]
+        cand = set.intersection(*doc_sets) if doc_sets else set()
+        # expected: plain-BM25 scores restricted to the AND candidates
+        full = {d: s for d, s in idx.bm25_topk(terms, idx.N)}
+        exp = sorted(((d, full[d]) for d in cand),
+                     key=lambda kv: (-kv[1], kv[0]))[:10]
+        d, s = sc.score_conjunctive(terms, 10)
+        assert [int(x) for x in d] == [x for x, _ in exp], terms
+        assert np.allclose(s, [v for _, v in exp])
+
+
+def test_filtered_matches_bruteforce(t1_index_dir, t1_oracle):
+    """Filter context: candidates narrowed to allowed ids, scores keep
+    GLOBAL stats (identical to the unfiltered scores of those docs)."""
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    allowed = np.array(sorted(d for d in idx.doclen if d % 3 == 0),
+                       dtype=np.int64)
+    aset = set(allowed.tolist())
+    for q in oracle.make_queries(idx, 60):
+        terms = q["terms"]
+        full = {d: s for d, s in idx.bm25_topk(terms, idx.N)}
+        exp = sorted(((d, s) for d, s in full.items() if d in aset),
+                     key=lambda kv: (-kv[1], kv[0]))[:10]
+        d, s = sc.score_filtered(terms, 10, allowed)
+        assert [int(x) for x in d] == [x for x, _ in exp], terms
+        assert np.allclose(s, [v for _, v in exp])
+    # empty filter -> empty result
+    d, s = sc.score_filtered(["def"], 10, np.empty(0, np.int64))
+    assert len(d) == 0
