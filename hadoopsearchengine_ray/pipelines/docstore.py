@@ -66,6 +66,72 @@ class DocStore:
         return pa.concat_tables(tables) if tables else pa.table({})
 
 
+def compact_docstore(store_dir: str, tombstones, id_col: str = "doc_id",
+                     range_size: int = DEFAULT_RANGE) -> int:
+    """Physically drop tombstoned docs from the store, IN PLACE: only
+    partitions whose doc range contains a tombstone rewrite (streamed
+    through Ray tasks, one bounded partition each); every other
+    partition's files are untouched.  Each rewrite is atomic — filtered
+    rows land in a tmp dir swapped in via two renames; a crash between
+    the renames leaves the partition parked at ``.old``, which the next
+    compact_docstore call restores before proceeding.  Returns the
+    number of rows dropped.
+
+    This is the store-side counterpart of index compaction
+    (pipelines/compaction.py): after both, tombstoned docs are
+    physically gone from serving.  The reference rewrites its whole
+    document DB on any maintenance pass (FileStorage.h:3375-3630
+    append-only store); range partitioning makes the rewrite
+    proportional to the deleted ranges instead."""
+    import shutil
+
+    import ray
+
+    by_part: dict[int, list[int]] = {}
+    for d in tombstones:
+        by_part.setdefault(int(d) // range_size, []).append(int(d))
+    if not by_part:
+        return 0
+
+    @ray.remote
+    def _rewrite(part_dir: str, ids: list[int], id_col: str) -> int:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        tbl = pads.dataset(part_dir).to_table()
+        keep = pc.invert(pc.is_in(tbl[id_col].cast(pa.int64()),
+                                  value_set=pa.array(ids, pa.int64())))
+        out = tbl.filter(keep)
+        tmp = part_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(out, os.path.join(tmp, "part.parquet"))
+        old = part_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return tbl.num_rows - out.num_rows
+
+    # crash recovery: a partition parked at .old (interrupted swap)
+    # restores before this pass filters it again
+    for name in os.listdir(store_dir):
+        if name.endswith(".old"):
+            cur = os.path.join(store_dir, name[:-4])
+            if not os.path.isdir(cur):
+                os.rename(os.path.join(store_dir, name), cur)
+            else:
+                shutil.rmtree(os.path.join(store_dir, name))
+
+    refs = []
+    for p, ids in sorted(by_part.items()):
+        part_dir = os.path.join(store_dir, f"doc_range={p}")
+        if os.path.isdir(part_dir):
+            refs.append(_rewrite.remote(part_dir, sorted(ids), id_col))
+    return int(sum(ray.get(refs)))
+
+
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
 

@@ -151,3 +151,45 @@ def test_search_dedup_suppresses_duplicate_content(tmp_path):
                                 drop_near_dups=True, k_prime=20,
                                 text_col="text")
     assert snip.column("doc_id").to_pylist() == out["doc_id"].tolist()
+
+
+def test_compact_docstore_in_place(tmp_path, t1_corpus_dir):
+    """Store-side compaction: tombstoned rows physically gone, clean
+    partitions' files untouched (byte-identical mtimes), idempotent."""
+    import os
+
+    from hadoopsearchengine_ray.pipelines.docstore import compact_docstore
+    from hadoopsearchengine_ray.stages.ingest import load_corpus, zip_with_index
+
+    store = str(tmp_path / "store")
+    ds = zip_with_index(load_corpus(t1_corpus_dir),
+                        sort_keys=["repo", "path", "commit"])
+    write_docstore(ds, store, range_size=128)
+    st = DocStore(store, range_size=128)
+    n0 = sum(1 for _ in os.listdir(store))
+    # tombstones only in partitions 0 and 1 (ids < 256)
+    dead = [0, 5, 130, 131]
+    mtimes_before = {}
+    for part in os.listdir(store):
+        if part in ("doc_range=0", "doc_range=1"):
+            continue
+        for f in os.listdir(os.path.join(store, part)):
+            mtimes_before[f"{part}/{f}"] = os.path.getmtime(
+                os.path.join(store, part, f))
+
+    dropped = compact_docstore(store, dead, range_size=128)
+    assert dropped == len(dead)
+    assert st.fetch(dead).num_rows == 0
+    alive = st.fetch([1, 129, 599])
+    assert alive.num_rows == 3
+    assert sum(1 for _ in os.listdir(store)) == n0   # no stray tmp/.old
+    for key, mt in mtimes_before.items():
+        part, f = key.split("/")
+        assert os.path.getmtime(os.path.join(store, part, f)) == mt, key
+    # idempotent: same tombstones again drop nothing
+    assert compact_docstore(store, dead, range_size=128) == 0
+    # crash recovery: park a partition at .old with no live dir
+    os.rename(os.path.join(store, "doc_range=1"),
+              os.path.join(store, "doc_range=1.old"))
+    assert compact_docstore(store, [131], range_size=128) == 0
+    assert st.fetch([129]).num_rows == 1
