@@ -322,6 +322,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25_prefix(sf):
+        # wildcard search: 'wind*' + 'mer*' expand against the
+        # dictionary (binary-search range scan), union scored as
+        # disjunctive BM25 — per-expanded-term idf, same as the LIKE
+        # oracle
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_prefix(["wind", "mer"], 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1143,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_compacted_topk": q_bm25_compacted,
         "bm25_conjunctive_topk": q_bm25_conjunctive,
         "bm25_filtered_topk": q_bm25_filtered,
+        "bm25_prefix_topk": q_bm25_prefix,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1430,6 +1446,36 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents USING (doc_id)
             WHERE documents.lang = 'en'
             ORDER BY s DESC, sc.doc_id LIMIT 10
+        """,
+        # wildcard search: the q set is every distinct term matching a
+        # prefix (the dictionary-expansion semantics), scored as plain
+        # disjunctive BM25 with per-term idf
+        "bm25_prefix_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q AS (SELECT DISTINCT term FROM tf
+                  WHERE term LIKE 'wind%' OR term LIKE 'mer%'),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN q USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         # compaction contract: the fresh standalone index over
         # main+delta−tombstones must score exactly like BM25 over the

@@ -143,6 +143,28 @@ class IndexReader:
     def lookup(self, term: str) -> tuple[int, int] | None:
         return self._dict.get(term)
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 512) -> list[str]:
+        """Dictionary terms starting with ``prefix`` (sorted) — the
+        wildcard-query expansion (term* -> OR over matching terms).
+        The sorted term list builds lazily once per reader; expansion
+        is a binary-search range scan.  Exceeding ``max_expansions``
+        fails LOUDLY (a 1-char prefix over a web-scale vocabulary is a
+        query bug, not a workload)."""
+        import bisect
+
+        terms = getattr(self, "_sorted_terms", None)
+        if terms is None:
+            terms = sorted(self._dict)
+            self._sorted_terms = terms
+        lo = bisect.bisect_left(terms, prefix)
+        hi = bisect.bisect_left(terms, prefix + "\uffff")
+        if hi - lo > max_expansions:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {hi - lo} terms "
+                f"(> {max_expansions}); use a longer prefix or raise "
+                "max_expansions")
+        return terms[lo:hi]
+
     def idf(self, df: int) -> float:
         return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
 
@@ -549,6 +571,20 @@ class BM25Scorer:
     def score_blended(self, terms: list[str], k: int):
         """BM25 + pr_weight * pagerank (SHitItem.pulse_score blending)."""
         return self.score_with_prior(terms, k, self.pr, self.pr_weight)
+
+    def score_prefix(self, prefixes: list[str], k: int,
+                     max_expansions: int = 512):
+        """Wildcard search: each prefix expands to every dictionary
+        term starting with it (Lucene PrefixQuery rewrite), then the
+        union scores as a disjunctive BM25 — each expanded term keeps
+        its own idf, so scores match the SQL oracle's
+        ``term LIKE 'p%'`` query exactly."""
+        expanded: set[str] = set()
+        for p in prefixes:
+            expanded.update(self.rd.expand_prefix(p, max_expansions))
+        if not expanded:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return self.score_exact(sorted(expanded), k)
 
     def score_conjunctive(self, terms: list[str], k: int):
         """AND semantics: only docs containing EVERY query term rank

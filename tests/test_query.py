@@ -97,3 +97,24 @@ def test_filtered_matches_bruteforce(t1_index_dir, t1_oracle):
     # empty filter -> empty result
     d, s = sc.score_filtered(["def"], 10, np.empty(0, np.int64))
     assert len(d) == 0
+
+
+def test_prefix_query_matches_bruteforce(t1_index_dir, t1_oracle):
+    """Wildcard expansion = all dictionary terms with the prefix;
+    scores = disjunctive BM25 over the union (per-term idf)."""
+    import pytest
+
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    for prefix in ("ret", "imp", "del"):
+        exp_terms = sorted(t for t in idx.postings if t.startswith(prefix))
+        assert exp_terms, prefix
+        gold = idx.bm25_topk(exp_terms, 10)
+        d, s = sc.score_prefix([prefix], 10)
+        assert [int(x) for x in d] == [g[0] for g in gold], prefix
+        assert np.allclose(s, [g[1] for g in gold])
+    # unknown prefix -> empty; over-broad prefix fails loudly
+    d, _ = sc.score_prefix(["zzzzqq"], 10)
+    assert len(d) == 0
+    with pytest.raises(ValueError, match="expands to"):
+        sc.score_prefix(["r"], 10, max_expansions=1)
