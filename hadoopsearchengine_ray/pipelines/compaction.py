@@ -30,7 +30,9 @@ keeps K sub-rows in the compacted index — queries pay a K-way concat
 exactly as MergedIndexReader did, but from ONE directory, ONE
 dictionary, ONE doclen table, and with tombstones physically gone.  A
 token-level rebuild (pipelines/delta.compact_index mode="rebuild")
-re-packs every term into minimal rows when that matters.
+re-packs every term into minimal rows when that matters.  Measured at
+100k docs / 3 segments: merge-compacted BM25 p50 0.43 ms vs rebuilt
+0.27 ms, rank-identical (BASELINE.md §4a-r3).
 """
 
 from __future__ import annotations
