@@ -337,6 +337,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_incremental_dedup(sf):
+        # continual ingestion: incoming batch = fresh docs (last 20%)
+        # + mirrors of every 10th existing doc (re-id'd); survivors =
+        # fresh docs only, mirrors anti-joined away against the indexed
+        # corpus's content hashes — one co-partitioned shuffle
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from hadoopsearchengine_ray.functions.dedup import incremental_dedup
+        from hadoopsearchengine_ray.stages.ingest import add_sha256
+
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        n = tbl.num_rows
+        cut = (n * 4) // 5
+        ids = tbl["doc_id"].to_numpy()
+        existing = tbl.take(np.flatnonzero(ids < cut))
+        mirrors = tbl.take(np.flatnonzero((ids < cut) & (ids % 10 == 0)))
+        mirrors = mirrors.set_column(
+            0, "doc_id", pa.array(mirrors["doc_id"].to_numpy() + n))
+        fresh = tbl.take(np.flatnonzero(ids >= cut))
+        incoming = pa.concat_tables([mirrors, fresh])
+
+        sha = add_sha256(rd.from_arrow(existing), text_col="text") \
+            .select_columns(["sha256"])
+        out = incremental_dedup(rd.from_arrow(incoming), sha,
+                                text_col="text").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": pd.array(out["doc_id"], dtype="int64"),
+            "h": out["h"].astype(str),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1159,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive_topk": q_bm25_conjunctive,
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
+        "incremental_dedup": q_incremental_dedup,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1476,6 +1512,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # continual-ingestion dedup: anti-join on content hash against
+        # the already-indexed corpus + first-per-hash within the batch
+        "incremental_dedup": """
+            WITH cut AS (SELECT (count(*) * 4) // 5 AS c,
+                                count(*) AS n FROM documents),
+            existing AS (
+              SELECT sha256(text) AS h FROM documents, cut WHERE doc_id < c),
+            incoming AS (
+              SELECT doc_id + n AS doc_id, text
+              FROM documents, cut WHERE doc_id < c AND doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, text FROM documents, cut WHERE doc_id >= c
+            ),
+            inc AS (SELECT doc_id, sha256(text) AS h FROM incoming),
+            firsts AS (SELECT h, min(doc_id) AS doc_id FROM inc GROUP BY h)
+            SELECT doc_id, h FROM firsts
+            WHERE h NOT IN (SELECT h FROM existing)
+            ORDER BY doc_id
         """,
         # compaction contract: the fresh standalone index over
         # main+delta−tombstones must score exactly like BM25 over the

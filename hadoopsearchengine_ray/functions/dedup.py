@@ -48,6 +48,80 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return agg.select_columns(["doc_id", "n_dups"])
 
 
+def incremental_dedup(new_docs: rd.Dataset, existing_hashes: rd.Dataset,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_col: str = "sha256",
+                      num_buckets: int = 64) -> rd.Dataset:
+    """Continual-ingestion dedup: from an incoming batch, keep only docs
+    whose content hash (a) does not already exist in the indexed corpus
+    (anti-join against ``existing_hashes``, e.g. the index's ``sha256``
+    stage output) and (b) is the FIRST occurrence within the batch
+    (lowest ``id_col`` per hash).  Output: (doc_id, h) of the survivors.
+
+    The reference dedups at crawl time against its base-URL/content maps
+    (Webpage.h base-URL dedup; content checksum D4); this is the same
+    gate expressed as ONE co-partitioned shuffle — both sides tagged and
+    bucketed by hash (the hash_join pattern, relational.py:151), each
+    bucket a vectorized set-difference.  Neither side is broadcast or
+    driver-materialized, so the indexed corpus can be 10^12 docs."""
+
+    def _hash_new(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256((t or "").encode()).hexdigest()
+              for t in batch[text_col].to_pylist()]
+        return pa.table({
+            "h": pa.array(hs, pa.string()),
+            id_col: batch[id_col].cast(pa.int64()),
+        })
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            if side == 1:   # existing side arrives as (hash_col,) rows
+                batch = pa.table({
+                    "h": batch[hash_col].cast(pa.string()),
+                    id_col: pa.nulls(batch.num_rows, pa.int64()),
+                })
+            b = pd.util.hash_pandas_object(
+                batch.select(["h"]).to_pandas(), index=False).to_numpy()
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8))
+            ).append_column(
+                "__bucket", pa.array((b % num_buckets).astype(np.int64)))
+        return _t
+
+    nt = (new_docs.map_batches(_hash_new, batch_format="pyarrow",
+                               zero_copy_batch=True)
+          .map_batches(_tag(0), batch_format="pyarrow", batch_size=None))
+    et = existing_hashes.select_columns([hash_col]).map_batches(
+        _tag(1), batch_format="pyarrow", batch_size=None)
+
+    def _anti(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.string())})
+        side = g["__side"]
+        new = g.filter(pc.equal(side, 0))
+        seen = set(g.filter(pc.equal(side, 1))["h"].to_pylist())
+        ids = new[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = np.asarray(new["h"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, hs))          # per hash, lowest id first
+        hs_s, ids_s = hs[order], ids[order]
+        first = np.ones(len(hs_s), bool)
+        if len(hs_s) > 1:
+            first[1:] = hs_s[1:] != hs_s[:-1]
+        keep = first & np.fromiter((h not in seen for h in hs_s),
+                                   bool, len(hs_s))
+        return pa.table({id_col: pa.array(ids_s[keep], pa.int64()),
+                         "h": pa.array(list(hs_s[keep]), pa.string())})
+
+    from ..pipelines.relational import _coalesce_for_buckets
+
+    return (_coalesce_for_buckets(nt.union(et), num_buckets)
+            .groupby("__bucket")
+            .map_groups(_anti, batch_format="pyarrow"))
+
+
 _SH_P = np.uint64(0x100000001B3)
 
 

@@ -548,3 +548,27 @@ def test_keyword_link_edges_matches_driver_loop():
     assert set(got) == set(agg)
     for k in got:
         assert abs(got[k] - agg[k]) < 1e-9, k
+
+
+def test_incremental_dedup_anti_join_and_first_per_hash(ray_session):
+    """Continual ingestion: mirrors of indexed content drop; within-batch
+    duplicates keep only the lowest id; fresh uniques survive."""
+    import hashlib
+
+    existing_texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    sha = rd.from_items([
+        {"sha256": hashlib.sha256(t.encode()).hexdigest()}
+        for t in existing_texts])
+    incoming = rd.from_items([
+        {"doc_id": 10, "text": "alpha beta"},      # mirror -> dropped
+        {"doc_id": 11, "text": "new one"},         # fresh -> kept
+        {"doc_id": 12, "text": "new two"},         # fresh -> kept
+        {"doc_id": 13, "text": "new one"},         # batch dup -> dropped
+        {"doc_id": 14, "text": "gamma delta"},     # mirror -> dropped
+    ])
+    out = dedup.incremental_dedup(incoming, sha).to_pandas()
+    out = out.sort_values("doc_id")
+    assert list(out["doc_id"]) == [11, 12]
+    assert list(out["h"]) == [
+        hashlib.sha256(b"new one").hexdigest(),
+        hashlib.sha256(b"new two").hexdigest()]
