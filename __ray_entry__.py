@@ -372,6 +372,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "h": out["h"].astype(str),
         })
 
+    def q_tfidf(sf):
+        # sparse TF-IDF featurization (smooth idf, sklearn convention):
+        # tf is a pure map (no shuffle), df is the one vocab aggregate
+        # broadcast back as an idf lookup
+        from hadoopsearchengine_ray.functions.text import tfidf_table
+
+        out = tfidf_table(f"{sf}/documents.parquet").to_pandas()
+        out = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": pd.array(out["doc_id"], dtype="int64"),
+            "term": out["term"].astype(str),
+            "w": out["w"].astype("float64"),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1195,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
         "incremental_dedup": q_incremental_dedup,
+        "tfidf_features": q_tfidf,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1512,6 +1527,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # sparse TF-IDF featurization, smooth idf: tf * (ln((1+N)/(1+df)) + 1)
+        "tfidf_features": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, term,
+                   round(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS w
+            FROM tf JOIN df USING (term), nn
+            ORDER BY doc_id, term
         """,
         # continual-ingestion dedup: anti-join on content hash against
         # the already-indexed corpus + first-per-hash within the batch

@@ -98,6 +98,73 @@ def dictionary_from_token_rows(tok: rd.Dataset,
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
 
 
+def tfidf_table(docs, text_col: str = "text",
+                broadcast_limit: int = 2_000_000) -> rd.Dataset:
+    """Sparse TF-IDF featurization: (doc_id, term, w) with
+    ``w = round(tf * (ln((1+N)/(1+df)) + 1), 6)`` — the smooth-idf
+    vectorizer convention, SQL-exact against the DuckDB oracle.
+
+    Scale shape: tf needs NO shuffle (each doc is whole inside one
+    batch row, so (doc, term, tf) is a pure map); only the
+    vocabulary-cardinality df aggregate shuffles, and its result
+    broadcasts back as one ``ray.put`` idf lookup (hashtable .map, not
+    a per-row loop).  Above ``broadcast_limit`` distinct terms the idf
+    attaches via the co-partitioned hash_join instead."""
+    import pandas as pd
+    import ray
+
+    docs = _docs(docs, text_col)
+    n_docs = docs.count()
+    tok = token_table(docs, text_col).materialize()   # feeds df AND weights
+    dict_ds = dictionary_from_token_rows(tok)
+
+    vocab_n = dict_ds.count()
+    if vocab_n > broadcast_limit:
+        from ..pipelines.relational import hash_join
+
+        def _idf_col(batch: pa.Table) -> pa.Table:
+            df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+            idf = np.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+            return pa.table({"term": batch["term"],
+                             "idf": pa.array(idf, pa.float64())})
+
+        joined = hash_join(
+            tok, dict_ds.map_batches(_idf_col, batch_format="pyarrow",
+                                     batch_size=None),
+            on="term")
+
+        def _mul(batch: pa.Table) -> pa.Table:
+            w = (batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+                 * batch["idf"].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "term": batch["term"],
+                "w": pa.array(np.round(w, 6), pa.float64()),
+            })
+
+        return joined.map_batches(_mul, batch_format="pyarrow",
+                                  batch_size=None)
+
+    dpdf = dict_ds.to_pandas()
+    idf = pd.Series(
+        np.log((1.0 + n_docs) / (1.0 + dpdf["df"].to_numpy(dtype=np.float64)))
+        + 1.0, index=dpdf["term"])
+    lut_ref = ray.put(idf)
+
+    def _weight(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        terms = batch["term"].to_pandas()
+        w = (batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+             * terms.map(lut).to_numpy(dtype=np.float64))
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "term": batch["term"],
+            "w": pa.array(np.round(w, 6), pa.float64()),
+        })
+
+    return tok.map_batches(_weight, batch_format="pyarrow", batch_size=None)
+
+
 def doc_length_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """(doc_id, dl) for docs with >=1 valid token."""
     tok = token_table(docs, text_col)

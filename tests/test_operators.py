@@ -572,3 +572,23 @@ def test_incremental_dedup_anti_join_and_first_per_hash(ray_session):
     assert list(out["h"]) == [
         hashlib.sha256(b"new one").hexdigest(),
         hashlib.sha256(b"new two").hexdigest()]
+
+
+def test_tfidf_table_matches_bruteforce(ray_session):
+    """Smooth-idf vectorizer parity with a per-doc Counter shadow."""
+    import math
+    from collections import Counter
+
+    texts = ["alpha beta alpha", "beta gamma", "alpha delta delta delta"]
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    out = text.tfidf_table(docs).to_pandas()
+    got = {(r.doc_id, r.term): r.w for r in out.itertuples()}
+    toks = [tokenize_py(t) for t in texts]
+    df = Counter(t for ts in toks for t in set(ts))
+    exp = {}
+    for i, ts in enumerate(toks):
+        for t, tf in Counter(ts).items():
+            exp[(i, t)] = round(
+                tf * (math.log((1 + len(texts)) / (1 + df[t])) + 1.0), 6)
+    assert got == exp
