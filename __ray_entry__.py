@@ -386,6 +386,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "w": out["w"].astype("float64"),
         })
 
+    def q_clean_corpus(sf):
+        # C4-style cleaning: quality gate (token count, distinct ratio,
+        # mean token length) + exact dedup keep-first — one map + one
+        # hash groupby
+        from hadoopsearchengine_ray.functions.text import clean_corpus
+
+        out = clean_corpus(f"{sf}/documents.parquet",
+                           min_tokens=20, max_tokens=90,
+                           min_distinct_ratio=0.35,
+                           min_mean_len=4.0, max_mean_len=5.2).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": pd.array(out["doc_id"], dtype="int64"),
+            "h": out["h"].astype(str),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1210,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_features": q_tfidf,
+        "clean_corpus": q_clean_corpus,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1538,6 +1555,25 @@ def oracle_sql() -> dict[str, str]:
                    round(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS w
             FROM tf JOIN df USING (term), nn
             ORDER BY doc_id, term
+        """,
+        # C4-style cleaning gate + exact dedup keep-first
+        "clean_corpus": f"""
+            WITH {TOK_CTE},
+            m AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT term) * 1.0 / count(*) AS dr,
+                     sum(length(term)) * 1.0 / count(*) AS ml
+              FROM tok GROUP BY doc_id
+            ),
+            ok AS (
+              SELECT doc_id FROM m
+              WHERE n_tokens BETWEEN 20 AND 90
+                AND dr >= 0.35 AND ml >= 4.0 AND ml <= 5.2
+            )
+            SELECT min(d.doc_id) AS doc_id, sha256(d.text) AS h
+            FROM documents d JOIN ok USING (doc_id)
+            GROUP BY sha256(d.text)
+            ORDER BY doc_id
         """,
         # continual-ingestion dedup: anti-join on content hash against
         # the already-indexed corpus + first-per-hash within the batch

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..stages.tokenize import tokenize_batch
 from ..tokenizer import tokenize_column
@@ -96,6 +96,64 @@ def dictionary_from_token_rows(tok: rd.Dataset,
               .map_batches(_combine, batch_format="pyarrow", batch_size=None))
     return (ds.groupby("term")
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
+
+
+def clean_corpus(docs, text_col: str = "text",
+                 min_tokens: int = 20, max_tokens: int = 5000,
+                 min_distinct_ratio: float = 0.1,
+                 min_mean_len: float = 2.0,
+                 max_mean_len: float = 12.0) -> rd.Dataset:
+    """C4-style corpus cleaning gate + exact dedup: returns the
+    surviving (doc_id, h) — docs passing the per-doc quality thresholds
+    (token count bounds, distinct-token ratio, mean token length) and
+    the FIRST (lowest doc_id) per content hash among the survivors.
+
+    Scale shape: the quality gate is a pure vectorized map over doc
+    rows (each doc is whole in its batch row — metrics, thresholds and
+    the content hash all compute inline, no join against a metrics
+    table); the only shuffle is the exact-dedup groupby on the 64-char
+    hash.  The thresholds mirror the reference's doc-size gate
+    (M7, Webpage.h doc acceptance) extended with the repetition and
+    length-shape filters an LLM-data pipeline applies."""
+    import hashlib
+
+    docs = _docs(docs, text_col)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        # same vectorized kernel as quality_table (M7), thresholds inline
+        toks = tokenize_column(batch[text_col])
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = np.add.reduceat(np.concatenate([lens, [0]]), offs[:-1])
+        chars[n_tok == 0] = 0
+        ndoc = len(toks)
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.uint64), n_tok)
+        uniq = np.unique((doc_idx << np.uint64(32)) | codes)
+        n_distinct = np.bincount(
+            (uniq >> np.uint64(32)).astype(np.int64), minlength=ndoc)
+        nt = np.maximum(n_tok, 1).astype(np.float64)
+        dr = n_distinct / nt
+        ml = chars / nt
+        ok = ((n_tok >= min_tokens) & (n_tok <= max_tokens)
+              & (dr >= min_distinct_ratio)
+              & (ml >= min_mean_len) & (ml <= max_mean_len))
+        kept = batch.filter(pa.array(ok))
+        hs = [hashlib.sha256((t or "").encode()).hexdigest()
+              for t in kept[text_col].to_pylist()]
+        return pa.table({
+            "doc_id": kept["doc_id"].cast(pa.int64()),
+            "h": pa.array(hs, pa.string()),
+        })
+
+    gated = docs.map_batches(_gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (gated.groupby("h")
+            .aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id", "h"]))
 
 
 def tfidf_table(docs, text_col: str = "text",

@@ -592,3 +592,20 @@ def test_tfidf_table_matches_bruteforce(ray_session):
             exp[(i, t)] = round(
                 tf * (math.log((1 + len(texts)) / (1 + df[t])) + 1.0), 6)
     assert got == exp
+
+
+def test_clean_corpus_gate_and_dedup(ray_session):
+    """Quality thresholds drop short/repetitive docs; exact dedup keeps
+    the lowest id among surviving duplicates."""
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = rd.from_items([
+        {"doc_id": 0, "text": good},                  # kept
+        {"doc_id": 1, "text": "tiny doc"},            # < min_tokens
+        {"doc_id": 2, "text": "spam " * 20},          # distinct ratio 1/20
+        {"doc_id": 3, "text": good},                  # dup of 0 -> dropped
+        {"doc_id": 4, "text": good + " lambda"},      # kept (distinct hash)
+    ])
+    out = text.clean_corpus(docs, min_tokens=5, max_tokens=50,
+                            min_distinct_ratio=0.5,
+                            min_mean_len=2.0, max_mean_len=12.0).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
