@@ -402,6 +402,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "h": out["h"].astype(str),
         })
 
+    def q_chunks(sf):
+        # RAG-style overlapping token-window chunking; chunk identity
+        # checked by md5 of the space-joined window text
+        from hadoopsearchengine_ray.functions.text import chunk_table
+
+        out = chunk_table(f"{sf}/documents.parquet",
+                          size=32, stride=16).to_pandas()
+        out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": pd.array(out["doc_id"], dtype="int64"),
+            "chunk_idx": pd.array(out["chunk_idx"], dtype="int64"),
+            "n_tokens": pd.array(out["n_tokens"], dtype="int64"),
+            "h": out["h"].astype(str),
+        })
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1227,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "tfidf_features": q_tfidf,
         "clean_corpus": q_clean_corpus,
+        "doc_chunks": q_chunks,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
@@ -1555,6 +1571,25 @@ def oracle_sql() -> dict[str, str]:
                    round(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS w
             FROM tf JOIN df USING (term), nn
             ORDER BY doc_id, term
+        """,
+        # overlapping token-window chunking (size 32, stride 16): a
+        # token at 0-based pos p belongs to every window whose start
+        # s ∈ range(0, n, 16) has s <= p < s + 32
+        "doc_chunks": f"""
+            WITH {TOK_ORDERED_CTE},
+            n AS (SELECT doc_id, count(*) AS n FROM toko GROUP BY 1),
+            starts AS (
+              SELECT doc_id, unnest(range(0, n, 16)) AS s FROM n
+            )
+            SELECT t.doc_id,
+                   s.s // 16 AS chunk_idx,
+                   count(*) AS n_tokens,
+                   md5(string_agg(t.t, ' ' ORDER BY t.rn)) AS h
+            FROM toko t
+            JOIN starts s ON t.doc_id = s.doc_id
+             AND t.rn - 1 >= s.s AND t.rn - 1 < s.s + 32
+            GROUP BY t.doc_id, s.s
+            ORDER BY t.doc_id, chunk_idx
         """,
         # C4-style cleaning gate + exact dedup keep-first
         "clean_corpus": f"""

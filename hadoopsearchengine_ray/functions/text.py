@@ -98,6 +98,71 @@ def dictionary_from_token_rows(tok: rd.Dataset,
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf")))
 
 
+def chunk_table(docs, text_col: str = "text",
+                size: int = 64, stride: int = 32) -> rd.Dataset:
+    """Overlapping token-window chunking — the RAG/LLM-data splitter:
+    each doc emits windows starting at 0, stride, 2·stride, … while the
+    start is inside the doc, each window up to ``size`` tokens.
+    Output: (doc_id, chunk_idx, n_tokens, h) where ``h`` is the md5 of
+    the space-joined window text (the SQL oracle's
+    ``md5(string_agg(term, ' ' ORDER BY pos))``).
+
+    Pure map, no shuffle: windows materialize per batch via one gather
+    (flat-token take with precomputed indices) + one vectorized
+    ``binary_join_element_wise`` — no per-chunk Python string loop."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    docs = _docs(docs, text_col)
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        toks = tokenize_column(batch[text_col])
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        # chunk starts per doc: 0, stride, ... < n_tok (zero-token docs
+        # emit nothing, matching the oracle's GROUP BY over tok)
+        n_chunks = np.where(n_tok > 0,
+                            (n_tok + stride - 1) // stride, 0).astype(np.int64)
+        if n_chunks.sum() == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "h": pa.array([], pa.string()),
+            })
+        chunk_doc = np.repeat(np.arange(len(n_tok)), n_chunks)
+        chunk_offsets = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_ord = np.arange(len(chunk_doc)) - chunk_offsets[:-1][chunk_doc]
+        starts = chunk_ord * stride                       # within-doc
+        lens = np.minimum(size, n_tok[chunk_doc] - starts)
+        # gather indices: for chunk c, flat[doc_off + start .. +len)
+        g_starts = offs[:-1][chunk_doc] + starts
+        flat_idx = (np.repeat(g_starts, lens)
+                    + (np.arange(lens.sum())
+                       - np.repeat(np.cumsum(lens) - lens, lens)))
+        taken = flat.take(pa.array(flat_idx, pa.int64()))
+        # binary_join over the list array (one call, no Python loop)
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32)),
+            taken)
+        joined = pc.binary_join(chunk_lists, " ")
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in joined.to_pylist()]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[chunk_doc]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(chunk_ord, pa.int64()),
+            "n_tokens": pa.array(lens.astype(np.int64), pa.int64()),
+            "h": pa.array(hs, pa.string()),
+        })
+
+    return docs.map_batches(_chunks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def clean_corpus(docs, text_col: str = "text",
                  min_tokens: int = 20, max_tokens: int = 5000,
                  min_distinct_ratio: float = 0.1,

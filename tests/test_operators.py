@@ -609,3 +609,25 @@ def test_clean_corpus_gate_and_dedup(ray_session):
                             min_distinct_ratio=0.5,
                             min_mean_len=2.0, max_mean_len=12.0).to_pandas()
     assert sorted(out["doc_id"]) == [0, 4]
+
+
+def test_chunk_table_windows(ray_session):
+    """Window boundaries, overlap, and the short tail chunk."""
+    import hashlib
+
+    toks = [f"w{i:02d}" for i in range(10)]
+    docs = rd.from_items([
+        {"doc_id": 0, "text": " ".join(toks)},   # 10 tokens
+        {"doc_id": 1, "text": ""},                # no tokens -> no chunks
+        {"doc_id": 2, "text": "solo token"},      # 2 tokens -> 1 chunk
+    ])
+    out = text.chunk_table(docs, size=4, stride=3).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    exp = []
+    for start in range(0, 10, 3):                 # 0,3,6,9
+        win = toks[start:start + 4]
+        exp.append((0, start // 3, len(win),
+                    hashlib.md5(" ".join(win).encode()).hexdigest()))
+    exp.append((2, 0, 2, hashlib.md5(b"solo token").hexdigest()))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == exp
