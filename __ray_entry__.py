@@ -785,6 +785,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
         return out
 
+    def q_mmr(sf):
+        # MMR diversified retrieval (lam=0.7): distributed exact top-k'
+        # then bounded greedy selection; self-check = independent
+        # pure-Python full-scan MMR, raising on any rank mismatch
+        import math
+
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                    tbl["embedding"].to_pylist())}
+        qv = lut[KNN_QUERY_IDS[0]]
+        out = similarity.mmr_topk(_emb(sf), np.asarray(qv, np.float64),
+                                  k=10, k_prime=100, lam=0.7)
+
+        if len(lut) <= 6000:  # exact shadow (active at the driver's sf runs)
+            def _norm(v):
+                s = math.sqrt(sum(x * x for x in v))
+                return [x / s if s else 0.0 for x in v]
+
+            nq = _norm(qv)
+            nv = {i: _norm(v) for i, v in lut.items()}
+            sims = {i: sum(a * b for a, b in zip(v, nq))
+                    for i, v in nv.items()}
+            cand = sorted(sims, key=lambda i: (-sims[i], i))[:100]
+            picked = []
+            while len(picked) < 10 and len(picked) < len(cand):
+                best = None
+                for i in cand:
+                    if i in picked:
+                        continue
+                    pen = max((sum(a * b for a, b in zip(nv[i], nv[j]))
+                               for j in picked), default=0.0)
+                    key = (-(0.7 * sims[i] - 0.3 * pen), -sims[i], i)
+                    if best is None or key < best[0]:
+                        best = (key, i)
+                picked.append(best[1])
+            got = [int(x) for x in out["vec_id"]]
+            if got != picked:
+                raise AssertionError(
+                    f"MMR shadow mismatch: ray {got} vs shadow {picked}")
+        return out
+
     def q_emb_near_dup(sf):
         # the embeddings table has no natural near-dups (max pairwise
         # cosine ~0.51), so append 50 deterministic near-copies
@@ -1243,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_features": q_tfidf,
         "clean_corpus": q_clean_corpus,
         "doc_chunks": q_chunks,
+        "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,

@@ -90,6 +90,67 @@ def knn_cosine(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
     return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
 
 
+def mmr_topk(embeddings: rd.Dataset, query: np.ndarray, k: int = 10,
+             k_prime: int = 100, lam: float = 0.7,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: exact cosine
+    top-``k_prime`` candidates (distributed local-topk, same shape as
+    knn_cosine), then the greedy MMR selection
+    ``argmax lam*sim(q,d) - (1-lam)*max_{s in selected} sim(d,s)``
+    (ties: higher sim(q,d), then lower vec_id) over the BOUNDED
+    candidate set on the driver.  Returns (rank, vec_id) int64.
+
+    The candidate vectors ride the local-topk output (k_prime rows per
+    block, not the corpus), so the driver never holds more than
+    ~k_prime * blocks rows."""
+    q = _norm_rows(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    q_ref = ray.put(q)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm_rows(_vec_matrix(batch[vec_col]))
+        s = m @ qv
+        kk = min(k_prime, len(ids))
+        if len(s) > kk:
+            kth = np.partition(s, len(s) - kk)[len(s) - kk]
+            part = np.flatnonzero(s >= kth)
+        else:
+            part = np.arange(len(s))
+        flat = m[part].reshape(-1)
+        return pa.table({
+            id_col: pa.array(ids[part], pa.int64()),
+            "sim": pa.array(s[part], pa.float64()),
+            "nvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.float64()), m.shape[1]),
+        })
+
+    cand = embeddings.map_batches(_local, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["sim", id_col],
+                            ascending=[False, True]).head(k_prime)
+    ids = cand[id_col].to_numpy(dtype=np.int64)
+    sims = cand["sim"].to_numpy(dtype=np.float64)
+    mat = np.asarray([np.asarray(v, np.float64) for v in cand["nvec"]])
+    n = len(ids)
+    picked: list[int] = []
+    max_sel = np.full(n, -np.inf)
+    active = np.ones(n, bool)
+    for _ in range(min(k, n)):
+        pen = np.where(np.isfinite(max_sel), max_sel, 0.0)
+        score = lam * sims - (1.0 - lam) * pen
+        score[~active] = -np.inf
+        # deterministic: best MMR score, then higher query-sim, then id
+        best = np.lexsort((ids, -sims, -score))[0]
+        picked.append(best)
+        active[best] = False
+        max_sel = np.maximum(max_sel, mat @ mat[best])
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(picked) + 1), dtype="int64"),
+        "vec_id": pd.array(ids[picked], dtype="int64"),
+    })
+
+
 def lsh_buckets(embeddings: rd.Dataset, num_planes: int = 8, seed: int = 5,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 dim: int = 64) -> rd.Dataset:

@@ -631,3 +631,25 @@ def test_chunk_table_windows(ray_session):
     exp.append((2, 0, 2, hashlib.md5(b"solo token").hexdigest()))
     got = [tuple(r) for r in out.itertuples(index=False)]
     assert got == exp
+
+
+def test_mmr_diversifies_near_duplicates(ray_session):
+    """A cluster of near-identical high-sim vectors + one distinct
+    direction: plain top-2 picks two near-dups, MMR picks one from
+    each (the diversification contract)."""
+    base = np.zeros(8)
+    base[0] = 1.0
+    other = np.zeros(8)
+    other[0], other[1] = 0.8, 0.6          # sim to query 0.8
+    rows = []
+    for i in range(3):                      # near-dup cluster, sim ~1.0
+        v = base.copy()
+        v[7] = 1e-3 * (i + 1)
+        rows.append({"vec_id": i, "embedding": list(v)})
+    rows.append({"vec_id": 10, "embedding": list(other)})
+    ds = rd.from_items(rows)
+    out = similarity.mmr_topk(ds, base, k=2, k_prime=4, lam=0.5)
+    assert list(out["vec_id"]) == [0, 10]   # not a second near-dup
+    # relevance-only (lam=1) degenerates to plain knn order
+    out2 = similarity.mmr_topk(ds, base, k=2, k_prime=4, lam=1.0)
+    assert list(out2["vec_id"]) == [0, 1]
