@@ -317,6 +317,50 @@ def run_bench() -> dict:
     dedup.ngram_jaccard_pairs(docs, threshold=0.5, min_common=3).count()
     timings["ngram_jaccard"] = round(time.perf_counter() - t0, 3)
 
+    # late round-3 training-data ops over the same sf documents table
+    from hadoopsearchengine_ray.functions.text import (
+        chunk_table,
+        clean_corpus,
+        tfidf_table,
+    )
+
+    t0 = time.perf_counter()
+    tfidf_table(f"{sf_dir}/documents.parquet").count()
+    timings["tfidf_features"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    chunk_table(f"{sf_dir}/documents.parquet", size=32, stride=16).count()
+    timings["doc_chunks"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    clean_corpus(f"{sf_dir}/documents.parquet").count()
+    timings["clean_corpus"] = round(time.perf_counter() - t0, 3)
+
+    # continual-ingestion dedup: first 80% indexed, last 20% + mirrors
+    # of every 10th doc incoming
+    import pyarrow.parquet as _pq
+
+    from hadoopsearchengine_ray.functions.dedup import incremental_dedup
+    from hadoopsearchengine_ray.stages.ingest import add_sha256
+
+    _t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    _ids = _t["doc_id"].to_numpy()
+    _cut = (_t.num_rows * 4) // 5
+    import pyarrow as _pa
+
+    _mir = _t.take(np.flatnonzero((_ids < _cut) & (_ids % 10 == 0)))
+    _mir = _mir.set_column(0, "doc_id",
+                           _pa.array(_mir["doc_id"].to_numpy() + _t.num_rows))
+    _inc = _pa.concat_tables([_mir, _t.take(np.flatnonzero(_ids >= _cut))])
+    t0 = time.perf_counter()
+    incremental_dedup(
+        rd.from_arrow(_inc),
+        add_sha256(rd.from_arrow(_t.take(np.flatnonzero(_ids < _cut))),
+                   text_col="text").select_columns(["sha256"]),
+        text_col="text").count()
+    timings["incremental_dedup"] = round(time.perf_counter() - t0, 3)
+
     # distributed keyword co-occurrence graph + PulseRank (round 3) over
     # the 100k bench corpus (ids attached once via zip_with_index)
     from hadoopsearchengine_ray.functions.text import keyword_pagerank
