@@ -102,16 +102,17 @@ def incremental_dedup(new_docs: rd.Dataset, existing_hashes: rd.Dataset,
                              "h": pa.array([], pa.string())})
         side = g["__side"]
         new = g.filter(pc.equal(side, 0))
-        seen = set(g.filter(pc.equal(side, 1))["h"].to_pylist())
+        seen = g.filter(pc.equal(side, 1))["h"].to_pandas()
         ids = new[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        hs = np.asarray(new["h"].to_pylist(), dtype=object)
-        order = np.lexsort((ids, hs))          # per hash, lowest id first
-        hs_s, ids_s = hs[order], ids[order]
+        hs = new["h"].to_pandas()
+        order = np.lexsort((ids, hs.to_numpy()))  # per hash, lowest id first
+        hs_s = hs.to_numpy()[order]
+        ids_s = ids[order]
         first = np.ones(len(hs_s), bool)
         if len(hs_s) > 1:
             first[1:] = hs_s[1:] != hs_s[:-1]
-        keep = first & np.fromiter((h not in seen for h in hs_s),
-                                   bool, len(hs_s))
+        # vectorized hashtable membership (no per-row Python `in`)
+        keep = first & ~pd.Series(hs_s).isin(seen).to_numpy()
         return pa.table({id_col: pa.array(ids_s[keep], pa.int64()),
                          "h": pa.array(list(hs_s[keep]), pa.string())})
 

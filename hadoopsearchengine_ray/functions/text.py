@@ -99,13 +99,16 @@ def dictionary_from_token_rows(tok: rd.Dataset,
 
 
 def chunk_table(docs, text_col: str = "text",
-                size: int = 64, stride: int = 32) -> rd.Dataset:
+                size: int = 64, stride: int = 32,
+                emit_text: bool = False) -> rd.Dataset:
     """Overlapping token-window chunking — the RAG/LLM-data splitter:
     each doc emits windows starting at 0, stride, 2·stride, … while the
     start is inside the doc, each window up to ``size`` tokens.
     Output: (doc_id, chunk_idx, n_tokens, h) where ``h`` is the md5 of
     the space-joined window text (the SQL oracle's
-    ``md5(string_agg(term, ' ' ORDER BY pos))``).
+    ``md5(string_agg(term, ' ' ORDER BY pos))``); with
+    ``emit_text=True`` the column is the chunk text itself (the
+    production output — the md5 form exists for hash-exact checking).
 
     Pure map, no shuffle: windows materialize per batch via one gather
     (flat-token take with precomputed indices) + one vectorized
@@ -130,7 +133,7 @@ def chunk_table(docs, text_col: str = "text",
                 "doc_id": pa.array([], pa.int64()),
                 "chunk_idx": pa.array([], pa.int64()),
                 "n_tokens": pa.array([], pa.int64()),
-                "h": pa.array([], pa.string()),
+                ("text" if emit_text else "h"): pa.array([], pa.string()),
             })
         chunk_doc = np.repeat(np.arange(len(n_tok)), n_chunks)
         chunk_offsets = np.concatenate(([0], np.cumsum(n_chunks)))
@@ -148,15 +151,18 @@ def chunk_table(docs, text_col: str = "text",
             pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32)),
             taken)
         joined = pc.binary_join(chunk_lists, " ")
-        hs = [hashlib.md5(s.encode()).hexdigest()
-              for s in joined.to_pylist()]
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)[chunk_doc]
+        if emit_text:
+            hcol = joined.cast(pa.string())
+        else:
+            hcol = pa.array([hashlib.md5(s.encode()).hexdigest()
+                             for s in joined.to_pylist()], pa.string())
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "chunk_idx": pa.array(chunk_ord, pa.int64()),
             "n_tokens": pa.array(lens.astype(np.int64), pa.int64()),
-            "h": pa.array(hs, pa.string()),
+            ("text" if emit_text else "h"): hcol,
         })
 
     return docs.map_batches(_chunks, batch_format="pyarrow",
