@@ -417,6 +417,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "h": out["h"].astype(str),
         })
 
+    def q_repetition(sf):
+        # Gopher-style repetition filter signals: duplicate-line fraction
+        # + most-common-unigram/bigram fractions, int64 keep flag; pure
+        # map, no shuffle at any corpus size
+        from hadoopsearchengine_ray.functions.trainprep import (
+            repetition_stats,
+        )
+
+        return repetition_stats(f"{sf}/documents.parquet")
+
+    def q_unigram_logprob(sf):
+        # corpus-unigram-LM mean log-prob per doc (CCNet-style perplexity
+        # filtering, deterministic): one vocab aggregate broadcast back
+        # into a single per-doc map
+        from hadoopsearchengine_ray.functions.trainprep import (
+            unigram_logprob,
+        )
+
+        return unigram_logprob(f"{sf}/documents.parquet")
+
+    def q_pii_redact(sf):
+        # C4-style PII scrubbing.  The corpus has no PII, so the query
+        # deterministically seeds one email + one IPv4 per doc (same
+        # concat in the oracle SQL) — the redaction kernel is exercised
+        # for real, and the redacted TEXT itself is hash-compared
+        from hadoopsearchengine_ray.functions.trainprep import pii_redact
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def _aug(b: pa.Table) -> pa.Table:
+            s = b["text"].to_pandas().astype(str)
+            ids = pd.Series(b["doc_id"].to_numpy(zero_copy_only=False))
+            aug = (s + " contact user" + ids.astype(str).values
+                   + "@mail.example.com from 10."
+                   + (ids % 250).astype(str).values + ".0."
+                   + (ids % 200).astype(str).values + " end")
+            return pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                             "text": pa.array(aug, pa.string())})
+
+        return pii_redact(docs.map_batches(_aug, batch_format="pyarrow"))
+
+    def q_contamination(sf):
+        # benchmark-contamination check: distinct 5-gram shingles of the
+        # held-out source's docs semi-joined (co-partitioned hash_join,
+        # no broadcast) against the distinct train-side shingle set
+        from hadoopsearchengine_ray.functions.trainprep import (
+            contamination_table,
+        )
+
+        return contamination_table(f"{sf}/documents.parquet",
+                                   test_source="src0", n=5)
+
+    def q_pack_sequences(sf):
+        # concat-and-chunk packing: global token offsets in doc_id order
+        # via ONE narrow range sort + metadata-only prefix sum (the
+        # zip_with_index pattern), then each doc's training-sequence span
+        from hadoopsearchengine_ray.functions.trainprep import (
+            pack_sequences,
+        )
+
+        return pack_sequences(f"{sf}/documents.parquet", seq_len=512)
+
+    def q_prepare_corpus(sf):
+        # the composed training-data prep: C4-style gate + exact dedup
+        # keep-first + concat-and-chunk packing of the survivors — one
+        # map, one hash groupby, one narrow sort + metadata prefix sum
+        from hadoopsearchengine_ray.functions.trainprep import (
+            prepare_corpus,
+        )
+
+        return prepare_corpus(f"{sf}/documents.parquet", seq_len=512,
+                              min_tokens=20, max_tokens=90,
+                              min_distinct_ratio=0.35,
+                              min_mean_len=4.0, max_mean_len=5.2)
+
     def q_bm25f(sf):
         # unified multi-field index (M8 complete): ONE build + ONE
         # reader pass scores body + title (position-derived) + anchor
@@ -1287,6 +1363,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_features": q_tfidf,
         "clean_corpus": q_clean_corpus,
         "doc_chunks": q_chunks,
+        "repetition_stats": q_repetition,
+        "unigram_logprob": q_unigram_logprob,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
+        "pack_sequences": q_pack_sequences,
+        "prepare_corpus": q_prepare_corpus,
         "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
@@ -1369,6 +1451,10 @@ _CC_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     from hadoopsearchengine_ray.functions.normalize import MIN_STEM, SUFFIXES
+    from hadoopsearchengine_ray.functions.trainprep import (
+        EMAIL_RE as PII_EMAIL_RE,
+        IPV4_RE as PII_IPV4_RE,
+    )
 
     terms_values = ",".join(f"('{t}')" for t in BM25_TERMS)
     knn_ids = ",".join(str(i) for i in KNN_QUERY_IDS)
@@ -1635,6 +1721,167 @@ def oracle_sql() -> dict[str, str]:
              AND t.rn - 1 >= s.s AND t.rn - 1 < s.s + 32
             GROUP BY t.doc_id, s.s
             ORDER BY t.doc_id, chunk_idx
+        """,
+        # Gopher-style repetition signals: dup-line fraction + top
+        # unigram/bigram fractions, integer cross-multiplied keep flag
+        "repetition_stats": f"""
+            WITH {TOK_ORDERED_CTE},
+            ls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                   FROM documents),
+            lnz AS (SELECT doc_id, line FROM ls WHERE line <> ''),
+            lstats AS (SELECT doc_id, count(*) AS n_lines,
+                              count(*) - count(DISTINCT line) AS dup_lines
+                       FROM lnz GROUP BY 1),
+            uni AS (SELECT doc_id, t, count(*) AS c FROM toko GROUP BY 1, 2),
+            ustats AS (SELECT doc_id, max(c) AS top_unigram_cnt,
+                              sum(c) AS n_tokens FROM uni GROUP BY 1),
+            bg AS (SELECT a.doc_id, a.t || ' ' || b.t AS bigram
+                   FROM toko a
+                   JOIN toko b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1),
+            bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+            bstats AS (SELECT doc_id, max(c) AS top_bigram_cnt,
+                              sum(c) AS n_bigrams FROM bgc GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(l.dup_lines, 0) AS BIGINT) AS dup_lines,
+                   CAST(coalesce(u.top_unigram_cnt, 0) AS BIGINT) AS top_unigram_cnt,
+                   CAST(coalesce(u.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+                   CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(CASE WHEN 10 * coalesce(l.dup_lines, 0)
+                                  <= 3 * coalesce(l.n_lines, 0)
+                              AND (5 * coalesce(b.top_bigram_cnt, 0)
+                                       <= coalesce(b.n_bigrams, 0)
+                                   OR coalesce(b.n_bigrams, 0) = 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents d
+            LEFT JOIN lstats l USING (doc_id)
+            LEFT JOIN ustats u USING (doc_id)
+            LEFT JOIN bstats b USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # corpus-unigram-LM mean log-prob (deterministic perplexity proxy)
+        "unigram_logprob": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM cf),
+            s AS (SELECT t.doc_id, sum(t.tf) AS n_tokens,
+                         sum(t.tf * ln(c.cf / (SELECT tot FROM tot))) AS lp
+                  FROM tf t JOIN cf c USING (term) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(coalesce(s.lp / s.n_tokens, 0.0), 6) AS logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # PII scrub over the deterministically seeded corpus; counts and
+        # the redacted text itself are compared
+        "pii_redact": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com from 10.'
+                          || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+                          || CAST(doc_id % 200 AS VARCHAR) || ' end' AS text
+              FROM documents),
+            e AS (SELECT doc_id,
+                         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                              AS BIGINT) AS n_emails,
+                         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>',
+                                        'g') AS text
+                  FROM aug),
+            i AS (SELECT doc_id, n_emails,
+                         CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}'))
+                              AS BIGINT) AS n_ips,
+                         regexp_replace(text, '{PII_IPV4_RE}', '<IP>',
+                                        'g') AS text
+                  FROM e)
+            SELECT doc_id, n_emails, n_ips, text FROM i ORDER BY doc_id
+        """,
+        # train/test 5-gram contamination for the held-out source
+        "contamination": f"""
+            WITH {TOK_ORDERED_CTE},
+            sh AS (
+              SELECT DISTINCT t1.doc_id,
+                     t1.t || ' ' || t2.t || ' ' || t3.t || ' ' || t4.t
+                          || ' ' || t5.t AS sh
+              FROM toko t1
+              JOIN toko t2 ON t2.doc_id = t1.doc_id AND t2.rn = t1.rn + 1
+              JOIN toko t3 ON t3.doc_id = t1.doc_id AND t3.rn = t1.rn + 2
+              JOIN toko t4 ON t4.doc_id = t1.doc_id AND t4.rn = t1.rn + 3
+              JOIN toko t5 ON t5.doc_id = t1.doc_id AND t5.rn = t1.rn + 4),
+            tsh AS (SELECT s.doc_id, s.sh FROM sh s
+                    JOIN documents dd ON dd.doc_id = s.doc_id
+                    WHERE dd.source = 'src0'),
+            trs AS (SELECT DISTINCT s.sh FROM sh s
+                    JOIN documents dd ON dd.doc_id = s.doc_id
+                    WHERE dd.source <> 'src0'),
+            ov AS (SELECT t.doc_id, count(*) AS n_overlap
+                   FROM tsh t JOIN trs USING (sh) GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN coalesce(t.n_shingles, 0) > 0
+                              AND 5 * coalesce(o.n_overlap, 0)
+                                  >= 4 * coalesce(t.n_shingles, 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN ov o USING (doc_id)
+            WHERE d.source = 'src0'
+            ORDER BY d.doc_id
+        """,
+        # concat-and-chunk packing spans (global prefix sum by doc_id)
+        "pack_sequences": f"""
+            WITH {TOK_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+            alln AS (SELECT d.doc_id,
+                            CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+                     FROM documents d LEFT JOIN cnt c USING (doc_id)),
+            pre AS (SELECT doc_id, n_tokens,
+                           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+                    FROM alln)
+            SELECT doc_id, n_tokens, start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (start_tok + n_tokens - 1) // 512
+                             ELSE start_tok // 512 END AS BIGINT) AS seq_last
+            FROM pre ORDER BY doc_id
+        """,
+        # composed prep: clean gate + exact dedup keep-first + packing
+        "prepare_corpus": f"""
+            WITH {TOK_CTE},
+            m AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT term) * 1.0 / count(*) AS dr,
+                     sum(length(term)) * 1.0 / count(*) AS ml
+              FROM tok GROUP BY doc_id
+            ),
+            ok AS (
+              SELECT doc_id, n_tokens FROM m
+              WHERE n_tokens BETWEEN 20 AND 90
+                AND dr >= 0.35 AND ml >= 4.0 AND ml <= 5.2
+            ),
+            firsts AS (
+              SELECT min(d.doc_id) AS doc_id
+              FROM documents d JOIN ok USING (doc_id)
+              GROUP BY sha256(d.text)
+            ),
+            kept AS (SELECT o.doc_id, CAST(o.n_tokens AS BIGINT) AS n_tokens
+                     FROM ok o JOIN firsts USING (doc_id)),
+            pre AS (SELECT doc_id, n_tokens,
+                           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+                    FROM kept)
+            SELECT doc_id, n_tokens, start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS seq_first,
+                   CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+            FROM pre ORDER BY doc_id
         """,
         # C4-style cleaning gate + exact dedup keep-first
         "clean_corpus": f"""

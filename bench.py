@@ -336,6 +336,35 @@ def run_bench() -> dict:
     clean_corpus(f"{sf_dir}/documents.parquet").count()
     timings["clean_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # training-prep family (functions/trainprep.py): repetition gates,
+    # unigram-LM scoring, PII scrub, contamination semi-join, packing
+    from hadoopsearchengine_ray.functions import trainprep as _tp
+
+    t0 = time.perf_counter()
+    _tp.repetition_stats(f"{sf_dir}/documents.parquet").count()
+    timings["repetition_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _tp.unigram_logprob(f"{sf_dir}/documents.parquet").count()
+    timings["unigram_logprob"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _tp.pii_redact(f"{sf_dir}/documents.parquet").count()
+    timings["pii_redact"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _tp.contamination_table(f"{sf_dir}/documents.parquet",
+                            test_source="src0", n=5, num_buckets=8).count()
+    timings["contamination"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _tp.pack_sequences(f"{sf_dir}/documents.parquet", seq_len=512).count()
+    timings["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _tp.prepare_corpus(f"{sf_dir}/documents.parquet", seq_len=512).count()
+    timings["prepare_corpus"] = round(time.perf_counter() - t0, 3)
+
     # continual-ingestion dedup: first 80% indexed, last 20% + mirrors
     # of every 10th doc incoming
     import pyarrow.parquet as _pq

@@ -173,11 +173,16 @@ def clean_corpus(docs, text_col: str = "text",
                  min_tokens: int = 20, max_tokens: int = 5000,
                  min_distinct_ratio: float = 0.1,
                  min_mean_len: float = 2.0,
-                 max_mean_len: float = 12.0) -> rd.Dataset:
+                 max_mean_len: float = 12.0,
+                 emit_tokens: bool = False) -> rd.Dataset:
     """C4-style corpus cleaning gate + exact dedup: returns the
     surviving (doc_id, h) — docs passing the per-doc quality thresholds
     (token count bounds, distinct-token ratio, mean token length) and
     the FIRST (lowest doc_id) per content hash among the survivors.
+    ``emit_tokens=True`` adds each survivor's token count as
+    ``n_tokens`` (identical text -> identical count, so the dedup
+    groupby can carry it with a second Min) — the input
+    ``prepare_corpus`` packing needs, with no re-tokenization.
 
     Scale shape: the quality gate is a pure vectorized map over doc
     rows (each doc is whole in its batch row — metrics, thresholds and
@@ -215,16 +220,24 @@ def clean_corpus(docs, text_col: str = "text",
         kept = batch.filter(pa.array(ok))
         hs = [hashlib.sha256((t or "").encode()).hexdigest()
               for t in kept[text_col].to_pylist()]
-        return pa.table({
+        cols = {
             "doc_id": kept["doc_id"].cast(pa.int64()),
             "h": pa.array(hs, pa.string()),
-        })
+        }
+        if emit_tokens:
+            cols["n_tokens"] = pa.array(n_tok[ok].astype(np.int64))
+        return pa.table(cols)
 
     gated = docs.map_batches(_gate, batch_format="pyarrow",
                              zero_copy_batch=True)
+    aggs = [Min("doc_id", alias_name="doc_id")]
+    out_cols = ["doc_id", "h"]
+    if emit_tokens:
+        aggs.append(Min("n_tokens", alias_name="n_tokens"))
+        out_cols.append("n_tokens")
     return (gated.groupby("h")
-            .aggregate(Min("doc_id", alias_name="doc_id"))
-            .select_columns(["doc_id", "h"]))
+            .aggregate(*aggs)
+            .select_columns(out_cols))
 
 
 def tfidf_table(docs, text_col: str = "text",

@@ -1,0 +1,540 @@
+"""Training-data preparation operators over a (doc_id, text) table.
+
+Beyond the reference's own operator set: the ops a large-scale
+LLM-training-data pipeline runs between raw corpus and tokenized
+training shards.  Same conventions as ``functions/text.py`` — pure
+``map_batches`` over Arrow batches wherever a doc is self-contained,
+int64/rounded-float columns so every output hash-matches its DuckDB
+oracle, shuffles only where semantics force one (the contamination
+semi-join), and O(blocks) driver state (the packing prefix sum).
+
+Operators:
+  * ``repetition_stats``  — Gopher-style repetition filter signals
+    (duplicate-line fraction, top unigram/bigram fraction) + keep flag.
+  * ``unigram_logprob``   — corpus-unigram-LM mean log-prob per doc, the
+    deterministic stand-in for CCNet-style LM perplexity filtering.
+  * ``pii_redact``        — email/IPv4 scrubbing with per-doc counts
+    (C4-style PII removal), regex parity with the SQL oracle.
+  * ``contamination_table`` — train/test n-gram overlap (benchmark
+    contamination check): distinct test-doc shingles semi-joined
+    against the distinct train-side shingle set.
+  * ``pack_sequences``    — concat-and-chunk packing: global token
+    offsets by doc_id order via a metadata-only prefix sum (the
+    ``zip_with_index`` pattern), emitting each doc's training-sequence
+    span.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..tokenizer import tokenize_column
+from .text import _docs
+
+# ---------------------------------------------------------------------------
+# shared per-doc kernels
+
+
+def _doc_index(offsets: np.ndarray) -> np.ndarray:
+    """Flat-item -> doc ordinal for a list array's int offsets."""
+    return np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                     np.diff(offsets))
+
+
+def _top_and_total(doc_idx: np.ndarray, codes: np.ndarray,
+                   n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (count of the most frequent code, total items).
+
+    One ``np.unique`` over packed (doc, code) keys + ``maximum.reduceat``
+    — no Python loop, no per-doc groupby."""
+    top = np.zeros(n_docs, np.int64)
+    total = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    if len(doc_idx) == 0:
+        return top, total
+    v = int(codes.max()) + 1
+    uniq, cnt = np.unique(doc_idx * v + codes, return_counts=True)
+    ud = uniq // v
+    starts = np.flatnonzero(np.concatenate([[True], ud[1:] != ud[:-1]]))
+    top[ud[starts]] = np.maximum.reduceat(cnt, starts)
+    return top, total
+
+
+def _ngram_join(flat: pa.Array, doc_idx: np.ndarray,
+                n: int) -> tuple[pa.Array, np.ndarray]:
+    """Space-joined n-grams over a flat token array that respects doc
+    boundaries.  Returns (ngram strings, doc ordinal per ngram)."""
+    nflat = len(flat)
+    if nflat < n:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    valid = doc_idx[: nflat - n + 1] == doc_idx[n - 1:]
+    mask = pa.array(valid)
+    parts = [pc.array_filter(flat.slice(k, nflat - n + 1), mask)
+             for k in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    return joined, doc_idx[: nflat - n + 1][valid]
+
+
+# ---------------------------------------------------------------------------
+# 1. Gopher-style repetition stats
+
+
+def repetition_stats(docs, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_lines, dup_lines, top_unigram_cnt, n_tokens,
+    top_bigram_cnt, n_bigrams, keep) — the repetition signals of the
+    Gopher quality rules (duplicate-line fraction and most-common-n-gram
+    fraction), all int64 so the oracle hash is exact.
+
+    ``keep`` = 1 iff duplicate-line fraction <= 0.3 AND top-bigram
+    fraction <= 0.2 (integer cross-multiplied — no float thresholds).
+    Pure map over documents: every signal is intra-doc, so there is no
+    shuffle at any corpus size."""
+    docs = _docs(docs, text_col)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+
+        # --- line stats: split on newline, drop empty lines
+        lines = pc.split_pattern(texts, "\n")
+        loffs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lflat = lines.values
+        ldoc = _doc_index(loffs)
+        nonempty = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
+        ldoc_ne = ldoc[nonempty]
+        n_lines = np.bincount(ldoc_ne, minlength=n_docs).astype(np.int64)
+        dup_lines = np.zeros(n_docs, np.int64)
+        if len(ldoc_ne):
+            lcodes = lflat.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)[nonempty]
+            v = int(lcodes.max()) + 1
+            distinct = np.bincount(
+                (np.unique(ldoc_ne * v + lcodes) // v),
+                minlength=n_docs).astype(np.int64)
+            dup_lines = n_lines - distinct
+
+        # --- token stats
+        toks = tokenize_column(texts)
+        toffs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        tdoc = _doc_index(toffs)
+        flat = toks.values
+        if len(flat):
+            codes = flat.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            codes = np.zeros(0, np.int64)
+        top_uni, n_tokens = _top_and_total(tdoc, codes, n_docs)
+
+        # --- bigram stats (doc-boundary-safe adjacent join)
+        big, bdoc = _ngram_join(flat, tdoc, 2)
+        if len(big):
+            bcodes = big.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            bcodes = np.zeros(0, np.int64)
+        top_big, n_bigrams = _top_and_total(bdoc, bcodes, n_docs)
+
+        keep = ((10 * dup_lines <= 3 * n_lines)
+                & ((5 * top_big <= n_bigrams) | (n_bigrams == 0)))
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_lines": pa.array(n_lines),
+            "dup_lines": pa.array(dup_lines),
+            "top_unigram_cnt": pa.array(top_uni),
+            "n_tokens": pa.array(n_tokens),
+            "top_bigram_cnt": pa.array(top_big),
+            "n_bigrams": pa.array(n_bigrams),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return docs.map_batches(_stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# 2. corpus-unigram-LM log-prob scoring
+
+
+def unigram_logprob(docs, text_col: str = "text",
+                    broadcast_limit: int = 2_000_000) -> rd.Dataset:
+    """(doc_id, n_tokens, logprob) where ``logprob`` is the mean
+    corpus-unigram log-probability of the doc's tokens, rounded to 6
+    decimals (0.0 for token-less docs) — the deterministic analog of
+    CCNet/Wikipedia-LM perplexity quality filtering.
+
+    Scale shape mirrors ``tfidf_table``: one vocabulary-cardinality
+    aggregate for (term -> cf), broadcast back as a ``ray.put`` lookup
+    into a single per-doc map (no shuffle of token rows); above
+    ``broadcast_limit`` distinct terms the log-probs attach via the
+    co-partitioned ``hash_join`` and a doc-keyed aggregate instead."""
+    import pandas as pd
+
+    from .text import dictionary_from_token_rows, token_table
+
+    docs = _docs(docs, text_col)
+    tok = token_table(docs, text_col)
+    dict_ds = dictionary_from_token_rows(tok)
+
+    vocab_n = dict_ds.count()
+    if vocab_n > broadcast_limit:
+        from ray.data.aggregate import Sum
+
+        from ..pipelines.relational import hash_join
+
+        total = float(dict_ds.sum("cf"))
+
+        def _lp_col(batch: pa.Table) -> pa.Table:
+            cf = batch["cf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({"term": batch["term"],
+                             "lp": pa.array(np.log(cf / total), pa.float64())})
+
+        joined = hash_join(
+            tok, dict_ds.map_batches(_lp_col, batch_format="pyarrow",
+                                     batch_size=None), on="term")
+
+        def _w(batch: pa.Table) -> pa.Table:
+            tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "ntok": batch["tf"].cast(pa.int64()),
+                "wsum": pa.array(tf * batch["lp"].to_numpy(
+                    zero_copy_only=False), pa.float64()),
+            })
+
+        agg = (joined.map_batches(_w, batch_format="pyarrow", batch_size=None)
+               .groupby("doc_id")
+               .aggregate(Sum("ntok", alias_name="n_tokens"),
+                          Sum("wsum", alias_name="wsum")))
+
+        ids = docs.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        out = hash_join(ids, agg, on="doc_id", how="left")
+
+        def _fin(batch: pa.Table) -> pa.Table:
+            n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+            n = np.nan_to_num(np.asarray(n, np.float64), nan=0.0)
+            w = np.nan_to_num(batch["wsum"].to_numpy(zero_copy_only=False),
+                              nan=0.0)
+            lp = np.where(n > 0, np.round(w / np.maximum(n, 1), 6), 0.0)
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "logprob": pa.array(lp, pa.float64()),
+            })
+
+        return out.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+    dpdf = dict_ds.to_pandas()
+    total = float(dpdf["cf"].sum())
+    lut = pd.Series(np.log(dpdf["cf"].to_numpy(np.float64) / total),
+                    index=dpdf["term"])
+    lut_ref = ray.put(lut)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        lp_by_term = ray.get(lut_ref)
+        n_docs = batch.num_rows
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        toks = tokenize_column(texts)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = _doc_index(offs)
+        lp = toks.values.to_pandas().map(lp_by_term).to_numpy(np.float64)
+        sums = np.bincount(doc_idx, weights=lp, minlength=n_docs)
+        n = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        out = np.where(n > 0, np.round(sums / np.maximum(n, 1), 6), 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(n),
+            "logprob": pa.array(out, pa.float64()),
+        })
+
+    return docs.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# 3. PII redaction
+
+# ASCII-only classes ([0-9], not \d) so Python re and the oracle's RE2
+# agree byte-for-byte; both engines match leftmost non-overlapping.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_redact(docs, text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_emails, n_ips, text) with emails then IPv4 literals
+    replaced by ``<EMAIL>`` / ``<IP>`` (C4-style scrubbing).  Counts are
+    taken at each replacement step, matching the oracle's
+    ``regexp_extract_all`` lengths; pure map, no shuffle."""
+    docs = _docs(docs, text_col)
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().astype(str)
+        n_emails = s.str.count(EMAIL_RE).to_numpy(np.int64)
+        s = s.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+        n_ips = s.str.count(IPV4_RE).to_numpy(np.int64)
+        s = s.str.replace(IPV4_RE, "<IP>", regex=True)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_emails": pa.array(n_emails),
+            "n_ips": pa.array(n_ips),
+            "text": pa.array(s, pa.string()),
+        })
+
+    return docs.map_batches(_redact, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# 4. train/test n-gram contamination
+
+
+def _distinct_shingles(docs: rd.Dataset, text_col: str, n: int,
+                       side: int, num_buckets: int) -> rd.Dataset:
+    """(bucket, side, doc_id, sh): each doc's DISTINCT space-joined
+    n-grams, tagged with the split side and a shingle-hash bucket.
+    Distinctness is resolved inside the batch (docs are whole per row),
+    so the output is ~|unique shingles| rows with no shuffle."""
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        toks = tokenize_column(texts)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        joined, sdoc = _ngram_join(toks.values, _doc_index(offs), n)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(joined) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.string())})
+        d = joined.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(d.dictionary)
+        uniq = np.unique(sdoc * v + codes)
+        sh = d.dictionary.take(pa.array(uniq % v)).cast(pa.string())
+        import pandas as pd
+        bucket = (pd.util.hash_pandas_object(sh.to_pandas(), index=False)
+                  .to_numpy() % num_buckets).astype(np.int64)
+        m = len(uniq)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "side": pa.array(np.full(m, side, np.int8)),
+            "doc_id": pa.array(ids[uniq // v]),
+            "sh": sh,
+        })
+
+    return docs.map_batches(_sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contamination_table(docs, test_source: str, text_col: str = "text",
+                        n: int = 5, num_buckets: int = 16) -> rd.Dataset:
+    """Benchmark-contamination check: for every doc from ``test_source``,
+    how many of its distinct ``n``-gram shingles appear anywhere in the
+    rest of the corpus (the training split).
+
+    Returns (doc_id, n_shingles, n_overlap, contaminated) — int64 —
+    with ``contaminated`` = 1 iff overlap fraction >= 0.8 (integer
+    cross-multiply).
+
+    Scale shape: per-doc shingle totals are MAP-side (docs are whole in
+    a batch); the membership test is ONE co-partitioned exchange — both
+    sides' distinct shingles bucketed by shingle hash, each bucket doing
+    a local isin against its train-side set and emitting per-doc partial
+    overlap counts.  The partials and the map-side totals then meet in a
+    single doc-keyed union-aggregate (no join).  No broadcast of a
+    corpus-sized set, no driver materialization."""
+    from ..pipelines.relational import _coalesce_for_buckets
+
+    if isinstance(docs, str):
+        docs = rd.read_parquet(docs, columns=["doc_id", text_col, "source"])
+
+    test = docs.filter(expr=f"source == '{test_source}'")
+    train = docs.filter(expr=f"source != '{test_source}'")
+
+    # map-side per-doc totals (distinct shingles per doc, 0 included)
+    def _totals(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        toks = tokenize_column(texts)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        joined, sdoc = _ngram_join(toks.values, _doc_index(offs), n)
+        n_docs = batch.num_rows
+        tot = np.zeros(n_docs, np.int64)
+        if len(joined):
+            codes = joined.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = int(codes.max()) + 1
+            uniq = np.unique(sdoc * v + codes)
+            tot = np.bincount(uniq // v, minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_shingles": pa.array(tot),
+            "ov": pa.array(np.zeros(n_docs, np.int64)),
+        })
+
+    totals = test.map_batches(_totals, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    tagged = (_distinct_shingles(train, text_col, n, 0, num_buckets)
+              .union(_distinct_shingles(test, text_col, n, 1, num_buckets)))
+
+    def _bucket_overlap(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_shingles": pa.array([], pa.int64()),
+                          "ov": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "side" not in g.column_names:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        sh = g["sh"].to_pandas()
+        train_set = set(sh[side == 0])
+        tmask = side == 1
+        hit = sh[tmask].isin(train_set).to_numpy()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)[tmask][hit]
+        if len(ids) == 0:
+            return empty
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "n_shingles": pa.array(np.zeros(len(u), np.int64)),
+                         "ov": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    partials = (_coalesce_for_buckets(tagged, num_buckets)
+                .groupby("bucket").map_groups(_bucket_overlap,
+                                              batch_format="pyarrow"))
+
+    # totals (ov=0) ∪ overlap partials (n_shingles=0) -> ONE doc-keyed
+    # sum; every test doc appears in totals, so no outer join is needed.
+    # The union is tiny rows spread over ~(read blocks + buckets) blocks
+    # and sort-aggregate cost scales with input block COUNT, so coalesce
+    # first (the pre-shuffle coalesce pattern from pipelines/relational).
+    out = (_coalesce_for_buckets(totals.union(partials),
+                                 max(2, num_buckets // 4))
+           .groupby("doc_id")
+           .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                      Sum("ov", alias_name="n_overlap")))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        tot = np.asarray(batch["n_shingles"].to_numpy(
+            zero_copy_only=False), np.int64)
+        ov = np.asarray(batch["n_overlap"].to_numpy(
+            zero_copy_only=False), np.int64)
+        cont = ((tot > 0) & (5 * ov >= 4 * tot)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_shingles": pa.array(tot),
+            "n_overlap": pa.array(ov),
+            "contaminated": pa.array(cont),
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# 5. concat-and-chunk sequence packing
+
+
+def pack_sequences(docs, text_col: str = "text",
+                   seq_len: int = 512) -> rd.Dataset:
+    """Concat-and-chunk packing (GPT-style): concatenate all docs in
+    doc_id order into one token stream and cut fixed-``seq_len``
+    training sequences.  Emits per doc:
+
+        (doc_id, n_tokens, start_tok, seq_first, seq_last)
+
+    where ``start_tok`` is the doc's global token offset and
+    ``seq_first``/``seq_last`` the first/last training-sequence index it
+    lands in (token-less docs get an empty span at their offset).
+
+    Scale shape: per-doc counts are a pure map; the global offsets come
+    from ONE range sort of the narrow (doc_id, n_tokens) table plus a
+    metadata-only prefix sum over per-block sums — the same
+    O(blocks)-driver pattern as ``stages.ingest.zip_with_index``; the
+    driver never sees a row."""
+    docs = _docs(docs, text_col)
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        toks = tokenize_column(texts)
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(n),
+        })
+
+    counts = docs.map_batches(_cnt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _pack_offsets(counts, seq_len)
+
+
+def _pack_offsets(counts: rd.Dataset, seq_len: int) -> rd.Dataset:
+    """Attach global token offsets + sequence spans to a
+    (doc_id, n_tokens) table: ONE range sort by doc_id, then per-block
+    sums -> driver prefix sum (O(blocks)) -> vectorized in-block cumsum."""
+    counts = counts.sort("doc_id").materialize()
+
+    block_refs = []
+    for bundle in counts.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                block_refs.append(block_ref)
+
+    @ray.remote
+    def _bsum(block: pa.Table) -> int:
+        s = pc.sum(block["n_tokens"]).as_py()
+        return int(s or 0)
+
+    sums = ray.get([_bsum.remote(r) for r in block_refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+
+    @ray.remote
+    def _attach(block: pa.Table, off: int) -> pa.Table:
+        n = block["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = off + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        seq_first = start // seq_len
+        seq_last = np.where(n > 0, (start + n - 1) // seq_len, seq_first)
+        return pa.table({
+            "doc_id": block["doc_id"],
+            "n_tokens": block["n_tokens"],
+            "start_tok": pa.array(start),
+            "seq_first": pa.array(seq_first),
+            "seq_last": pa.array(seq_last),
+        })
+
+    if not block_refs:
+        return counts
+    return rd.from_arrow_refs(
+        [_attach.remote(r, int(o)) for r, o in zip(block_refs, offsets)])
+
+
+# ---------------------------------------------------------------------------
+# 6. composed training-data prep: clean -> exact dedup -> pack
+
+
+def prepare_corpus(docs, text_col: str = "text", seq_len: int = 512,
+                   **gate_kwargs) -> rd.Dataset:
+    """The end-to-end training-data prep a corpus goes through before
+    tokenization: C4-style quality gate + exact dedup keep-first
+    (``text.clean_corpus``), then concat-and-chunk packing of the
+    survivors in doc_id order.  Returns per kept doc:
+
+        (doc_id, n_tokens, start_tok, seq_first, seq_last)
+
+    Scale shape = the parts': gate + hash + token count in one map,
+    one content-hash groupby for the dedup (the survivors' token
+    counts ride the same aggregate — no re-tokenization), one narrow
+    range sort + metadata prefix sum for the offsets."""
+    from .text import clean_corpus
+
+    kept = clean_corpus(docs, text_col, emit_tokens=True, **gate_kwargs)
+    return _pack_offsets(kept.select_columns(["doc_id", "n_tokens"]),
+                         seq_len)
