@@ -480,6 +480,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(f"{sf}/documents.parquet", seq_len=512)
 
+    def q_heavy_hitters(sf):
+        # Space-Saving top-k terms WITHOUT a vocabulary shuffle:
+        # capacity-bounded partials + tree merge.  Capacity >> vocab
+        # here, so the sketch is exact and the SQL oracle applies; the
+        # truncation-regime guarantee is pytest-covered
+        from hadoopsearchengine_ray.functions.sketch import (
+            term_heavy_hitters,
+        )
+
+        return term_heavy_hitters(f"{sf}/documents.parquet", k=30,
+                                  capacity=1 << 17)
+
+    def q_hll_distinct(sf):
+        # HyperLogLog distinct 3-gram shingle count: register-blob
+        # partials merged on the driver (O(partials x 16KiB), no
+        # distinct shuffle).  The query RETURNS the exact count (SQL
+        # oracle) and raises unless the sketch lands within 5% — the
+        # repo's embedded-shadow convention
+        from ray.data.aggregate import Count
+
+        from hadoopsearchengine_ray.functions.sketch import hll_distinct
+        from hadoopsearchengine_ray.functions.trainprep import (
+            _doc_index,
+            _ngram_join,
+        )
+        from hadoopsearchengine_ray.tokenizer import tokenize_column
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def _sh(b: pa.Table) -> pa.Table:
+            texts = b["text"].combine_chunks() if isinstance(
+                b["text"], pa.ChunkedArray) else b["text"]
+            toks = tokenize_column(texts)
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            joined, _ = _ngram_join(toks.values, _doc_index(offs), 3)
+            return pa.table({"sh": joined.cast(pa.string()) if len(joined)
+                             else pa.array([], pa.string())})
+
+        sh = docs.map_batches(_sh, batch_format="pyarrow").materialize()
+        est = hll_distinct(sh, "sh", p=14)
+        exact = sh.groupby("sh").aggregate(Count(alias_name="c")).count()
+        if abs(est / max(exact, 1) - 1) >= 0.05:
+            raise AssertionError(
+                f"HLL estimate {est:.1f} vs exact {exact}: >5% off")
+        return pd.DataFrame({"n_distinct": pd.array([exact], dtype="int64")})
+
     def q_prepare_corpus(sf):
         # the composed training-data prep: C4-style gate + exact dedup
         # keep-first + concat-and-chunk packing of the survivors — one
@@ -1369,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "prepare_corpus": q_prepare_corpus,
+        "heavy_hitters": q_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
         "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
@@ -1851,6 +1900,25 @@ def oracle_sql() -> dict[str, str]:
                              THEN (start_tok + n_tokens - 1) // 512
                              ELSE start_tok // 512 END AS BIGINT) AS seq_last
             FROM pre ORDER BY doc_id
+        """,
+        # Space-Saving heavy hitters (exact regime: capacity >> vocab)
+        "heavy_hitters": f"""
+            WITH {TOK_CTE},
+            c AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                  FROM tok GROUP BY term)
+            SELECT term, cf FROM c
+            ORDER BY cf DESC, term ASC LIMIT 30
+        """,
+        # exact global distinct 3-gram shingle count (the HLL estimate
+        # is self-checked inside the query to within 5%)
+        "hll_distinct": f"""
+            WITH {TOK_ORDERED_CTE},
+            sh AS (
+              SELECT t1.t || ' ' || t2.t || ' ' || t3.t AS sh
+              FROM toko t1
+              JOIN toko t2 ON t2.doc_id = t1.doc_id AND t2.rn = t1.rn + 1
+              JOIN toko t3 ON t3.doc_id = t1.doc_id AND t3.rn = t1.rn + 2)
+            SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct FROM sh
         """,
         # composed prep: clean gate + exact dedup keep-first + packing
         "prepare_corpus": f"""

@@ -22,6 +22,8 @@ Operators:
     offsets by doc_id order via a metadata-only prefix sum (the
     ``zip_with_index`` pattern), emitting each doc's training-sequence
     span.
+  * ``prepare_corpus``    — the composed prep: C4-style gate + exact
+    dedup keep-first + packing of the survivors, one call.
 """
 
 from __future__ import annotations
