@@ -527,6 +527,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"HLL estimate {est:.1f} vs exact {exact}: >5% off")
         return pd.DataFrame({"n_distinct": pd.array([exact], dtype="int64")})
 
+    def q_doclen_quantiles(sf):
+        # MRL-style mergeable quantile sketch over per-doc token counts:
+        # O(blocks x capacity) exchange, no value shuffle.  capacity >>
+        # n here, so the sketch is exact (quantile_disc parity, SQL
+        # oracle); a truncated-capacity re-run self-checks the approx
+        # regime's rank-error bound against the exact answer
+        from ray.data.aggregate import Sum
+
+        from hadoopsearchengine_ray.functions.sketch import quantile_sketch
+        from hadoopsearchengine_ray.functions.text import (
+            _docs,
+            token_table,
+        )
+
+        tok = token_table(_docs(f"{sf}/documents.parquet"), "text")
+        dl = (tok.groupby("doc_id")
+              .aggregate(Sum("tf", alias_name="dl")).materialize())
+        qs = [0.5, 0.9, 0.99]
+        exact = quantile_sketch(dl, "dl", qs, capacity=1 << 22)
+        approx = quantile_sketch(dl, "dl", qs, capacity=256)
+        vals = np.sort(dl.to_pandas()["dl"].to_numpy())
+        for q, a in zip(qs, approx):
+            rank = np.searchsorted(vals, a, side="right") / len(vals)
+            if abs(rank - q) > 0.05:
+                raise AssertionError(
+                    f"quantile sketch rank error at q={q}: value {a} has "
+                    f"rank {rank:.3f}")
+        return pd.DataFrame({
+            "q50": pd.array([int(exact[0])], dtype="int64"),
+            "q90": pd.array([int(exact[1])], dtype="int64"),
+            "q99": pd.array([int(exact[2])], dtype="int64"),
+        })
+
+    def q_event_value_quantiles(sf):
+        # per-key quantile sketch: each batch contributes <= capacity
+        # weighted points per key present, ONE groupby merges — the
+        # grouped A9.  capacity >> rows/key here => quantile_disc-exact
+        from hadoopsearchengine_ray.functions.sketch import (
+            grouped_quantiles,
+        )
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_type", "value"])
+        return grouped_quantiles(ev, "event_type", "value",
+                                 [0.5, 0.95], capacity=1 << 21)
+
+    def q_bloom_semi_join(sf):
+        # Bloom-pruned semi-join: orders keys fold to an OR-merged bitset
+        # broadcast once; lineitem rows that cannot match never enter the
+        # join shuffle.  Result is exact (FPs drop in the distinct-key
+        # join; Blooms have no false negatives)
+        import pyarrow.compute as pc
+
+        from hadoopsearchengine_ray.pipelines.relational import (
+            bloom_semi_join,
+        )
+
+        li = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_totalprice"])
+        keys = orders.map_batches(
+            lambda b: pa.table({"l_orderkey": b.filter(
+                pc.greater(b["o_totalprice"], 180000.0))["o_orderkey"]}),
+            batch_format="pyarrow", batch_size=None)
+        return bloom_semi_join(li, keys, on="l_orderkey")
+
     def q_prepare_corpus(sf):
         # the composed training-data prep: C4-style gate + exact dedup
         # keep-first + concat-and-chunk packing of the survivors — one
@@ -1418,6 +1486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_corpus": q_prepare_corpus,
         "heavy_hitters": q_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "doclen_quantiles": q_doclen_quantiles,
+        "event_value_quantiles": q_event_value_quantiles,
+        "bloom_semi_join": q_bloom_semi_join,
         "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
@@ -1919,6 +1990,31 @@ def oracle_sql() -> dict[str, str]:
               JOIN toko t2 ON t2.doc_id = t1.doc_id AND t2.rn = t1.rn + 1
               JOIN toko t3 ON t3.doc_id = t1.doc_id AND t3.rn = t1.rn + 2)
             SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct FROM sh
+        """,
+        # quantile sketch in the exact regime = quantile_disc parity
+        # (the approx-regime rank bound is self-checked in the query)
+        "doclen_quantiles": f"""
+            WITH {TOK_CTE},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT CAST(quantile_disc(dl, 0.5) AS BIGINT) AS q50,
+                   CAST(quantile_disc(dl, 0.9) AS BIGINT) AS q90,
+                   CAST(quantile_disc(dl, 0.99) AS BIGINT) AS q99
+            FROM dl
+        """,
+        # grouped quantile sketch, exact regime == per-key quantile_disc
+        "event_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5)  AS q_0_5,
+                   quantile_disc(value, 0.95) AS q_0_95
+            FROM events GROUP BY event_type
+        """,
+        # Bloom-pruned semi-join == plain IN semi-join (no false
+        # negatives; false positives drop in the distinct-key join)
+        "bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 180000.0)
         """,
         # composed prep: clean gate + exact dedup keep-first + packing
         "prepare_corpus": f"""

@@ -131,6 +131,14 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     Scale shape: one map emits a 2^p-byte register blob per BATCH; the
     driver merges blobs by elementwise max — O(partials x 2^p) bytes,
     never a row.  No shuffle, no distinct groupby."""
+    return _hll_estimate(hll_registers(ds, col, p))
+
+
+def hll_registers(ds: rd.Dataset, col: str, p: int = 14) -> np.ndarray:
+    """The mergeable state behind ``hll_distinct``: the max-merged
+    uint8[2^p] register array.  Two register arrays merge by elementwise
+    max, so per-partition sketches can be persisted and unioned later
+    (the delta-index pattern) without touching rows again."""
     if not 12 <= p <= 18:
         raise ValueError("p must be in [12, 18]")
     m = 1 << p
@@ -140,7 +148,11 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     reg = np.zeros(m, np.uint8)
     for row in parts:
         reg = np.maximum(reg, np.frombuffer(row["reg"], np.uint8))
+    return reg
 
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    m = len(reg)
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
     zeros = int(np.count_nonzero(reg == 0))
@@ -149,3 +161,240 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     elif est > (1 << 64) / 30.0:
         est = -(2.0 ** 64) * np.log1p(-est / 2.0 ** 64)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (MRL-style weighted equi-depth compaction)
+
+
+def _compact_weighted(v: np.ndarray, w: np.ndarray,
+                      capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compact a weighted value multiset to <= capacity points.
+
+    Sort by value; if the point count fits, pass through (the EXACT
+    regime).  Else pick the values at ``capacity`` equally spaced
+    cumulative-weight midpoints, each carrying weight W/capacity — one
+    compaction adds <= W/capacity rank error (Munro–Paterson / MRL
+    equi-depth step).  Deterministic: no randomization."""
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if len(v) <= capacity:
+        return v, w
+    W = float(w.sum())
+    cum = np.cumsum(w)
+    targets = (np.arange(capacity) + 0.5) * (W / capacity)
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx], np.full(capacity, W / capacity)
+
+
+def _quantile_partial(col: str, capacity: int):
+    def _p(batch: pa.Table) -> pa.Table:
+        x = batch[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        v, w = _compact_weighted(x, np.ones(len(x)), capacity)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+    return _p
+
+
+def _quantile_combine(capacity: int):
+    def _c(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        v, w = _compact_weighted(v, w, capacity)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+    return _c
+
+
+def quantile_sketch(ds: rd.Dataset, col: str, qs: list[float],
+                    capacity: int = 4096,
+                    combine_blocks: int = 8) -> list[float]:
+    """Approximate quantiles of ``ds[col]`` WITHOUT a value shuffle —
+    the scale path for A9's k-th order statistic (the reference's
+    external ``CKthOrderStat``, /root/reference/MapReduce.h:15-300,
+    recurses over the full value file; ``kth_percentile`` shuffles per
+    distinct value).
+
+    Shape: per-batch sorted compaction to ``capacity`` weighted points,
+    a tree combine over ``combine_blocks`` blocks, one final combine —
+    exchange volume O(blocks x capacity) rows, independent of input
+    size.  Each compaction of total weight W adds <= W/capacity rank
+    error, so the end-to-end rank error is <= (levels)/capacity of N.
+    With ``capacity`` >= the input size nothing is ever compacted and
+    the result is EXACT quantile_disc semantics (the oracle-checked
+    regime); determinism holds in both regimes.
+
+    Returns the discrete quantile values (elements of the input) at each
+    q in ``qs``: the first point whose cumulative weight reaches ceil(q*W)
+    (float regime: >= q*W)."""
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    parts = ds.map_batches(_quantile_partial(col, capacity),
+                           batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+    merged = (parts.repartition(combine_blocks)
+              .map_batches(_quantile_combine(capacity),
+                           batch_format="pyarrow", batch_size=None)
+              .repartition(1)
+              .map_batches(_quantile_combine(capacity),
+                           batch_format="pyarrow", batch_size=None)
+              .to_pandas())
+    v = merged["v"].to_numpy()
+    w = merged["w"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if len(v) == 0:
+        raise ValueError("quantile_sketch over an empty/all-null column")
+    cum = np.cumsum(w)
+    W = float(cum[-1])
+    out = []
+    for q in qs:
+        # integer weights (exact regime): quantile_disc rank ceil(q*n);
+        # fractional weights: the first point covering rank q*W
+        target = np.ceil(q * W - 1e-9) if np.allclose(w, np.round(w)) \
+            else q * W
+        out.append(float(v[min(int(np.searchsorted(cum, target - 1e-9)),
+                               len(v) - 1)]))
+    return out
+
+
+def grouped_quantiles(ds: rd.Dataset, key: str, col: str, qs: list[float],
+                      capacity: int = 4096) -> rd.Dataset:
+    """Per-key quantiles via per-batch sketch partials merged in ONE
+    groupby — the grouped form of A9 (the reference computes its
+    occurrence threshold globally; per-division thresholds would rerun
+    CKthOrderStat per division).
+
+    Scale shape: each batch contributes <= capacity weighted points PER
+    KEY PRESENT (not per key-universe), so the exchange is
+    O(blocks x keys-per-block x capacity) — independent of the row
+    count under each key.  Exact (quantile_disc parity) whenever no
+    per-batch per-key group exceeds ``capacity``; same deterministic
+    error bound as ``quantile_sketch`` otherwise.
+
+    Returns one row per key: (key, q_<pct> ... ) float64 columns."""
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = batch[key].to_pandas()
+        x = batch[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ks, vs, ws = [], [], []
+        for kv, idx in pd.Series(np.arange(len(k))).groupby(k.to_numpy()):
+            xi = x[idx.to_numpy()]
+            xi = xi[~np.isnan(xi)]
+            v, w = _compact_weighted(xi, np.ones(len(xi)), capacity)
+            ks.append(np.full(len(v), kv, dtype=object))
+            vs.append(v)
+            ws.append(w)
+        if not ks:
+            return pa.table({key: batch[key].slice(0, 0),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        return pa.table({
+            key: pa.array(np.concatenate(ks), batch[key].type),
+            "v": pa.array(np.concatenate(vs), pa.float64()),
+            "w": pa.array(np.concatenate(ws), pa.float64()),
+        })
+
+    def _finish(g: pa.Table) -> pa.Table:
+        v = g["v"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cols = {key: g[key].slice(0, 1)}
+        if len(v) == 0:              # key whose values were all null
+            for name in qcols:
+                cols[name] = pa.array([None], pa.float64())
+            return pa.table(cols)
+        cum = np.cumsum(w)
+        W = float(cum[-1])
+        exact_w = bool(np.allclose(w, np.round(w)))
+        for q, name in zip(qs, qcols):
+            target = np.ceil(q * W - 1e-9) if exact_w else q * W
+            i = min(int(np.searchsorted(cum, target - 1e-9)), len(v) - 1)
+            cols[name] = pa.array([float(v[i])], pa.float64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    return parts.groupby(key).map_groups(_finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable bitset) + semi-join pre-filter
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix)."""
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, num_hashes) bit positions via double hashing h1 + i*h2."""
+    import pandas as pd
+    h1 = pd.util.hash_pandas_object(
+        pd.Series(keys), index=False).to_numpy().astype(np.uint64)
+    h2 = _splitmix64(h1) | np.uint64(1)      # odd => full-period stride
+    i = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(num_bits)).astype(np.int64)
+
+
+def bloom_build(ds: rd.Dataset, col: str, num_bits: int = 1 << 23,
+                num_hashes: int = 7) -> np.ndarray:
+    """Build a Bloom-filter bitset over ``ds[col]`` (packed uint8 array,
+    num_bits/8 bytes).  Per-batch partial bitsets are OR-merged on the
+    driver — O(partials x num_bits/8) bytes, no shuffle.  ~10 bits +
+    7 hashes per expected key gives <1% false positives."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits // 8, np.uint8)
+        if batch.num_rows:
+            pos = _bloom_positions(batch[col].to_pandas(), num_bits,
+                                   num_hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(1, pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True).take_all()
+    bits = np.zeros(num_bits // 8, np.uint8)
+    for row in parts:
+        bits |= np.frombuffer(row["bits"], np.uint8)
+    return bits
+
+
+def bloom_filter_batches(ds: rd.Dataset, col: str, bits: np.ndarray,
+                         num_hashes: int = 7) -> rd.Dataset:
+    """Keep only rows whose ``col`` MAY be in the Bloom bitset (false
+    positives possible, false negatives never).  The bitset ships once
+    via ``ray.put`` and every task reads the same object-store copy."""
+    import ray
+    num_bits = len(bits) * 8
+    ref = ray.put(bits)
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        b = ray.get(ref)
+        pos = _bloom_positions(batch[col].to_pandas(), num_bits, num_hashes)
+        hit = (b[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)) != 0
+        return batch.filter(pa.array(hit.all(axis=1)))
+
+    return ds.map_batches(_filt, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)

@@ -8,7 +8,10 @@ import pyarrow as pa
 import ray.data as rd
 
 from hadoopsearchengine_ray.functions.sketch import (
+    bloom_build,
+    bloom_filter_batches,
     hll_distinct,
+    quantile_sketch,
     term_heavy_hitters,
 )
 from hadoopsearchengine_ray.tokenizer import tokenize_py
@@ -73,3 +76,83 @@ def test_hll_distinct_small_cardinality():
         [f"x{i % 37}" for i in range(2000)], pa.string())}))
     est = hll_distinct(ds, "v", p=12)
     assert abs(est / 37 - 1) < 0.05
+
+
+def _val_ds(vals, parts=4):
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    return ds.repartition(parts)
+
+
+def test_quantile_sketch_exact_regime_matches_quantile_disc():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=3000).astype(float)
+    qs = [0.1, 0.5, 0.95, 1.0]
+    got = quantile_sketch(_val_ds(list(vals), parts=7), "x", qs,
+                          capacity=100_000)
+    s = np.sort(vals)
+    exp = [s[max(0, int(np.ceil(q * len(s))) - 1)] for q in qs]
+    assert got == exp
+
+
+def test_quantile_sketch_truncated_rank_error_bounded():
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=20_000)
+    got = quantile_sketch(_val_ds(list(vals), parts=16), "x",
+                          [0.25, 0.5, 0.9], capacity=512)
+    s = np.sort(vals)
+    for q, v in zip([0.25, 0.5, 0.9], got):
+        rank = np.searchsorted(s, v, side="right") / len(s)
+        assert abs(rank - q) < 0.03, (q, v, rank)
+    # determinism
+    assert quantile_sketch(_val_ds(list(vals), parts=16), "x",
+                           [0.25, 0.5, 0.9], capacity=512) == got
+
+
+def test_grouped_quantiles_exact_regime():
+    from hadoopsearchengine_ray.functions.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    keys = rng.choice(["a", "b", "c"], size=5000)
+    vals = rng.integers(0, 200, size=5000).astype(float)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "x": pa.array(vals, pa.float64()),
+    })).repartition(6)
+    out = (grouped_quantiles(ds, "k", "x", [0.5, 0.9], capacity=100_000)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for i, kv in enumerate(["a", "b", "c"]):
+        s = np.sort(vals[keys == kv])
+        for q, col in [(0.5, "q_0_5"), (0.9, "q_0_9")]:
+            exp = s[max(0, int(np.ceil(q * len(s))) - 1)]
+            assert out.loc[i, col] == exp, (kv, q)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    keys = rd.from_arrow(pa.table({"k": pa.array(
+        [i * 3 for i in range(5000)], pa.int64())}))
+    bits = bloom_build(keys, "k", num_bits=1 << 17)
+    probe = rd.from_arrow(pa.table({"k": pa.array(
+        list(range(30000)), pa.int64())})).repartition(4)
+    kept = bloom_filter_batches(probe, "k", bits).to_pandas()["k"].to_numpy()
+    member = set(i * 3 for i in range(5000))
+    assert member <= set(kept.tolist())          # no false negatives
+    fp = len(set(kept.tolist()) - member) / (30000 - len(member))
+    assert fp < 0.02, fp
+
+
+def test_bloom_semi_join_matches_plain_semi_join():
+    from hadoopsearchengine_ray.pipelines.relational import bloom_semi_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([i % 100 for i in range(4000)], pa.int64()),
+        "v": pa.array(range(4000), pa.int64()),
+    })).repartition(5)
+    keys = rd.from_arrow(pa.table({
+        # duplicates + a null: distinct-fold and SQL IN semantics
+        "k": pa.array([1, 2, 2, 3, 50, 50, 99, None], pa.int64()),
+    }))
+    out = bloom_semi_join(big, keys, on="k", num_bits=1 << 13).to_pandas()
+    exp = {1, 2, 3, 50, 99}
+    assert set(out["k"]) == exp
+    assert len(out) == 4000 // 100 * len(exp)
+    assert sorted(out.columns) == ["k", "v"]
