@@ -573,6 +573,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(ev, "event_type", "value",
                                  [0.5, 0.95], capacity=1 << 21)
 
+    def q_anti_join(sf):
+        # customers with no orders: co-partitioned set difference, the
+        # ExternalHashMap anti side — neither input broadcast
+        from hadoopsearchengine_ray.pipelines.relational import anti_join
+
+        import pyarrow.compute as pc
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+        okeys = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table({"c_custkey": b.filter(
+                pc.greater(b["o_totalprice"], 250000.0))["o_custkey"]}),
+            batch_format="pyarrow", batch_size=None)
+        return anti_join(cust, okeys, on="c_custkey")
+
     def q_bloom_semi_join(sf):
         # Bloom-pruned semi-join: orders keys fold to an OR-merged bitset
         # broadcast once; lineitem rows that cannot match never enter the
@@ -1489,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "event_value_quantiles": q_event_value_quantiles,
         "bloom_semi_join": q_bloom_semi_join,
+        "anti_join": q_anti_join,
         "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
@@ -2007,6 +2025,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5)  AS q_0_5,
                    quantile_disc(value, 0.95) AS q_0_95
             FROM events GROUP BY event_type
+        """,
+        # co-partitioned anti-join == NOT EXISTS (customers with no
+        # high-value order)
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 250000.0)
         """,
         # Bloom-pruned semi-join == plain IN semi-join (no false
         # negatives; false positives drop in the distinct-key join)

@@ -409,6 +409,38 @@ def run_bench() -> dict:
     pagerank(links, n_docs)
     timings["pagerank_20c"] = round(time.perf_counter() - t0, 3)
 
+    # mergeable sketches + bloom semi-join (round 3) over the sf tables
+    from hadoopsearchengine_ray.functions import sketch as _sk
+
+    t0 = time.perf_counter()
+    _sk.term_heavy_hitters(f"{sf_dir}/documents.parquet", k=30,
+                           capacity=1 << 17).count()
+    timings["heavy_hitters"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _sk.quantile_sketch(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_extendedprice"]),
+        "l_extendedprice", [0.5, 0.95, 0.99], capacity=4096)
+    timings["quantile_sketch"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id"])
+    _sk.hll_distinct(_ev, "user_id", p=14)
+    timings["hll_distinct"] = round(time.perf_counter() - t0, 3)
+
+    _keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(lambda b: pa.table({"l_orderkey": b.filter(
+            pc.greater(b["o_totalprice"], 180000.0))["o_orderkey"]}),
+            batch_format="pyarrow", batch_size=None)
+    _big = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+    t0 = time.perf_counter()
+    rel.bloom_semi_join(_big, _keys, on="l_orderkey").count()
+    timings["bloom_semi_join"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "index-build sec (synthetic source-code corpus) "
                   "+ BM25 p50/p99 + aux pipelines",

@@ -250,6 +250,57 @@ def join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     return hash_join(left, right, on, how=how, num_buckets=num_buckets)
 
 
+def anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              num_buckets: int = 64) -> rd.Dataset:
+    """Rows of ``left`` with NO match in ``right[on]`` (SQL NOT EXISTS:
+    a NULL left key never matches, so it is KEPT; right NULL keys are
+    ignored).  The set-difference side of the ExternalHashMap primitive
+    (/root/reference/ProcessSet.h:831-860) — the reference's
+    "non-spidered URL" path (IndexLogFile.h:70-102) is this shape.
+
+    Scale shape: both sides tagged and co-partitioned by key hash in ONE
+    shuffle (the ``hash_join`` pattern); each bucket is a vectorized
+    ``isin`` mask.  Neither side is broadcast or driver-materialized."""
+    import pyarrow.compute as _pc
+
+    lschema = _as_arrow_schema(left.schema())
+    lcols = list(lschema.names)
+    ltypes = {f.name: f.type for f in lschema}
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = pa.table({on: batch[on].cast(ltypes[on])})
+                batch = batch.filter(_pc.is_valid(batch[on]))
+            n = batch.num_rows
+            cols = {c: (batch[c] if c in batch.column_names
+                        else pa.nulls(n, ltypes[c])) for c in lcols}
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            h = pd.util.hash_pandas_object(
+                batch.select([on]).to_pandas(), index=False).to_numpy()
+            cols["__bucket"] = pa.array((h % num_buckets).astype(np.int64))
+            return pa.table(cols)
+        return _t
+
+    lt = left.map_batches(_tag(0), batch_format="pyarrow", batch_size=None)
+    rt = right.select_columns([on]).map_batches(
+        _tag(1), batch_format="pyarrow", batch_size=None)
+
+    def _anti(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return pa.table({c: pa.array([], ltypes[c]) for c in lcols})
+        side = g["__side"]
+        lg = g.filter(_pc.equal(side, 0)).select(lcols)
+        seen = g.filter(_pc.equal(side, 1))[on].to_pandas()
+        keys = lg[on].to_pandas()
+        keep = ~keys.isin(seen).to_numpy() | keys.isna().to_numpy()
+        return lg.filter(pa.array(keep))
+
+    return (_coalesce_for_buckets(lt.union(rt), num_buckets)
+            .groupby("__bucket")
+            .map_groups(_anti, batch_format="pyarrow"))
+
+
 def bloom_semi_join(big: rd.Dataset, keys: rd.Dataset, on: str,
                     num_bits: int = 1 << 23, num_hashes: int = 7,
                     num_buckets: int = 64) -> rd.Dataset:

@@ -199,6 +199,20 @@ def test_joins_null_key_sql_semantics():
     assert lj[lj.a == 30]["b"].isna().all()
 
 
+def test_anti_join_not_exists_semantics():
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, None], pa.int64()),
+        "a": pa.array([10, 20, 30, 40], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2, None, 9], pa.int64()),
+    }))
+    out = rel.anti_join(left, right, on="k", num_buckets=4).to_pandas()
+    # NOT EXISTS: null left key KEPT (never matches); right nulls ignored
+    assert set(out["a"]) == {10, 30, 40}
+    assert sorted(out.columns) == ["a", "k"]
+
+
 def test_range_join_null_rows_dropped():
     base = np.datetime64("2024-01-01", "us")
     m = np.timedelta64(60_000_000, "us")
