@@ -573,6 +573,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(ev, "event_type", "value",
                                  [0.5, 0.95], capacity=1 << 21)
 
+    def q_running_revenue(sf):
+        # per-key window cumsum (SUM OVER PARTITION BY ... ROWS
+        # UNBOUNDED PRECEDING): hash-bucketed, one lexsort + segmented
+        # cumsum per bucket.  Integer cents => exact vs the SQL window
+        import pyarrow.compute as pc
+
+        from hadoopsearchengine_ray.pipelines.relational import (
+            cumsum_per_key,
+        )
+
+        od = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"]).map_batches(
+            lambda b: b.append_column(
+                "cents", pc.round(pc.multiply(b["o_totalprice"], 100.0))
+                .cast(pa.int64())).drop_columns(["o_totalprice"]),
+            batch_format="pyarrow", batch_size=None)
+        out = cumsum_per_key(od, key="o_custkey",
+                             order_cols=["o_orderdate", "o_orderkey"],
+                             value_col="cents", alias="running_cents")
+        return out.select_columns(["o_orderkey", "o_custkey",
+                                   "running_cents"])
+
+    def q_rollup_revenue(sf):
+        # GROUP BY ROLLUP: finest groupby once (the only input-scale
+        # shuffle), coarser levels re-aggregated from the tiny finest
+        # result, typed-null padding unioned
+        import pyarrow.compute as pc
+
+        from hadoopsearchengine_ray.pipelines.relational import (
+            rollup_aggregate,
+        )
+
+        li = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus",
+                     "l_extendedprice"]).map_batches(
+            lambda b: pa.table({
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "cents": pc.round(pc.multiply(b["l_extendedprice"], 100.0))
+                .cast(pa.int64()),
+            }), batch_format="pyarrow", batch_size=None)
+        return rollup_aggregate(li, ["l_returnflag", "l_linestatus"],
+                                "cents", alias="total_cents")
+
+    def q_user_distinct_etypes(sf):
+        # exact per-key distinct count (two-level groupby, returned and
+        # SQL-checked) + per-key HLL register merge self-checked against
+        # it — the sketch is the 100-TB path when per-key values are
+        # high-cardinality
+        from ray.data.aggregate import Count
+
+        from hadoopsearchengine_ray.functions.sketch import (
+            hll_distinct_per_key,
+        )
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type"])
+        exact = (ev.groupby(["user_id", "event_type"])
+                 .aggregate(Count(alias_name="__c"))
+                 .groupby("user_id").aggregate(Count(alias_name="n_distinct"))
+                 .to_pandas())
+        est = hll_distinct_per_key(ev, "user_id", "event_type",
+                                   p=12).to_pandas()
+        m = exact.merge(est, on="user_id")
+        err = np.abs(m["n_distinct_est"] - m["n_distinct"])
+        if not bool(((err <= 1) | (err / m["n_distinct"] < 0.05)).all()):
+            raise AssertionError(
+                f"per-key HLL off: max abs err {float(err.max()):.2f}")
+        exact["n_distinct"] = exact["n_distinct"].astype("int64")
+        return exact
+
     def q_anti_join(sf):
         # customers with no orders: co-partitioned set difference, the
         # ExternalHashMap anti side — neither input broadcast
@@ -1507,6 +1581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": q_event_value_quantiles,
         "bloom_semi_join": q_bloom_semi_join,
         "anti_join": q_anti_join,
+        "running_revenue": q_running_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "user_distinct_etypes": q_user_distinct_etypes,
         "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
@@ -2025,6 +2102,30 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5)  AS q_0_5,
                    quantile_disc(value, 0.95) AS q_0_95
             FROM events GROUP BY event_type
+        """,
+        # per-key window cumsum in integer cents == SUM OVER window
+        "running_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM orders
+        """,
+        # rollup: finest + coarser levels + grand total, typed nulls
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # exact per-key distinct count (the per-key HLL merge is
+        # self-checked inside the query)
+        "user_distinct_etypes": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+            FROM events GROUP BY user_id
         """,
         # co-partitioned anti-join == NOT EXISTS (customers with no
         # high-value order)

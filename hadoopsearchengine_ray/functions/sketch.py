@@ -263,6 +263,53 @@ def quantile_sketch(ds: rd.Dataset, col: str, qs: list[float],
     return out
 
 
+def hll_distinct_per_key(ds: rd.Dataset, key: str, col: str,
+                         p: int = 12) -> rd.Dataset:
+    """Approximate distinct ``col`` count PER ``key`` — per-batch
+    per-key register blobs, ONE groupby whose groups max-merge blobs.
+    The exchange is O(batches x keys-per-batch x 2^p) bytes, independent
+    of the per-key row count (the exact path shuffles every distinct
+    (key, value) pair).  Returns (key, n_distinct_est: float64)."""
+    if not 8 <= p <= 16:
+        raise ValueError("p must be in [8, 16] for the per-key form")
+    m = 1 << p
+    bits = 64 - p
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = batch[key].to_pandas().to_numpy()
+        h = pd.util.hash_pandas_object(
+            batch[col].to_pandas(), index=False).to_numpy().astype(np.uint64)
+        idx = (h >> np.uint64(bits)).astype(np.int64)
+        v = h & np.uint64((1 << bits) - 1)
+        rho = np.where(v > 0,
+                       bits - np.floor(np.log2(
+                           np.maximum(v, 1).astype(np.float64))).astype(np.int64),
+                       bits + 1).astype(np.uint8)
+        ks, blobs = [], []
+        for kv, gidx in pd.Series(np.arange(len(k))).groupby(k):
+            gi = gidx.to_numpy()
+            reg = np.zeros(m, np.uint8)
+            np.maximum.at(reg, idx[gi], rho[gi])
+            ks.append(kv)
+            blobs.append(reg.tobytes())
+        return pa.table({key: pa.array(ks, batch[key].type),
+                         "reg": pa.array(blobs, pa.binary())})
+
+    def _merge(g: pa.Table) -> pa.Table:
+        reg = np.zeros(m, np.uint8)
+        for blob in g["reg"].to_pylist():
+            reg = np.maximum(reg, np.frombuffer(blob, np.uint8))
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "n_distinct_est": pa.array([_hll_estimate(reg)], pa.float64()),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    return parts.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds: rd.Dataset, key: str, col: str, qs: list[float],
                       capacity: int = 4096) -> rd.Dataset:
     """Per-key quantiles via per-batch sketch partials merged in ONE

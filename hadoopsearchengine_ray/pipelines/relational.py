@@ -250,6 +250,100 @@ def join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     return hash_join(left, right, on, how=how, num_buckets=num_buckets)
 
 
+def cumsum_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
+                   value_col: str, alias: str = "running_total",
+                   num_buckets: int = 32) -> rd.Dataset:
+    """Running per-key sum — SQL ``SUM(v) OVER (PARTITION BY key ORDER
+    BY order_cols ROWS UNBOUNDED PRECEDING)``.  Ray Data has no window
+    functions; this is the bucket composition: hash-bucket the key (all
+    of a key's rows meet in one task, num_buckets groups — the
+    sessionize discipline), then per bucket ONE lexsort + segmented
+    cumsum (cumsum minus each segment's starting offset), no per-key
+    loop.  Callers needing exact float parity should pre-scale to
+    integers (the driver query uses cents)."""
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.select([key]).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def _cumsum(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        df = g.to_pandas()
+        df = df.sort_values([key] + order_cols, kind="stable") \
+               .reset_index(drop=True)
+        v = df[value_col].to_numpy()
+        if len(v) == 0:
+            df[alias] = v
+            return df
+        k = df[key].to_numpy()
+        cum = np.cumsum(v)
+        # subtract the cumulative total just before each key's segment
+        # (segment-id indexing — valid for negative values too, unlike
+        # a maximum.accumulate of the offsets)
+        new_seg = np.r_[True, k[1:] != k[:-1]]
+        seg = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        seg_offset = np.zeros(len(starts), dtype=cum.dtype)
+        seg_offset[1:] = cum[starts[1:] - 1]
+        df[alias] = cum - seg_offset[seg]
+        return df
+
+    return (_coalesce_for_buckets(
+                ds.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None), num_buckets)
+            .groupby("__bucket")
+            .map_groups(_cumsum, batch_format="pyarrow"))
+
+
+def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
+                     alias: str = "total") -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys)``: one sum per prefix granularity
+    (full keys, each shorter prefix, grand total), finer-level nulls in
+    the rolled-up key columns.  Each level is its own small groupby over
+    the SAME input — Ray caches nothing across them, but every level
+    after the first could also be derived from the finest aggregate;
+    since the finest result is dictionary-cardinality (tiny next to the
+    input), this derives coarser levels from it map-side: ONE
+    input-scale shuffle total."""
+    from ray.data.aggregate import Sum
+
+    finest = (ds.groupby(keys)
+              .aggregate(Sum(value_col, alias_name=alias))).materialize()
+    fsch = _as_arrow_schema(finest.schema())
+    ktypes = {c: fsch.field(c).type for c in keys}
+    vtype = fsch.field(alias).type
+
+    def _pad(b: pa.Table) -> pa.Table:
+        return pa.table({
+            **{c: (b[c] if c in b.column_names
+                   else pa.nulls(b.num_rows, ktypes[c])) for c in keys},
+            alias: b[alias].cast(vtype),
+        })
+
+    levels = [finest.map_batches(_pad, batch_format="pyarrow",
+                                 batch_size=None)]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            lvl = (finest.select_columns(kept + [alias])
+                   .groupby(kept).aggregate(Sum(alias, alias_name=alias))
+                   .map_batches(_pad, batch_format="pyarrow",
+                                batch_size=None))
+        else:
+            tot = finest.to_pandas()[alias].sum()
+            lvl = rd.from_arrow(pa.table({
+                **{c: pa.nulls(1, ktypes[c]) for c in keys},
+                alias: pa.array([tot]).cast(vtype),
+            }))
+        levels.append(lvl)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
               num_buckets: int = 64) -> rd.Dataset:
     """Rows of ``left`` with NO match in ``right[on]`` (SQL NOT EXISTS:

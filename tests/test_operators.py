@@ -213,6 +213,61 @@ def test_anti_join_not_exists_semantics():
     assert sorted(out.columns) == ["a", "k"]
 
 
+def test_cumsum_per_key_matches_window_sum():
+    rng = np.random.default_rng(13)
+    n = 3000
+    keys = rng.integers(0, 40, size=n)
+    # negative values too: the segment-offset subtraction must not
+    # assume a monotone running total
+    vals = rng.integers(-50, 100, size=n)
+    order = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })).repartition(5)
+    out = rel.cumsum_per_key(ds, key="k", order_cols=["o"], value_col="v",
+                             alias="rt").to_pandas()
+    import pandas as pd
+    df = pd.DataFrame({"k": keys, "o": order, "v": vals})
+    df["rt"] = df.sort_values(["k", "o"]).groupby("k")["v"].cumsum()
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    got = out.sort_values(["k", "o"]).reset_index(drop=True)[exp.columns]
+    assert got.equals(exp)
+
+
+def test_rollup_aggregate_levels():
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "x", "y", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p", "p"], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    out = rel.rollup_aggregate(ds, ["a", "b"], "v", alias="t").to_pandas()
+    rows = {(r.a, r.b): r.t for r in out.itertuples()}
+    assert rows == {("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 7,
+                    ("x", None): 3, ("y", None): 7, (None, None): 10}
+
+
+def test_hll_distinct_per_key():
+    from hadoopsearchengine_ray.functions.sketch import hll_distinct_per_key
+
+    rng = np.random.default_rng(3)
+    keys, vals = [], []
+    for k, card in [("a", 5), ("b", 700), ("c", 1)]:
+        draws = rng.integers(0, card, size=4000)
+        keys += [k] * len(draws)
+        vals += [f"{k}-{d}" for d in draws]
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.string()),
+        "v": pa.array(vals, pa.string()),
+    })).repartition(6)
+    out = hll_distinct_per_key(ds, "k", "v", p=12).to_pandas() \
+        .set_index("k")["n_distinct_est"]
+    for k, card in [("a", 5), ("b", 700), ("c", 1)]:
+        true = len({v for kk, v in zip(keys, vals) if kk == k})
+        assert abs(out[k] / true - 1) < 0.05, (k, out[k], true, card)
+
+
 def test_range_join_null_rows_dropped():
     base = np.datetime64("2024-01-01", "us")
     m = np.timedelta64(60_000_000, "us")
