@@ -301,6 +301,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_bm25_not(sf):
+        # NOT semantics (the reference's EXCLUDE word type, per-query):
+        # docs containing any excluded term leave the candidate set;
+        # idf/avgdl stay corpus-global
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_excluding(BM25_TERMS, 10, not_terms=["table"])
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_bm25_filtered(sf):
         # metadata-filtered search (filter context): candidates narrowed
         # to lang='en' docs, idf/avgdl stay corpus-global
@@ -1563,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete": q_bm25_delete,
         "bm25_compacted_topk": q_bm25_compacted,
         "bm25_conjunctive_topk": q_bm25_conjunctive,
+        "bm25_not_topk": q_bm25_not,
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
         "incremental_dedup": q_incremental_dedup,
@@ -1841,6 +1856,37 @@ def oracle_sql() -> dict[str, str]:
               JOIN cand USING (doc_id)
               JOIN df USING (term)
               JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # NOT semantics: global BM25 CTE, docs containing the excluded
+        # term dropped via NOT EXISTS (idf/avgdl stay corpus-global)
+        "bm25_not_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              WHERE NOT EXISTS (SELECT 1 FROM tf x
+                                WHERE x.doc_id = tf.doc_id
+                                  AND x.term = 'table')
               GROUP BY tf.doc_id
             )
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,

@@ -658,6 +658,53 @@ class BM25Scorer:
         self._finish(docs)
         return _topk_from_scores(docs, scores[docs], k)
 
+    def score_excluding(self, terms: list[str], k: int,
+                        not_terms: list[str]):
+        """BM25 with NOT semantics: docs containing ANY ``not_terms``
+        are excluded from the candidate set — the reference's EXCLUDE
+        word-type routing (SWordHit EXCLUDE bit, FileStorage.h:31-45;
+        exclude-listed terms are dropped from indexing at
+        Webpage.h:334-346; here exclusion is per-query instead).
+        Scoring stats stay global (idf/avgdl unchanged), matching the
+        SQL oracle's NOT EXISTS at the final select."""
+        r = self.rd
+        ex_parts = []
+        for t in sorted(set(not_terms)):
+            ent = r.lookup(t)
+            if ent:
+                d, _ = r.decoded_postings(t)
+                ex_parts.append(d.astype(np.int64))
+        if not ex_parts:
+            return self.score_exact(terms, k)
+        excluded = np.unique(np.concatenate(ex_parts))
+
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
+        for t in sorted(set(terms)):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = r.idf(df)
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            # drop excluded docs BEFORE accumulation (sorted membership)
+            idx = np.searchsorted(excluded, d)
+            idx[idx == len(excluded)] = 0
+            keep = excluded[idx] != d
+            d, tf = d[keep], tfs[keep].astype(np.float64)
+            if len(d) == 0:
+                continue
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
+        return _topk_from_scores(docs, scores[docs], k)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, terms, k in zip(

@@ -99,6 +99,28 @@ def test_filtered_matches_bruteforce(t1_index_dir, t1_oracle):
     assert len(d) == 0
 
 
+def test_excluding_matches_bruteforce(t1_index_dir, t1_oracle):
+    """NOT semantics: docs containing any excluded term drop from the
+    candidate set; survivors keep their GLOBAL-stats BM25 scores."""
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    not_terms = ["return"]
+    banned = set(d for d, _ in idx.postings.get("return", ()))
+    for q in oracle.make_queries(idx, 60):
+        terms = q["terms"]
+        full = {d: s for d, s in idx.bm25_topk(terms, idx.N)}
+        exp = sorted(((d, s) for d, s in full.items() if d not in banned),
+                     key=lambda kv: (-kv[1], kv[0]))[:10]
+        d, s = sc.score_excluding(terms, 10, not_terms)
+        assert [int(x) for x in d] == [x for x, _ in exp], terms
+        assert np.allclose(s, [v for _, v in exp])
+    # unknown NOT term -> identical to plain exact scoring
+    for q in oracle.make_queries(idx, 10):
+        d1, s1 = sc.score_excluding(q["terms"], 10, ["zzzznotaterm"])
+        d2, s2 = sc.score_exact(q["terms"], 10)
+        assert list(d1) == list(d2) and np.allclose(s1, s2)
+
+
 def test_prefix_query_matches_bruteforce(t1_index_dir, t1_oracle):
     """Wildcard expansion = all dictionary terms with the prefix;
     scores = disjunctive BM25 over the union (per-term idf)."""
