@@ -611,6 +611,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["o_orderkey", "o_custkey",
                                    "running_cents"])
 
+    def q_prev_event_value(sf):
+        # LAG window: previous event's value (cents) per user, first
+        # event coalesced to -1 so the compare stays integer-exact
+        import pyarrow.compute as pc
+
+        from hadoopsearchengine_ray.pipelines.relational import lag_per_key
+
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"]).map_batches(
+            lambda b: b.append_column(
+                "cents", pc.round(pc.multiply(b["value"], 100.0))
+                .cast(pa.int64())).drop_columns(["value"]),
+            batch_format="pyarrow", batch_size=None)
+        out = lag_per_key(ev, key="user_id", order_cols=["ts", "event_id"],
+                          value_col="cents", alias="prev_cents").to_pandas()
+        out["prev_cents"] = out["prev_cents"].fillna(-1).astype("int64")
+        return out[["event_id", "user_id", "prev_cents"]]
+
     def q_rollup_revenue(sf):
         # GROUP BY ROLLUP: finest groupby once (the only input-scale
         # shuffle), coarser levels re-aggregated from the tiny finest
@@ -1597,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "anti_join": q_anti_join,
         "running_revenue": q_running_revenue,
+        "prev_event_value": q_prev_event_value,
         "rollup_revenue": q_rollup_revenue,
         "user_distinct_etypes": q_user_distinct_etypes,
         "mmr_topk": q_mmr,
@@ -2157,6 +2177,15 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM orders
+        """,
+        # LAG window in integer cents, first-row null coalesced to -1
+        "prev_event_value": """
+            SELECT event_id, user_id,
+                   CAST(COALESCE(
+                     LAG(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                     -1) AS BIGINT) AS prev_cents
+            FROM events
         """,
         # rollup: finest + coarser levels + grand total, typed nulls
         "rollup_revenue": """

@@ -296,6 +296,45 @@ def cumsum_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
             .map_groups(_cumsum, batch_format="pyarrow"))
 
 
+def lag_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
+                value_col: str, offset: int = 1, alias: str = "lagged",
+                num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``LAG(value, offset) OVER (PARTITION BY key ORDER BY ...)``
+    (negative ``offset`` = LEAD).  Same bucket composition as
+    ``cumsum_per_key``: one lexsort per bucket, then a vectorized
+    segment-safe shift — rows whose lag crosses a key boundary get
+    null."""
+    if offset == 0:
+        raise ValueError("offset must be nonzero (0 is the value itself)")
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.select([key]).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def _lag(g: pa.Table) -> pd.DataFrame:
+        df = g.drop_columns(["__bucket"]).to_pandas()
+        df = df.sort_values([key] + order_cols, kind="stable") \
+               .reset_index(drop=True)
+        if len(df) == 0:
+            df[alias] = df[value_col]
+            return df
+        k = df[key].to_numpy()
+        shifted = df[value_col].shift(offset)
+        # null out values pulled across a key boundary
+        ksh = pd.Series(k).shift(offset).to_numpy()
+        shifted[~(ksh == k)] = None
+        df[alias] = shifted
+        return df
+
+    return (_coalesce_for_buckets(
+                ds.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None), num_buckets)
+            .groupby("__bucket")
+            .map_groups(_lag, batch_format="pyarrow"))
+
+
 def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
                      alias: str = "total") -> rd.Dataset:
     """SQL ``GROUP BY ROLLUP(keys)``: one sum per prefix granularity

@@ -236,6 +236,28 @@ def test_cumsum_per_key_matches_window_sum():
     assert got.equals(exp)
 
 
+def test_lag_per_key_matches_window_lag():
+    rng = np.random.default_rng(17)
+    n = 2000
+    keys = rng.integers(0, 30, size=n)
+    vals = rng.integers(0, 1000, size=n)
+    order = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })).repartition(4)
+    import pandas as pd
+    for off in (1, -1, 2):
+        out = rel.lag_per_key(ds, key="k", order_cols=["o"], value_col="v",
+                              offset=off, alias="lg").to_pandas()
+        df = pd.DataFrame({"k": keys, "o": order, "v": vals})
+        df = df.sort_values(["k", "o"]).reset_index(drop=True)
+        df["lg"] = df.groupby("k")["v"].shift(off)
+        got = out.sort_values(["k", "o"]).reset_index(drop=True)[df.columns]
+        assert got["lg"].fillna(-1).tolist() == df["lg"].fillna(-1).tolist()
+
+
 def test_rollup_aggregate_levels():
     ds = rd.from_arrow(pa.table({
         "a": pa.array(["x", "x", "y", "y"], pa.string()),
