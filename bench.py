@@ -81,6 +81,30 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
+    # ---- host sentinels (contention reference, not a pipeline) -------
+    # this sandbox is a shared box: identical code has measured 11-21 s
+    # for the same 100k build across windows (BASELINE.md noise band).
+    # Record a 1-core and an all-core sentinel next to every run so a
+    # reader can normalize across windows — compare pipeline seconds at
+    # similar sentinel readings, not across different ones.
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**62, size=20_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    np.sort(x)
+    timings["sentinel_1core_sort_sec"] = round(time.perf_counter() - t0, 3)
+
+    @ray.remote(num_cpus=1)
+    def _spin(seed: int) -> int:
+        import numpy as _np
+        r = _np.random.default_rng(seed)
+        y = r.integers(0, 2**62, size=4_000_000, dtype=_np.int64)
+        return int(_np.sort(y)[0])
+
+    t0 = time.perf_counter()
+    ray.get([_spin.remote(i) for i in range(ncpu)])
+    timings["sentinel_allcore_sort_sec"] = round(
+        time.perf_counter() - t0, 3)
+
     # ---- headline: full index build ----------------------------------
     # index output goes to shared memory when available: on one box, disk
     # write bandwidth is constant regardless of CPU count, while a real
@@ -501,6 +525,10 @@ def run_scaling() -> dict:
         "bm25_p50_ms_hi": r_hi["queries"]["bm25_p50_ms"],
         "bm25_p99_ms_lo": r_lo["queries"]["bm25_p99_ms"],
         "bm25_p99_ms_hi": r_hi["queries"]["bm25_p99_ms"],
+        "sentinel_allcore_lo": r_lo["queries"].get(
+            "sentinel_allcore_sort_sec"),
+        "sentinel_allcore_hi": r_hi["queries"].get(
+            "sentinel_allcore_sort_sec"),
         "bench_docs": n_docs,
     }
 
