@@ -454,10 +454,12 @@ def run_bench() -> dict:
     _sk.hll_distinct(_ev, "user_id", p=14)
     timings["hll_distinct"] = round(time.perf_counter() - t0, 3)
 
+    # selective key set (~7% of orders): the regime the bloom
+    # pre-filter exists for — most big-side rows never enter the join
     _keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
                             columns=["o_orderkey", "o_totalprice"]) \
         .map_batches(lambda b: pa.table({"l_orderkey": b.filter(
-            pc.greater(b["o_totalprice"], 180000.0))["o_orderkey"]}),
+            pc.greater(b["o_totalprice"], 465000.0))["o_orderkey"]}),
             batch_format="pyarrow", batch_size=None)
     _big = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_quantity"])
