@@ -1100,6 +1100,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
         return out
 
+    def q_ivfpq_knn(sf):
+        # IVF-PQ: product-quantized codes (32x smaller scan table) +
+        # ADC scan + exact re-rank of the top rerank*k candidates;
+        # self-check = recall@10 vs the exact scan (PQ is a lossy
+        # compressor, so the gate is 0.85 vs plain IVF's 0.9)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/embeddings.parquet")
+        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                    tbl["embedding"].to_pylist())}
+        qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+        out = similarity.ivfpq_knn(_emb(sf), qm, k=10, nprobe=12,
+                                   num_lists=16, m=8, ksub=64, rerank=8)
+        exact = similarity.knn_cosine(_emb(sf), qm, k=10)
+        rec = []
+        for qi in range(len(KNN_QUERY_IDS)):
+            g = set(out[out.qid == qi].vec_id)
+            e = set(exact[exact.qid == qi].vec_id)
+            rec.append(len(g & e) / max(1, len(e)))
+        if np.mean(rec) < 0.85:
+            raise AssertionError(f"ivfpq_knn self-check: recall@10 {rec}")
+        out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
+        return out
+
     def q_mmr(sf):
         # MMR diversified retrieval (lam=0.7): distributed exact top-k'
         # then bounded greedy selection; self-check = independent
@@ -1643,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_fingerprints,
         "knn_cosine": q_knn,
         "ivf_knn": q_ivf_knn,
+        "ivfpq_knn": q_ivfpq_knn,
         "embedding_near_dup": q_emb_near_dup,
         "key_occurrence": q_key_occurrence,
         "revenue_by_flag": q_revenue,

@@ -337,6 +337,21 @@ def run_bench() -> dict:
     dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
     timings["minhash_near_dup"] = round(time.perf_counter() - t0, 3)
 
+    # IVF-PQ ANN over the embeddings table (train + encode + ADC scan +
+    # exact rerank, end to end — the compressed-scan-table path)
+    from hadoopsearchengine_ray.functions import similarity as _sim
+    _et = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"])
+    _lut = {v: e for v, e in zip(_et["vec_id"].to_pylist(),
+                                 _et["embedding"].to_pylist())}
+    _qm = np.array([_lut[i] for i in (0, 1, 2)], dtype=np.float64)
+    _emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    t0 = time.perf_counter()
+    _sim.ivfpq_knn(_emb, _qm, k=10, nprobe=12, num_lists=16, m=8,
+                   ksub=64, rerank=8)
+    timings["ivfpq_knn"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     dedup.ngram_jaccard_pairs(docs, threshold=0.5, min_common=3).count()
     timings["ngram_jaccard"] = round(time.perf_counter() - t0, 3)

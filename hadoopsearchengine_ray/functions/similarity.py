@@ -380,3 +380,187 @@ def ivf_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
         for rank, vid in enumerate(g["vec_id"], start=1):
             rows.append((int(qi), rank, int(vid)))
     return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the memory-compression scale path)
+# ---------------------------------------------------------------------------
+
+def _lloyd(x: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means (init = every (n/k)-th
+    row).  Used only on a bounded training SAMPLE — the scale story is
+    that PQ codebooks, like FAISS's, are trained on a few thousand
+    vectors regardless of corpus size."""
+    n = len(x)
+    k = min(k, n)
+    cents = x[:: max(1, n // k)][:k].copy()
+    for _ in range(iters):
+        d = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        cnt = np.bincount(assign, minlength=len(cents))
+        nz = cnt > 0
+        cents[nz] = sums[nz] / cnt[nz, None]
+    return cents
+
+
+def pq_train(embeddings: rd.Dataset, m: int = 8, ksub: int = 256,
+             sample: int = 4096, iters: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int = 64) -> np.ndarray:
+    """Train product-quantizer codebooks, shape (m, ksub, dim//m).
+
+    Vectors are L2-normalized, split into ``m`` subspaces, and each
+    subspace gets its own ``ksub``-centroid k-means.  Training reads a
+    deterministic id-strided SAMPLE of ``sample`` vectors (one pruned
+    pass over the id column to size the stride, one filtered pass for
+    the rows) — never the whole corpus; this is the standard bounded
+    PQ training recipe, so the step is O(sample) at any corpus size."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    n = embeddings.count()
+    stride = max(1, n // max(1, min(sample, n)))
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % stride == 0))
+
+    train = (embeddings.map_batches(_pick, batch_format="pyarrow",
+                                    batch_size=None).to_pandas())
+    x = _norm_rows(np.stack([np.asarray(v, np.float64)
+                             for v in train[vec_col]]))
+    dsub = dim // m
+    return np.stack([_lloyd(np.ascontiguousarray(x[:, j*dsub:(j+1)*dsub]),
+                            ksub, iters) for j in range(m)])
+
+
+def pq_encode(embeddings: rd.Dataset, codebooks: np.ndarray,
+              list_centroids: np.ndarray | None = None,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> rd.Dataset:
+    """(vec_id, code fixed_size_list<uint8>[, list_id]) — the compressed
+    scan table.  The raw vector column is DROPPED: at dim=64 float32 the
+    codes are 32x smaller, which is the entire point — the IVF-PQ scan
+    streams this table, not the embeddings.  Codebooks (and the IVF
+    coarse centroids, if given) ride as one broadcast ``ray.put`` ref."""
+    m, ksub, dsub = codebooks.shape
+    ref = ray.put((codebooks, list_centroids))
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        cbs, cents = ray.get(ref)
+        x = _norm_rows(_vec_matrix(batch[vec_col]))
+        n = len(x)
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            xs = x[:, j*dsub:(j+1)*dsub]
+            cb = cbs[j]
+            d = -2.0 * (xs @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        cols = {
+            id_col: batch[id_col],
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+        }
+        if cents is not None:
+            cols["list_id"] = pa.array(
+                np.argmax(x @ cents.T, axis=1), pa.int64())
+        return pa.table(cols)
+
+    return embeddings.map_batches(_encode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def ivfpq_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
+              nprobe: int = 8, num_lists: int = 16, m: int = 8,
+              ksub: int = 256, rerank: int = 4, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int = 64) -> pd.DataFrame:
+    """IVF-PQ approximate cosine top-k with exact re-ranking.
+
+    Pipeline: train the coarse quantizer (kmeans_centroids) and the PQ
+    codebooks (bounded sample), build the compressed scan table
+    (pq_encode — codes only, 32x smaller than the vectors), ADC-scan the
+    ``nprobe`` probed lists (per-query LUT of subspace dot products, one
+    fancy-indexed gather per block — no matmul against the corpus), then
+    exactly re-rank the top ``rerank*k`` ADC candidates per query by
+    fetching JUST those vectors.  Returns (qid, rank, vec_id) like
+    knn_cosine.  Reference analog: the query-time candidate-then-rerank
+    split of DyableRequest (SearchHitItems narrows, HitScore reranks);
+    the PQ itself follows Jégou et al., 'Product Quantization for
+    Nearest Neighbor Search' (public paper)."""
+    cents = kmeans_centroids(embeddings, num_lists, iters, vec_col,
+                             id_col, dim)
+    cbs = pq_train(embeddings, m=m, ksub=ksub, vec_col=vec_col,
+                   id_col=id_col, dim=dim)
+    table = pq_encode(embeddings, cbs, cents, vec_col, id_col).materialize()
+
+    q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probe_union = np.unique(probe)
+    dsub = dim // m
+    # per-query ADC lookup tables: luts[qi, j, c] = q_sub(j) . codebook[j, c]
+    luts = np.einsum("qjd,jcd->qjc",
+                     q.reshape(len(q), m, dsub), cbs)
+    q_ref = ray.put((luts, probe))
+    r_cand = max(k, rerank * k)
+    jj = np.arange(m)
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        lu, pr = ray.get(q_ref)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = (batch["code"].combine_chunks().flatten()
+                 .to_numpy(zero_copy_only=False)
+                 .reshape(len(ids), m).astype(np.int64, copy=False))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(lu.shape[0]):
+            mask = np.isin(lists, pr[qi])
+            if not mask.any():
+                continue
+            sim = lu[qi][jj[None, :], codes[mask]].sum(axis=1)
+            sel = ids[mask]
+            kk = min(r_cand, len(sim))
+            if len(sim) > kk:
+                kth = np.partition(sim, len(sim) - kk)[len(sim) - kk]
+                part = np.flatnonzero(sim >= kth)
+            else:
+                part = np.arange(len(sim))
+            out_q.append(np.full(len(part), qi, np.int64))
+            out_id.append(sel[part])
+            out_s.append(sim[part])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    flt = table.filter(
+        expr=f"list_id in {sorted(int(x) for x in probe_union)}")
+    cand = flt.map_batches(_scan, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+
+    # exact re-rank: fetch ONLY the candidate vectors (bounded: <= nq *
+    # rerank*k rows) and score them against the true query vectors
+    top = (cand.sort_values(["qid", "sim", "vec_id"],
+                            ascending=[True, False, True])
+           .groupby("qid").head(r_cand))
+    cand_ids = sorted(int(x) for x in top["vec_id"].unique())
+    vecs = (embeddings.filter(expr=f"{id_col} in {cand_ids}")
+            .to_pandas())
+    vm = _norm_rows(np.stack([np.asarray(v, np.float64)
+                              for v in vecs[vec_col]]))
+    vid = vecs[id_col].to_numpy()
+    pos = {int(v): i for i, v in enumerate(vid)}
+    rows = []
+    for qi, g in top.groupby("qid"):
+        idx = np.array([pos[int(v)] for v in g["vec_id"]], np.int64)
+        exact = vm[idx] @ q[int(qi)]
+        order = np.lexsort((g["vec_id"].to_numpy()[0:], -exact))[:k]
+        for rank, oi in enumerate(order, start=1):
+            rows.append((int(qi), rank, int(g["vec_id"].to_numpy()[oi])))
+    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])

@@ -744,3 +744,33 @@ def test_mmr_diversifies_near_duplicates(ray_session):
     # relevance-only (lam=1) degenerates to plain knn order
     out2 = similarity.mmr_topk(ds, base, k=2, k_prime=4, lam=1.0)
     assert list(out2["vec_id"]) == [0, 1]
+
+
+def test_ivfpq_knn_recall_and_code_size():
+    rng = np.random.default_rng(23)
+    m = rng.standard_normal((1000, 32))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(1000), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    }))
+    q = m[:4]
+    exact = similarity.knn_cosine(emb, q, k=10)
+    approx = similarity.ivfpq_knn(emb, q, k=10, nprobe=12, num_lists=16,
+                                  m=8, ksub=64, rerank=8, dim=32)
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact.qid == qi].vec_id)
+        g = set(approx[approx.qid == qi].vec_id)
+        recalls.append(len(e & g) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+    # ranks are 1..k and exact re-rank orders by true cosine: rank-1 of a
+    # self-query must be the query vector itself
+    for qi in range(4):
+        top = approx[(approx.qid == qi) & (approx["rank"] == 1)].vec_id
+        assert list(top) == [qi]
+    # the compressed scan table really is codes-only: m bytes per vector
+    cbs = similarity.pq_train(emb, m=8, ksub=64, dim=32)
+    assert cbs.shape == (8, 64, 4)
+    table = similarity.pq_encode(emb, cbs).to_pandas()
+    assert set(table.columns) == {"vec_id", "code"}
+    assert len(table.iloc[0]["code"]) == 8
