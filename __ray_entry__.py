@@ -941,6 +941,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_shingle_pairs(sf):
         return dedup.shingle_overlap_pairs(_docs(sf), n=3, min_common=5, max_df=50)
 
+    def q_dup_spans(sf):
+        # exact-substring duplication stats (Lee et al.-style, fixed
+        # 8-token spans): per doc, how many distinct 8-grams also occur
+        # in another doc — bucketed rolling-hash kernel, SQL oracle via
+        # windowed string_agg grams
+        return dedup.dup_span_stats(_docs(sf), n=8)
+
     def q_ngram_jaccard(sf):
         # exact n-gram Jaccard near-dup (the value MinHash estimates):
         # universe = shingles with df <= 50, threshold 0.5
@@ -1661,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": q_spell_suggest,
         "exact_dedup": q_exact_dedup,
         "shingle_pairs": q_shingle_pairs,
+        "dup_spans": q_dup_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash,
         "simhash_near_dup": q_simhash,
@@ -2779,6 +2787,24 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT d1, d2, common FROM pairs WHERE common >= 5
+        """,
+        # exact-substring duplication stats: distinct 8-token grams per
+        # doc that occur in >= 2 docs (grams via windowed string_agg;
+        # gg is distinct (doc, gram) so count(*) per gram = ndocs)
+        "dup_spans": f"""
+            WITH {TOK_ORDERED_CTE},
+            g AS (
+              SELECT doc_id,
+                     string_agg(t, ' ') OVER (PARTITION BY doc_id ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+                     rn, count(*) OVER (PARTITION BY doc_id) AS ntok
+              FROM toko
+            ),
+            gg AS (SELECT DISTINCT doc_id, gram FROM g WHERE rn <= ntok - 7),
+            nd AS (SELECT gram, count(*) AS ndocs FROM gg GROUP BY 1)
+            SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+            FROM gg JOIN nd USING (gram) WHERE nd.ndocs >= 2
+            GROUP BY 1 ORDER BY 1
         """,
         # exact n-gram Jaccard: same shingle universe as shingle_pairs
         # but df-capped on BOTH the intersection and the set sizes

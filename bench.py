@@ -356,6 +356,10 @@ def run_bench() -> dict:
     dedup.ngram_jaccard_pairs(docs, threshold=0.5, min_common=3).count()
     timings["ngram_jaccard"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    dedup.dup_span_stats(docs, n=8).count()
+    timings["dup_spans"] = round(time.perf_counter() - t0, 3)
+
     # late round-3 training-data ops over the same sf documents table
     from hadoopsearchengine_ray.functions.text import (
         chunk_table,

@@ -950,3 +950,51 @@ def simhash_dup_pairs(docs: rd.Dataset, text_col: str = "text",
              .map_groups(_pairs, batch_format="pandas"))
     # a pair can match in multiple blocks -> dedup with min
     return pairs.groupby(["d1", "d2"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def dup_span_stats(docs: rd.Dataset, text_col: str = "text", n: int = 8,
+                   num_buckets: int = 32) -> rd.Dataset:
+    """Exact-substring duplication stats (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better' — public paper — scoped
+    to fixed-width spans): for every doc, the number of DISTINCT
+    ``n``-token grams that also occur in at least one OTHER doc.
+    Returns (doc_id, dup_grams) for docs with >= 1 duplicated gram,
+    sorted by doc_id.
+
+    Shape: the distinct (gram, doc_id) table rides the existing shingle
+    kernel (one vectorized rolling-hash pass per batch, no Python
+    loops); grams are hash-bucketed so the groupby sees ``num_buckets``
+    groups, and each bucket reduces to per-doc PARTIAL counts (one
+    sort + group-size scan + np.unique per bucket) before the final
+    tiny per-doc sum — the pair-explosion-free analog of
+    shingle_overlap_pairs.  Reference analog: the duplicate-excerpt
+    checksum walk of CompileRankedList.h:203-242 applied corpus-wide."""
+    from ray.data.aggregate import Sum
+
+    sh = _bucketed_shingles(docs, text_col, n, num_buckets)
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["shingle"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = g["doc_id"].to_numpy()[order]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        sizes = np.diff(bounds)
+        # rows whose gram has >= 2 distinct docs (rows are distinct per
+        # (gram, doc) by construction, so group size == distinct docs)
+        dup = np.repeat(sizes >= 2, sizes)
+        d, c = np.unique(ids[dup], return_counts=True)
+        return pd.DataFrame({"doc_id": d.astype(np.int64),
+                             "dup_grams": c.astype(np.int64)})
+
+    partials = sh.groupby("bucket").map_groups(_partial)
+    out = (partials.groupby("doc_id").aggregate(Sum("dup_grams"))
+           .sort("doc_id"))
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_grams": batch["sum(dup_grams)"].cast(pa.int64()),
+        })
+
+    return out.map_batches(_rename, batch_format="pyarrow", batch_size=None)

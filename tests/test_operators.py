@@ -774,3 +774,26 @@ def test_ivfpq_knn_recall_and_code_size():
     table = similarity.pq_encode(emb, cbs).to_pandas()
     assert set(table.columns) == {"vec_id", "code"}
     assert len(table.iloc[0]["code"]) == 8
+
+
+def test_dup_span_stats_counts_shared_grams():
+    shared = " ".join(f"tok{i}" for i in range(10))       # 10-token run
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "alpha beta " + shared + " gamma delta",
+            "zeta " + shared + " omega",
+            "totally unrelated words only here nothing shared at all",
+            "alpha beta " + shared + " gamma delta",   # exact dup of doc 0
+        ],
+    }))
+    out = dedup.dup_span_stats(docs, n=8).to_pandas()
+    got = dict(zip(out.doc_id, out.dup_grams))
+    # doc 2 has no duplicated grams -> absent
+    assert 2 not in got
+    # docs 0 and 3 are identical: every one of their 8-grams is shared.
+    # doc 0 text = 2 + 10 + 2 = 14 tokens -> 7 distinct 8-grams
+    assert got[0] == got[3] == 7
+    # doc 1 shares only the grams fully inside the 10-token run with
+    # docs 0/3: 10 - 8 + 1 = 3 grams
+    assert got[1] == 3
