@@ -336,6 +336,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_autocomplete(sf):
+        # prefix completions from the on-disk index dictionary (pruned
+        # term-range read), ranked cf DESC then term
+        from hadoopsearchengine_ray.functions.search import autocomplete
+
+        return autocomplete(f"{sf}/documents.parquet", "c", n=10)
+
+    def q_facet_counts(sf):
+        # faceted search panel: docs matching ANY query term, counted
+        # per lang — posting-decoded match set broadcast over a pruned
+        # (doc_id, lang) scan
+        from hadoopsearchengine_ray.functions.search import facet_counts
+
+        return facet_counts(f"{sf}/documents.parquet",
+                            ["spark", "merge"], facet_col="lang")
+
     def q_bm25_prefix(sf):
         # wildcard search: 'wind*' + 'mer*' expand against the
         # dictionary (binary-search range scan), union scored as
@@ -1630,6 +1646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not_topk": q_bm25_not,
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
+        "autocomplete": q_autocomplete,
+        "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_features": q_tfidf,
         "clean_corpus": q_clean_corpus,
@@ -1975,6 +1993,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents USING (doc_id)
             WHERE documents.lang = 'en'
             ORDER BY s DESC, sc.doc_id LIMIT 10
+        """,
+        # prefix autocomplete: completions ranked by collection
+        # frequency (cf = total occurrences), tie-broken by term
+        "autocomplete": f"""
+            WITH {TOK_CTE},
+            c AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                  FROM tok WHERE term LIKE 'c%' GROUP BY 1)
+            SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT)
+                     AS rank, term, cf
+            FROM c ORDER BY cf DESC, term LIMIT 10
+        """,
+        # faceted counts: distinct docs matching ANY query term, per lang
+        "facet_counts": f"""
+            WITH {TOK_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tok
+                  WHERE term IN ('spark', 'merge'))
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents JOIN m USING (doc_id)
+            GROUP BY lang ORDER BY lang
         """,
         # wildcard search: the q set is every distinct term matching a
         # prefix (the dictionary-expansion semantics), scored as plain

@@ -10,7 +10,9 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..pipelines.build_index import build_index
 from ..pipelines.query import BM25Scorer
@@ -44,3 +46,82 @@ def bm25_topk_table(parquet_path: str, terms: list[str], k: int = 10,
         "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
         "doc_id": pd.array([int(x) for x in d], dtype="int64"),
     })
+
+
+def autocomplete(parquet_path: str, prefix: str, n: int = 10,
+                 text_col: str = "text") -> pd.DataFrame:
+    """Top-``n`` query completions for ``prefix``, ranked by collection
+    frequency (cf DESC, term ASC) — served from the on-disk index
+    dictionary via a PRUNED Ray Data read: the term range filter pushes
+    down to parquet row groups, so only the dictionary slice covering
+    the prefix leaves storage (never the postings, never the corpus).
+    Reference analog: the spell/expansion dictionary walk of
+    DyableRequest (SURVEY M10) restricted to a prefix range.
+    Returns (rank, term, cf)."""
+    import ray.data as rd
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    top = (rd.read_parquet(os.path.join(index_dir, "dictionary"),
+                           columns=["term", "cf"])
+           .filter(expr=f"term >= '{prefix}' and term < '{hi}'")
+           .sort(["cf", "term"], descending=[True, False])
+           .limit(n)
+           .to_pandas())
+    if top.empty:   # schema-less empty: restore the typed frame
+        top = pd.DataFrame({"term": pd.Series([], dtype="string"),
+                            "cf": pd.Series([], dtype="int64")})
+    top.insert(0, "rank", pd.array(range(1, len(top) + 1), dtype="int64"))
+    top["cf"] = top["cf"].astype("int64")
+    return top
+
+
+def facet_counts(parquet_path: str, terms: list[str],
+                 facet_col: str = "lang",
+                 text_col: str = "text") -> pd.DataFrame:
+    """Faceted search counts: number of distinct docs matching ANY of
+    ``terms`` (disjunctive), grouped by a metadata facet.
+
+    Shape: the matching doc-id set comes from the INDEX (decode only
+    the query terms' postings — work ~ sum of their df, not corpus
+    size), is broadcast once (``ray.put``), and the metadata table is
+    scanned with a pruned (doc_id, facet) read + vectorized ``np.isin``
+    membership per batch — the broadcast-join pattern for a small
+    match set.  A stopword-scale term would make the broadcast large;
+    that regime belongs to the posting-side groupby ops (A1/A2), not a
+    facet panel.  Returns (facet value, n_docs) sorted by facet."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.query import IndexReader
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    rdr = IndexReader(index_dir)
+    ids = [rdr.decoded_postings(t)[0].astype(np.int64) for t in terms]
+    match = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+    m_ref = ray.put(match)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        mm = ray.get(m_ref)
+        keep = np.isin(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            mm, assume_unique=False)
+        sub = batch.filter(pa.array(keep))
+        d = sub[facet_col].combine_chunks().dictionary_encode()
+        cnt = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            minlength=len(d.dictionary))
+        return pa.table({
+            facet_col: d.dictionary.cast(pa.string()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    out = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(facet_col).aggregate(Sum("n_docs", alias_name="n_docs"))
+           .sort(facet_col)
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out

@@ -193,3 +193,36 @@ def test_compact_docstore_in_place(tmp_path, t1_corpus_dir):
               os.path.join(store, "doc_range=1.old"))
     assert compact_docstore(store, [131], range_size=128) == 0
     assert st.fetch([129]).num_rows == 1
+
+
+def test_autocomplete_and_facet_counts(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import (
+        autocomplete,
+        facet_counts,
+    )
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "cat cat cat dog",          # cf(cat)=3
+            "cart cat dog",             # cf(cart)=1, cat+1
+            "dog dog dog dog",
+            "candle cart",              # cf(candle)=1, cart+1
+        ],
+        "lang": ["en", "fr", "en", "en"],
+    }), path)
+
+    top = autocomplete(path, "ca", n=10)
+    assert list(top["term"]) == ["cat", "cart", "candle"]   # cf 4,2,1
+    assert list(top["cf"]) == [4, 2, 1]
+    assert list(top["rank"]) == [1, 2, 3]
+    # no matches: typed empty frame, not a schema-less one
+    none = autocomplete(path, "zz", n=5)
+    assert list(none.columns) == ["rank", "term", "cf"] and none.empty
+
+    fc = facet_counts(path, ["cat", "cart"], facet_col="lang")
+    # docs matching cat or cart: 0,1,3 -> en:2, fr:1
+    assert dict(zip(fc["lang"], fc["n_docs"])) == {"en": 2, "fr": 1}
