@@ -1316,6 +1316,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         od = od.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
         return rel.hash_join(li, od, on="l_orderkey")
 
+    def q_left_join_orders(sf):
+        # LEFT OUTER join through the co-partitioned hash_join: every
+        # customer survives (customers with no high-value order get
+        # NULL right rows), then a per-customer count of NON-NULL
+        # orderkeys — 0 for the unmatched, exactly SQL's
+        # count(o_orderkey).  The right side is filtered to high-value
+        # orders so most customers genuinely take the unmatched branch.
+        from ray.data.aggregate import Sum
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey"])
+        od = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+
+        def _key(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(b["o_totalprice"], 400000.0))
+            return pa.table({"c_custkey": b["o_custkey"],
+                             "o_orderkey": b["o_orderkey"]})
+
+        od = od.map_batches(_key, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        j = rel.hash_join(cust, od, on="c_custkey", how="left")
+
+        def _partial(b: pa.Table) -> pa.Table:
+            keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+            ok = pc.is_valid(b["o_orderkey"]).to_numpy(zero_copy_only=False)
+            uk, inv = np.unique(keys, return_inverse=True)
+            cnt = np.bincount(inv, weights=ok.astype(np.float64),
+                              minlength=len(uk)).astype(np.int64)
+            return pa.table({"c_custkey": pa.array(uk, pa.int64()),
+                             "n_orders": pa.array(cnt, pa.int64())})
+
+        out = (j.map_batches(_partial, batch_format="pyarrow",
+                             batch_size=None)
+               .groupby("c_custkey")
+               .aggregate(Sum("n_orders", alias_name="n_orders"))
+               .sort("c_custkey"))
+
+        def _cast(b: pa.Table) -> pa.Table:
+            return pa.table({"c_custkey": b["c_custkey"],
+                             "n_orders": b["n_orders"].cast(pa.int64())})
+
+        return out.map_batches(_cast, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_topk_orders(sf):
         ds = rd.read_parquet(f"{sf}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -1701,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_set_partkeys": q_merge_set,
         "cnr_join": q_cnr_join,
         "big_join": q_big_join,
+        "left_join_orders": q_left_join_orders,
         "topk_orders": q_topk_orders,
         "events_hourly": q_events_hourly,
         "hopping_window": q_hopping_window,
@@ -2925,6 +2972,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        # left outer join: order-less customers count 0 (count(col)
+        # skips NULLs, matching the engine's non-null partial counts)
+        "left_join_orders": """
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN (
+              SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_totalprice > 400000.0
+            ) o ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "big_join": """
             SELECT l_orderkey, l_partkey, l_linenumber, o_custkey, o_totalprice
