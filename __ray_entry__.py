@@ -352,6 +352,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return facet_counts(f"{sf}/documents.parquet",
                             ["spark", "merge"], facet_col="lang")
 
+    def q_facet_topk(sf):
+        # grouped retrieval: BM25 top-3 per lang (rank within facet by
+        # score DESC, doc_id) — exact scorer over all matched docs,
+        # facet attach via pruned isin scan
+        from hadoopsearchengine_ray.functions.search import facet_topk
+
+        return facet_topk(f"{sf}/documents.parquet", BM25_TERMS,
+                          facet_col="lang", k=3)
+
     def q_bm25_prefix(sf):
         # wildcard search: 'wind*' + 'mer*' expand against the
         # dictionary (binary-search range scan), union scored as
@@ -1693,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
         "autocomplete": q_autocomplete,
+        "facet_topk": q_facet_topk,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_features": q_tfidf,
@@ -2040,6 +2050,39 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents USING (doc_id)
             WHERE documents.lang = 'en'
             ORDER BY s DESC, sc.doc_id LIMIT 10
+        """,
+        # grouped retrieval: top-3 per lang, same scoring CTE as
+        # bm25_topk with a per-facet row_number
+        "facet_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            rk AS (
+              SELECT documents.lang, sc.doc_id,
+                     row_number() OVER (PARTITION BY documents.lang
+                                        ORDER BY s DESC, sc.doc_id) AS rank
+              FROM sc JOIN documents USING (doc_id)
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM rk WHERE rank <= 3 ORDER BY lang, rank
         """,
         # prefix autocomplete: completions ranked by collection
         # frequency (cf = total occurrences), tie-broken by term

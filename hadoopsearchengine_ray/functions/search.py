@@ -125,3 +125,47 @@ def facet_counts(parquet_path: str, terms: list[str],
            .to_pandas())
     out["n_docs"] = out["n_docs"].astype("int64")
     return out
+
+
+def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
+               k: int = 3, text_col: str = "text") -> pd.DataFrame:
+    """Grouped retrieval: the BM25 top-``k`` docs PER FACET VALUE for a
+    disjunctive term query (the 'best hits in every category' panel).
+
+    Shape: the exact scorer ranks every matched doc once (work ~ sum of
+    the query terms' dfs — the same bounded regime as facet_counts),
+    the facet column for JUST the matched ids comes from a pruned
+    (doc_id, facet) scan + vectorized isin, and the per-facet heads are
+    one vectorized sort + groupby-head over the matched set.  Returns
+    (facet, rank, doc_id) with rank per facet by (score DESC, doc_id) —
+    the same tie-break contract as bm25_topk."""
+    import ray
+    import ray.data as rd
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    scorer = BM25Scorer(index_dir)
+    docs, scores = scorer.score_exact(terms, 1 << 62)   # all matched, sorted
+    m_ref = ray.put(np.asarray(docs, np.int64))
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        mm = ray.get(m_ref)
+        keep = np.isin(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            mm)
+        return batch.filter(pa.array(keep))
+
+    fac = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
+           .map_batches(_attach, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .to_pandas())
+    sc = pd.DataFrame({"doc_id": np.asarray(docs, np.int64),
+                       "score": scores})
+    j = fac.merge(sc, on="doc_id", how="inner")
+    j = j.sort_values([facet_col, "score", "doc_id"],
+                      ascending=[True, False, True])
+    head = j.groupby(facet_col, sort=False).head(k).reset_index(drop=True)
+    head["rank"] = head.groupby(facet_col).cumcount() + 1
+    out = head[[facet_col, "rank", "doc_id"]].copy()
+    out["rank"] = out["rank"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out

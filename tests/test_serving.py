@@ -226,3 +226,34 @@ def test_autocomplete_and_facet_counts(tmp_path, ray_session):
     fc = facet_counts(path, ["cat", "cart"], facet_col="lang")
     # docs matching cat or cart: 0,1,3 -> en:2, fr:1
     assert dict(zip(fc["lang"], fc["n_docs"])) == {"en": 2, "fr": 1}
+
+
+def test_facet_topk_groups_and_ranks(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import facet_topk
+
+    path = str(tmp_path / "facet_docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [
+            "apple apple apple pad",   # en, tf=3
+            "apple pad pad pad",       # en, tf=1
+            "apple apple pad pad",     # fr, tf=2
+            "pad pad pad pad",         # fr, no match
+            "apple pie",               # fr, tf=1 but shortest doc
+            "apple apple apple apple", # de, tf=4
+        ],
+        "lang": ["en", "en", "fr", "fr", "fr", "de"],
+    }), path)
+    out = facet_topk(path, ["apple"], facet_col="lang", k=2)
+    # every matched facet appears, ranks restart per facet, k caps rows
+    assert list(out.columns) == ["lang", "rank", "doc_id"]
+    by = {(r.lang, r.rank): r.doc_id for r in out.itertuples()}
+    assert by[("en", 1)] == 0 and by[("en", 2)] == 1
+    assert by[("de", 1)] == 5
+    # fr: doc 4 (tf=1, len 2) outscores doc 2 (tf=2, len 4)? BM25's
+    # length normalization decides — just assert the unmatched doc 3
+    # is absent and fr has exactly 2 rows
+    fr = out[out.lang == "fr"]
+    assert len(fr) == 2 and 3 not in set(fr.doc_id)
