@@ -352,6 +352,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return facet_counts(f"{sf}/documents.parquet",
                             ["spark", "merge"], facet_col="lang")
 
+    def q_more_like_this(sf):
+        # related docs: source doc 7's top-5 tf x idf terms (ties by
+        # term) replayed as disjunctive BM25
+        from hadoopsearchengine_ray.functions.search import more_like_this
+
+        return more_like_this(f"{sf}/documents.parquet", doc_id=7,
+                              m=5, k=10)
+
     def q_facet_topk(sf):
         # grouped retrieval: BM25 top-3 per lang (rank within facet by
         # score DESC, doc_id) — exact scorer over all matched docs,
@@ -1703,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix,
         "autocomplete": q_autocomplete,
         "facet_topk": q_facet_topk,
+        "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
         "tfidf_features": q_tfidf,
@@ -2050,6 +2059,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents USING (doc_id)
             WHERE documents.lang = 'en'
             ORDER BY s DESC, sc.doc_id LIMIT 10
+        """,
+        # more-like-this: doc 7's top-5 terms by tf x BM25-idf (ties by
+        # term asc), replayed through the bm25_topk scoring CTE
+        "more_like_this": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q AS (
+              SELECT tf.term
+              FROM tf JOIN df USING (term), stats
+              WHERE tf.doc_id = 7
+              ORDER BY tf.tf * ln((stats.n - df.df + 0.5)
+                                  / (df.df + 0.5) + 1.0) DESC, tf.term
+              LIMIT 5
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         # grouped retrieval: top-3 per lang, same scoring CTE as
         # bm25_topk with a per-facet row_number

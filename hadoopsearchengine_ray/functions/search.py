@@ -169,3 +169,46 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     out["rank"] = out["rank"].astype("int64")
     out["doc_id"] = out["doc_id"].astype("int64")
     return out
+
+
+def more_like_this(parquet_path: str, doc_id: int, m: int = 5,
+                   k: int = 10, text_col: str = "text") -> pd.DataFrame:
+    """Related-document retrieval: extract the source doc's top-``m``
+    terms by tf x BM25-idf (ties by term), then run them as a
+    disjunctive BM25 query.  The reference derives per-doc keyword sets
+    and serves association lookups from them (SURVEY M9/A10,
+    /root/reference/DyableKeywordSet); this is that feature as one
+    query.  The source doc itself typically ranks first — kept, so the
+    contract stays pure BM25.
+
+    Shape: ONE pruned row-group read fetches the source doc (filter
+    pushdown on doc_id), term stats come from the in-memory dictionary,
+    and the query runs through the normal scorer — no corpus scan
+    beyond the m query terms' postings.  Returns (rank, doc_id)."""
+    import ray.data as rd
+
+    from ..tokenizer import tokenize_py
+    from ..pipelines.query import IndexReader
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    src = (rd.read_parquet(parquet_path, columns=["doc_id", text_col])
+           .filter(expr=f"doc_id == {int(doc_id)}")
+           .to_pandas())
+    if src.empty:
+        raise KeyError(f"doc_id {doc_id} not found in {parquet_path}")
+    toks = tokenize_py(src[text_col].iloc[0])
+    terms, tfs = np.unique(np.asarray(toks, dtype=object),
+                           return_counts=True)
+    rdr = IndexReader(index_dir)
+    w = np.empty(len(terms), np.float64)
+    for i, t in enumerate(terms):
+        ent = rdr.lookup(str(t))
+        w[i] = tfs[i] * rdr.idf(ent[1]) if ent else 0.0
+    order = sorted(range(len(terms)), key=lambda i: (-w[i], terms[i]))[:m]
+    qterms = [str(terms[i]) for i in order]
+    scorer = BM25Scorer(index_dir, reader=rdr)
+    d, _ = scorer.score(qterms, k)
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+        "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+    })

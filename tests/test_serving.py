@@ -257,3 +257,29 @@ def test_facet_topk_groups_and_ranks(tmp_path, ray_session):
     # is absent and fr has exactly 2 rows
     fr = out[out.lang == "fr"]
     assert len(fr) == 2 and 3 not in set(fr.doc_id)
+
+
+def test_more_like_this_returns_source_first(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import more_like_this
+
+    path = str(tmp_path / "mlt_docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": [
+            "quartz granite quartz mineral",
+            "granite mineral quartz quartz pebble",   # near-twin of doc 0
+            "syntax parser token grammar compile",
+            "unrelated prose about cooking dinner tonight",
+        ],
+    }), path)
+    out = more_like_this(path, doc_id=0, m=3, k=4)
+    # the source doc dominates its own keyword query; its twin follows
+    assert out.iloc[0]["doc_id"] == 0
+    assert out.iloc[1]["doc_id"] == 1
+    assert 3 not in set(out["doc_id"])
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        more_like_this(path, doc_id=99)
