@@ -1164,6 +1164,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
         return out
 
+    def q_ann_index(sf):
+        # persistent IVF-PQ index: build to disk (codes hive-partitioned
+        # by list_id), reopen, query with a partition-pruned read;
+        # self-check = rank-identical to the unpersisted ivfpq path
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.pipelines.ann import (
+            AnnIndex,
+            build_ann_index,
+        )
+
+        idx_dir = "/tmp/hse_ann_index"
+        build_ann_index(f"{sf}/embeddings.parquet", idx_dir,
+                        num_lists=16, m=8, ksub=64)
+        tbl = pq.read_table(f"{sf}/embeddings.parquet")
+        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                    tbl["embedding"].to_pylist())}
+        qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+        out = AnnIndex(idx_dir).query(qm, k=10, nprobe=12, rerank=8)
+        fly = similarity.ivfpq_knn(_emb(sf), qm, k=10, nprobe=12,
+                                   num_lists=16, m=8, ksub=64, rerank=8)
+        for qi in range(len(KNN_QUERY_IDS)):
+            a = list(out[out.qid == qi].sort_values("rank").vec_id)
+            b = list(fly[fly.qid == qi].sort_values("rank").vec_id)
+            if a != b:
+                raise AssertionError(
+                    f"ann_index self-check: persisted != on-the-fly for "
+                    f"query {qi}: {a} vs {b}")
+        out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
+        return out
+
     def q_mmr(sf):
         # MMR diversified retrieval (lam=0.7): distributed exact top-k'
         # then bounded greedy selection; self-check = independent
@@ -1759,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn,
         "ivf_knn": q_ivf_knn,
         "ivfpq_knn": q_ivfpq_knn,
+        "ann_index": q_ann_index,
         "embedding_near_dup": q_emb_near_dup,
         "key_occurrence": q_key_occurrence,
         "revenue_by_flag": q_revenue,

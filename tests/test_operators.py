@@ -797,3 +797,37 @@ def test_dup_span_stats_counts_shared_grams():
     # doc 1 shares only the grams fully inside the 10-token run with
     # docs 0/3: 10 - 8 + 1 = 3 grams
     assert got[1] == 3
+
+
+def test_ann_index_persist_and_query(tmp_path):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.ann import AnnIndex, build_ann_index
+
+    rng = np.random.default_rng(31)
+    m = rng.standard_normal((600, 32))
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(600), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    }), src)
+    idx_dir = str(tmp_path / "annidx")
+    meta = build_ann_index(src, idx_dir, num_lists=8, m=8, ksub=32, dim=32)
+    assert meta["ksub"] == 32
+
+    emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    q = m[:3]
+    idx = AnnIndex(idx_dir)
+    out = idx.query(q, k=10, nprobe=6, rerank=8)
+    # identical to the unpersisted IVF-PQ path (same deterministic
+    # training): the disk round-trip loses nothing
+    fly = similarity.ivfpq_knn(emb, q, k=10, nprobe=6, num_lists=8,
+                               m=8, ksub=32, rerank=8, dim=32)
+    for qi in range(3):
+        assert list(out[out.qid == qi].sort_values("rank").vec_id) == \
+            list(fly[fly.qid == qi].sort_values("rank").vec_id)
+    # the codes table on disk is hive-partitioned by list_id
+    import os
+    parts = [d for d in os.listdir(os.path.join(idx_dir, "codes"))
+             if d.startswith("list_id=")]
+    assert len(parts) > 1
