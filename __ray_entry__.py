@@ -644,6 +644,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["o_orderkey", "o_custkey",
                                    "running_cents"])
 
+    def q_order_rank_per_cust(sf):
+        # RANK + DENSE_RANK per customer by order value (DESC): ties
+        # share the min rank; keyed by o_orderkey so no output
+        # ordering ambiguity
+        from hadoopsearchengine_ray.pipelines.relational import rank_per_key
+
+        ds = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        out = rank_per_key(ds, "o_custkey", "o_totalprice",
+                           descending=True)
+
+        def _drop(b: pa.Table) -> pa.Table:
+            return b.drop_columns(["o_totalprice"])
+
+        return out.map_batches(_drop, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_prev_event_value(sf):
         # LAG window: previous event's value (cents) per user, first
         # event coalesced to -1 so the compare stays integer-exact
@@ -1762,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "running_revenue": q_running_revenue,
         "prev_event_value": q_prev_event_value,
+        "order_rank_per_cust": q_order_rank_per_cust,
         "rollup_revenue": q_rollup_revenue,
         "user_distinct_etypes": q_user_distinct_etypes,
         "mmr_topk": q_mmr,
@@ -2415,6 +2434,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # LAG window in integer cents, first-row null coalesced to -1
+        # RANK/DENSE_RANK window per customer (DESC by order value)
+        "order_rank_per_cust": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(rank() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC) AS BIGINT)
+                     AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC) AS BIGINT)
+                     AS drnk
+            FROM orders ORDER BY o_orderkey
+        """,
         "prev_event_value": """
             SELECT event_id, user_id,
                    CAST(COALESCE(

@@ -335,6 +335,37 @@ def lag_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
             .map_groups(_lag, batch_format="pyarrow"))
 
 
+def rank_per_key(ds: rd.Dataset, key: str, order_col: str,
+                 descending: bool = True,
+                 num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``RANK()`` + ``DENSE_RANK() OVER (PARTITION BY key ORDER BY
+    order_col [DESC])`` in one pass — appends int64 ``rnk`` (ties share
+    the min rank, gaps after) and ``drnk`` (no gaps) columns.  Same
+    bucket composition as the other window ops: one hash shuffle, one
+    lexsort + two vectorized pandas ranks per bucket."""
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.select([key]).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def _rank(g: pa.Table) -> pd.DataFrame:
+        df = g.drop_columns(["__bucket"]).to_pandas()
+        grp = df.groupby(key)[order_col]
+        df["rnk"] = grp.rank(method="min",
+                             ascending=not descending).astype("int64")
+        df["drnk"] = grp.rank(method="dense",
+                              ascending=not descending).astype("int64")
+        return df
+
+    return (_coalesce_for_buckets(
+                ds.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None), num_buckets)
+            .groupby("__bucket")
+            .map_groups(_rank, batch_format="pyarrow"))
+
+
 def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
                      alias: str = "total") -> rd.Dataset:
     """SQL ``GROUP BY ROLLUP(keys)``: one sum per prefix granularity

@@ -831,3 +831,19 @@ def test_ann_index_persist_and_query(tmp_path):
     parts = [d for d in os.listdir(os.path.join(idx_dir, "codes"))
              if d.startswith("list_id=")]
     assert len(parts) > 1
+
+
+def test_rank_per_key_matches_sql_semantics():
+    from hadoopsearchengine_ray.pipelines.relational import rank_per_key
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([10.0, 30.0, 30.0, 5.0, 7.0, 7.0]),
+    }))
+    out = rank_per_key(ds, "k", "v", descending=True).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # k=1 DESC: 30,30 -> rank 1,1 (dense 1,1); 10 -> rank 3 (dense 2);
+    # 5 -> rank 4 (dense 3).  k=2: 7,7 -> rank 1,1.
+    assert list(out["rnk"]) == [3, 1, 1, 4, 1, 1]
+    assert list(out["drnk"]) == [2, 1, 1, 3, 1, 1]
