@@ -419,6 +419,9 @@ def pq_train(embeddings: rd.Dataset, m: int = 8, ksub: int = 256,
     PQ training recipe, so the step is O(sample) at any corpus size."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if ksub > 256:
+        raise ValueError(f"ksub {ksub} > 256: codes are uint8 "
+                         f"(1 byte per subspace by design)")
     n = embeddings.count()
     stride = max(1, n // max(1, min(sample, n)))
 
