@@ -1193,7 +1193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             build_ann_index,
         )
 
-        idx_dir = "/tmp/hse_ann_index"
+        import tempfile
+
+        # per-run tempdir: a fixed shared path would let two concurrent
+        # driver runs rmtree each other's index mid-read
+        idx_dir = tempfile.mkdtemp(prefix="hse_ann_index_")
         build_ann_index(f"{sf}/embeddings.parquet", idx_dir,
                         num_lists=16, m=8, ksub=64)
         tbl = pq.read_table(f"{sf}/embeddings.parquet")

@@ -341,7 +341,8 @@ def run_bench() -> dict:
     # exact rerank, end to end — the compressed-scan-table path)
     from hadoopsearchengine_ray.functions import similarity as _sim
     _et = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"])
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin([0, 1, 2]))
     _lut = {v: e for v, e in zip(_et["vec_id"].to_pylist(),
                                  _et["embedding"].to_pylist())}
     _qm = np.array([_lut[i] for i in (0, 1, 2)], dtype=np.float64)

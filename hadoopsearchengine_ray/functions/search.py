@@ -58,8 +58,14 @@ def autocomplete(parquet_path: str, prefix: str, n: int = 10,
     Reference analog: the spell/expansion dictionary walk of
     DyableRequest (SURVEY M10) restricted to a prefix range.
     Returns (rank, term, cf)."""
+    import re
+
     import ray.data as rd
 
+    if not re.fullmatch(r"[a-z0-9]+", prefix or ""):
+        raise ValueError(
+            f"prefix must be non-empty lowercase [a-z0-9] (the tokenizer "
+            f"alphabet); got {prefix!r}")
     index_dir = index_for(parquet_path, text_col=text_col)
     hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
     top = (rd.read_parquet(os.path.join(index_dir, "dictionary"),
@@ -90,9 +96,9 @@ def facet_counts(parquet_path: str, terms: list[str],
     match set.  A stopword-scale term would make the broadcast large;
     that regime belongs to the posting-side groupby ops (A1/A2), not a
     facet panel.  Returns (facet value, n_docs) sorted by facet."""
+    import pyarrow.compute as pc
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..pipelines.query import IndexReader
 
@@ -108,21 +114,36 @@ def facet_counts(parquet_path: str, terms: list[str],
             batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             mm, assume_unique=False)
         sub = batch.filter(pa.array(keep))
-        d = sub[facet_col].combine_chunks().dictionary_encode()
+        col = (sub[facet_col].combine_chunks()
+               if isinstance(sub[facet_col], pa.ChunkedArray)
+               else sub[facet_col])
+        # SQL GROUP BY keeps a NULL group — count nulls separately
+        # (null dictionary indices would poison the bincount)
+        n_null = int(pc.sum(pc.is_null(col)).as_py() or 0)
+        d = col.drop_null().dictionary_encode()
         cnt = np.bincount(
             d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
             minlength=len(d.dictionary))
+        vals = d.dictionary.cast(pa.string()).to_pylist()
+        counts = cnt.astype(np.int64).tolist()
+        if n_null:
+            vals.append(None)
+            counts.append(n_null)
         return pa.table({
-            facet_col: d.dictionary.cast(pa.string()),
-            "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+            facet_col: pa.array(vals, pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
         })
 
-    out = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
-           .map_batches(_partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .groupby(facet_col).aggregate(Sum("n_docs", alias_name="n_docs"))
-           .sort(facet_col)
-           .to_pandas())
+    # the partials table is tiny (facets x blocks) — a pandas combine
+    # keeps NULL-group semantics identical to SQL without relying on
+    # the shuffle's null-key behavior
+    parts = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
+             .map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .to_pandas())
+    out = (parts.groupby(facet_col, dropna=False)["n_docs"].sum()
+           .reset_index().sort_values(facet_col, na_position="last")
+           .reset_index(drop=True))
     out["n_docs"] = out["n_docs"].astype("int64")
     return out
 
@@ -163,8 +184,9 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     j = fac.merge(sc, on="doc_id", how="inner")
     j = j.sort_values([facet_col, "score", "doc_id"],
                       ascending=[True, False, True])
-    head = j.groupby(facet_col, sort=False).head(k).reset_index(drop=True)
-    head["rank"] = head.groupby(facet_col).cumcount() + 1
+    head = (j.groupby(facet_col, sort=False, dropna=False).head(k)
+            .reset_index(drop=True))
+    head["rank"] = head.groupby(facet_col, dropna=False).cumcount() + 1
     out = head[[facet_col, "rank", "doc_id"]].copy()
     out["rank"] = out["rank"].astype("int64")
     out["doc_id"] = out["doc_id"].astype("int64")

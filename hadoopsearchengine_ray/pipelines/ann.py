@@ -26,8 +26,10 @@ import ray
 import ray.data as rd
 
 from ..functions.similarity import (
+    _adc_scan_fn,
+    _exact_rerank,
     _norm_rows,
-    _vec_matrix,
+    _rerank_candidate_ids,
     kmeans_centroids,
     pq_encode,
     pq_train,
@@ -120,44 +122,6 @@ class AnnIndex:
         q_ref = ray.put((luts, probe))
         r_cand = max(k, rerank * k)
         id_col = meta["id_col"]
-        jidx = np.arange(m)
-
-        def _scan(batch: pa.Table) -> pa.Table:
-            lu, pr = ray.get(q_ref)
-            # hive partition columns come back dictionary-encoded —
-            # cast decodes them before the numpy view
-            lists = (batch["list_id"].combine_chunks()
-                     .cast(pa.int64()).to_numpy(zero_copy_only=False))
-            ids = (batch[id_col].to_numpy(zero_copy_only=False)
-                   .astype(np.int64))
-            codes = (batch["code"].combine_chunks().flatten()
-                     .to_numpy(zero_copy_only=False)
-                     .reshape(len(ids), m).astype(np.int64, copy=False))
-            out_q, out_id, out_s = [], [], []
-            for qi in range(lu.shape[0]):
-                mask = np.isin(lists, pr[qi])
-                if not mask.any():
-                    continue
-                sim = lu[qi][jidx[None, :], codes[mask]].sum(axis=1)
-                sel = ids[mask]
-                kk = min(r_cand, len(sim))
-                if len(sim) > kk:
-                    kth = np.partition(sim, len(sim) - kk)[len(sim) - kk]
-                    part = np.flatnonzero(sim >= kth)
-                else:
-                    part = np.arange(len(sim))
-                out_q.append(np.full(len(part), qi, np.int64))
-                out_id.append(sel[part])
-                out_s.append(sim[part])
-            if not out_q:
-                return pa.table({"qid": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            return pa.table({
-                "qid": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "sim": pa.array(np.concatenate(out_s), pa.float64()),
-            })
 
         from ray.data.datasource.partitioning import (
             Partitioning,
@@ -177,27 +141,17 @@ class AnnIndex:
         cand = (rd.read_parquet(
                     os.path.join(self.index_dir, "codes"),
                     partition_filter=pf, partitioning=part)
-                .map_batches(_scan, batch_format="pyarrow",
+                .map_batches(_adc_scan_fn(q_ref, m, r_cand, id_col),
+                             batch_format="pyarrow",
                              zero_copy_batch=True)
                 .to_pandas())
 
-        top = (cand.sort_values(["qid", "sim", "vec_id"],
-                                ascending=[True, False, True])
-               .groupby("qid").head(r_cand))
-        cand_ids = sorted(int(x) for x in top["vec_id"].unique())
+        # exact re-rank against the SOURCE table: fetch only the
+        # bounded candidate set
+        cand_ids = _rerank_candidate_ids(cand, r_cand)
         vecs = (rd.read_parquet(meta["source"],
                                 columns=[id_col, meta["vec_col"]])
                 .filter(expr=f"{id_col} in {cand_ids}")
                 .to_pandas())
-        vm = _norm_rows(np.stack([np.asarray(v, np.float64)
-                                  for v in vecs[meta["vec_col"]]]))
-        pos = {int(v): i for i, v in enumerate(vecs[id_col].to_numpy())}
-        rows = []
-        for qi, g in top.groupby("qid"):
-            gid = g["vec_id"].to_numpy()
-            idx = np.array([pos[int(v)] for v in gid], np.int64)
-            exact = vm[idx] @ q[int(qi)]
-            order = np.lexsort((gid, -exact))[:k]
-            for rank, oi in enumerate(order, start=1):
-                rows.append((int(qi), rank, int(gid[oi])))
-        return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
+        return _exact_rerank(cand, vecs, q, k, r_cand, id_col,
+                             meta["vec_col"])
