@@ -1,6 +1,7 @@
 """Doc store / snippets / spell check / WavePass / query expansion."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -283,3 +284,26 @@ def test_more_like_this_returns_source_first(tmp_path, ray_session):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         more_like_this(path, doc_id=99)
+
+
+def test_facet_ops_keep_null_group(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import (
+        facet_counts,
+        facet_topk,
+    )
+
+    path = str(tmp_path / "nullfacet.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["cat dog", "cat bird", "cat fish", "nothing here"],
+        "lang": ["en", None, "fr", "en"],
+    }), path)
+    fc = facet_counts(path, ["cat"], facet_col="lang")
+    # SQL GROUP BY keeps the NULL group; NULLS LAST ordering
+    assert list(fc["n_docs"]) == [1, 1, 1]
+    assert list(fc["lang"])[:2] == ["en", "fr"] and pd.isna(fc["lang"].iloc[2])
+    ft = facet_topk(path, ["cat"], facet_col="lang", k=2)
+    assert 1 in set(ft["doc_id"])          # the NULL-lang doc survives
+    assert len(ft) == 3
