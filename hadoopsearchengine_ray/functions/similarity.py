@@ -334,27 +334,52 @@ def ivf_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
                              id_col, dim)
     assigned = ivf_assign(embeddings, cents, vec_col, id_col).materialize()
     q = _norm_rows(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (nq, nprobe)
     probe_union = np.unique(probe)
-    dsub = dim // m
-    # per-query ADC lookup tables: luts[qi, j, c] = q_sub(j) . codebook[j, c]
-    luts = np.einsum("qjd,jcd->qjc",
-                     q.reshape(len(q), m, dsub), cbs)
-    q_ref = ray.put((luts, probe))
-    r_cand = max(k, rerank * k)
+    q_ref = ray.put((q, probe))
 
-    flt = table.filter(
+    def _scan(batch: pa.Table) -> pa.Table:
+        qm, pr = ray.get(q_ref)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm_rows(_vec_matrix(batch[vec_col]))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(lists, pr[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ qm[qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(s))
+            if len(s) > kk:
+                kth = np.partition(s, len(s) - kk)[len(s) - kk]
+                part = np.flatnonzero(s >= kth)
+            else:
+                part = np.arange(len(s))
+            out_q.append(np.full(len(part), qi, np.int64))
+            out_id.append(sel_ids[part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    # prune whole blocks whose lists don't intersect the probe set
+    flt = assigned.filter(
         expr=f"list_id in {sorted(int(x) for x in probe_union)}")
-    cand = flt.map_batches(_adc_scan_fn(q_ref, m, r_cand, id_col),
-                           batch_format="pyarrow",
+    cand = flt.map_batches(_scan, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
-
-    # exact re-rank: fetch ONLY the candidate vectors (bounded: <= nq *
-    # rerank*k rows) and score them against the true query vectors
-    cand_ids = _rerank_candidate_ids(cand, r_cand)
-    vecs = (embeddings.filter(expr=f"{id_col} in {cand_ids}")
-            .to_pandas())
-    return _exact_rerank(cand, vecs, q, k, r_cand, id_col, vec_col)
+    rows = []
+    for qi, g in cand.groupby("qid"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, vid in enumerate(g["vec_id"], start=1):
+            rows.append((int(qi), rank, int(vid)))
+    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -561,63 +586,16 @@ def ivfpq_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
                      q.reshape(len(q), m, dsub), cbs)
     q_ref = ray.put((luts, probe))
     r_cand = max(k, rerank * k)
-    jj = np.arange(m)
-
-    def _scan(batch: pa.Table) -> pa.Table:
-        lu, pr = ray.get(q_ref)
-        lists = batch["list_id"].to_numpy(zero_copy_only=False)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = (batch["code"].combine_chunks().flatten()
-                 .to_numpy(zero_copy_only=False)
-                 .reshape(len(ids), m).astype(np.int64, copy=False))
-        out_q, out_id, out_s = [], [], []
-        for qi in range(lu.shape[0]):
-            mask = np.isin(lists, pr[qi])
-            if not mask.any():
-                continue
-            sim = lu[qi][jj[None, :], codes[mask]].sum(axis=1)
-            sel = ids[mask]
-            kk = min(r_cand, len(sim))
-            if len(sim) > kk:
-                kth = np.partition(sim, len(sim) - kk)[len(sim) - kk]
-                part = np.flatnonzero(sim >= kth)
-            else:
-                part = np.arange(len(sim))
-            out_q.append(np.full(len(part), qi, np.int64))
-            out_id.append(sel[part])
-            out_s.append(sim[part])
-        if not out_q:
-            return pa.table({"qid": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        return pa.table({
-            "qid": pa.array(np.concatenate(out_q), pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-            "sim": pa.array(np.concatenate(out_s), pa.float64()),
-        })
 
     flt = table.filter(
         expr=f"list_id in {sorted(int(x) for x in probe_union)}")
-    cand = flt.map_batches(_scan, batch_format="pyarrow",
+    cand = flt.map_batches(_adc_scan_fn(q_ref, m, r_cand, id_col),
+                           batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
 
     # exact re-rank: fetch ONLY the candidate vectors (bounded: <= nq *
     # rerank*k rows) and score them against the true query vectors
-    top = (cand.sort_values(["qid", "sim", "vec_id"],
-                            ascending=[True, False, True])
-           .groupby("qid").head(r_cand))
-    cand_ids = sorted(int(x) for x in top["vec_id"].unique())
+    cand_ids = _rerank_candidate_ids(cand, r_cand)
     vecs = (embeddings.filter(expr=f"{id_col} in {cand_ids}")
             .to_pandas())
-    vm = _norm_rows(np.stack([np.asarray(v, np.float64)
-                              for v in vecs[vec_col]]))
-    vid = vecs[id_col].to_numpy()
-    pos = {int(v): i for i, v in enumerate(vid)}
-    rows = []
-    for qi, g in top.groupby("qid"):
-        idx = np.array([pos[int(v)] for v in g["vec_id"]], np.int64)
-        exact = vm[idx] @ q[int(qi)]
-        order = np.lexsort((g["vec_id"].to_numpy()[0:], -exact))[:k]
-        for rank, oi in enumerate(order, start=1):
-            rows.append((int(qi), rank, int(g["vec_id"].to_numpy()[oi])))
-    return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
+    return _exact_rerank(cand, vecs, q, k, r_cand, id_col, vec_col)
