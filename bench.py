@@ -353,6 +353,27 @@ def run_bench() -> dict:
                    ksub=64, rerank=8)
     timings["ivfpq_knn"] = round(time.perf_counter() - t0, 3)
 
+    # persistent ANN index: one build, then repeated partition-pruned
+    # query reads (the serving-side number)
+    import tempfile as _tf
+
+    from hadoopsearchengine_ray.pipelines.ann import AnnIndex, build_ann_index
+    _ann_dir = _tf.mkdtemp(prefix="hse_bench_ann_")
+    t0 = time.perf_counter()
+    build_ann_index(f"{sf_dir}/embeddings.parquet", _ann_dir,
+                    num_lists=16, m=8, ksub=64)
+    timings["ann_index_build"] = round(time.perf_counter() - t0, 3)
+    _ann = AnnIndex(_ann_dir)
+    _ann.query(_qm, k=10, nprobe=12, rerank=8)   # warm
+    _lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _ann.query(_qm, k=10, nprobe=12, rerank=8)
+        _lat.append(time.perf_counter() - t0)
+    timings["ann_query_p50_ms"] = round(
+        float(np.percentile(np.array(_lat) * 1e3, 50)), 3)
+    shutil.rmtree(_ann_dir, ignore_errors=True)
+
     t0 = time.perf_counter()
     dedup.ngram_jaccard_pairs(docs, threshold=0.5, min_common=3).count()
     timings["ngram_jaccard"] = round(time.perf_counter() - t0, 3)
