@@ -66,10 +66,10 @@ def incremental_dedup(new_docs: rd.Dataset, existing_hashes: rd.Dataset,
     driver-materialized, so the indexed corpus can be 10^12 docs."""
 
     def _hash_new(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256((t or "").encode()).hexdigest()
-              for t in batch[text_col].to_pylist()]
+        from ..stages.ingest import sha256_hex_column
+
         return pa.table({
-            "h": pa.array(hs, pa.string()),
+            "h": sha256_hex_column(batch[text_col], null_to_empty=True),
             id_col: batch[id_col].cast(pa.int64()),
         })
 

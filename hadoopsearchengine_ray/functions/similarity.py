@@ -431,6 +431,15 @@ def pq_train(embeddings: rd.Dataset, m: int = 8, ksub: int = 256,
 
     train = (embeddings.map_batches(_pick, batch_format="pyarrow",
                                     batch_size=None).to_pandas())
+    if len(train) == 0:
+        # id spaces sharing a factor with the stride (e.g. all-odd ids
+        # after a re-key) can select nothing — fall back to the first
+        # `sample` rows, loudly
+        import sys
+
+        print(f"pq_train: id-strided sample empty (stride {stride}); "
+              f"falling back to limit({min(sample, n)})", file=sys.stderr)
+        train = embeddings.limit(min(sample, n)).to_pandas()
     x = _norm_rows(np.stack([np.asarray(v, np.float64)
                              for v in train[vec_col]]))
     dsub = dim // m
@@ -520,15 +529,20 @@ def _adc_scan_fn(q_ref, m: int, r_cand: int, id_col: str):
     return _scan
 
 
-def _exact_rerank(cand: pd.DataFrame, vecs: pd.DataFrame, q: np.ndarray,
-                  k: int, r_cand: int, id_col: str,
-                  vec_col: str) -> pd.DataFrame:
-    """Exact re-rank of the ADC candidates: keep each query's top
-    ``r_cand`` by approximate sim, score JUST those vectors exactly,
-    return (qid, rank, vec_id) with the (-score, vec_id) tie-break."""
-    top = (cand.sort_values(["qid", "sim", "vec_id"],
-                            ascending=[True, False, True])
-           .groupby("qid").head(r_cand))
+def _top_candidates(cand: pd.DataFrame, r_cand: int) -> pd.DataFrame:
+    """Each query's top-r_cand ADC rows by (sim DESC, vec_id) — computed
+    ONCE and shared by the id-fetch and the exact rerank (the tie-break
+    must not drift between them)."""
+    return (cand.sort_values(["qid", "sim", "vec_id"],
+                             ascending=[True, False, True])
+            .groupby("qid").head(r_cand))
+
+
+def _exact_rerank(top: pd.DataFrame, vecs: pd.DataFrame, q: np.ndarray,
+                  k: int, id_col: str, vec_col: str) -> pd.DataFrame:
+    """Exact re-rank of the pre-selected top candidates (from
+    _top_candidates): score JUST those vectors exactly, return
+    (qid, rank, vec_id) with the (-score, vec_id) tie-break."""
     vm = _norm_rows(np.stack([np.asarray(v, np.float64)
                               for v in vecs[vec_col]]))
     pos = {int(v): i for i, v in enumerate(vecs[id_col].to_numpy())}
@@ -543,12 +557,9 @@ def _exact_rerank(cand: pd.DataFrame, vecs: pd.DataFrame, q: np.ndarray,
     return pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
 
 
-def _rerank_candidate_ids(cand: pd.DataFrame, r_cand: int) -> list[int]:
-    """Distinct vec_ids appearing in any query's top-r_cand ADC list —
-    the bounded exact-rerank fetch set."""
-    top = (cand.sort_values(["qid", "sim", "vec_id"],
-                            ascending=[True, False, True])
-           .groupby("qid").head(r_cand))
+def _rerank_candidate_ids(top: pd.DataFrame) -> list[int]:
+    """Distinct vec_ids in the pre-selected top candidates — the
+    bounded exact-rerank fetch set."""
     return sorted(int(x) for x in top["vec_id"].unique())
 
 
@@ -595,7 +606,8 @@ def ivfpq_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
 
     # exact re-rank: fetch ONLY the candidate vectors (bounded: <= nq *
     # rerank*k rows) and score them against the true query vectors
-    cand_ids = _rerank_candidate_ids(cand, r_cand)
+    top = _top_candidates(cand, r_cand)
+    cand_ids = _rerank_candidate_ids(top)
     vecs = (embeddings.filter(expr=f"{id_col} in {cand_ids}")
             .to_pandas())
-    return _exact_rerank(cand, vecs, q, k, r_cand, id_col, vec_col)
+    return _exact_rerank(top, vecs, q, k, id_col, vec_col)

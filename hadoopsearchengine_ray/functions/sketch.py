@@ -105,6 +105,10 @@ def _hll_partial(col: str, p: int):
 
     def _h(batch: pa.Table) -> pa.Table:
         import pandas as pd
+        import pyarrow.compute as _pc
+        # count(DISTINCT col) ignores NULLs — drop them before hashing
+        # (a hashed NaN would register as one extra distinct value)
+        batch = batch.filter(_pc.is_valid(batch[col]))
         if batch.num_rows == 0:
             return pa.table({"reg": pa.array([], pa.binary())})
         h = pd.util.hash_pandas_object(
@@ -277,7 +281,11 @@ def hll_distinct_per_key(ds: rd.Dataset, key: str, col: str,
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
+        import pyarrow.compute as _pc
         k = batch[key].to_pandas().to_numpy()
+        # NULL col values don't count toward DISTINCT; NULL keys still
+        # form a group (SQL GROUP BY semantics)
+        valid = _pc.is_valid(batch[col]).to_numpy(zero_copy_only=False)
         h = pd.util.hash_pandas_object(
             batch[col].to_pandas(), index=False).to_numpy().astype(np.uint64)
         idx = (h >> np.uint64(bits)).astype(np.int64)
@@ -287,10 +295,13 @@ def hll_distinct_per_key(ds: rd.Dataset, key: str, col: str,
                            np.maximum(v, 1).astype(np.float64))).astype(np.int64),
                        bits + 1).astype(np.uint8)
         ks, blobs = [], []
-        for kv, gidx in pd.Series(np.arange(len(k))).groupby(k):
+        for kv, gidx in pd.Series(np.arange(len(k))).groupby(k, dropna=False):
             gi = gidx.to_numpy()
+            gi = gi[valid[gi]]
             reg = np.zeros(m, np.uint8)
             np.maximum.at(reg, idx[gi], rho[gi])
+            if kv is None or (isinstance(kv, float) and np.isnan(kv)):
+                kv = None
             ks.append(kv)
             blobs.append(reg.tobytes())
         return pa.table({key: pa.array(ks, batch[key].type),
@@ -334,9 +345,19 @@ def grouped_quantiles(ds: rd.Dataset, key: str, col: str, qs: list[float],
         k = batch[key].to_pandas()
         x = batch[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         ks, vs, ws = [], [], []
-        for kv, idx in pd.Series(np.arange(len(k))).groupby(k.to_numpy()):
+        for kv, idx in pd.Series(np.arange(len(k))).groupby(
+                k.to_numpy(), dropna=False):
+            if kv is None or (isinstance(kv, float) and np.isnan(kv)):
+                kv = None
             xi = x[idx.to_numpy()]
             xi = xi[~np.isnan(xi)]
+            if len(xi) == 0:
+                # all-NULL key: a zero-weight NaN sentinel keeps the key
+                # alive so _finish can emit its NULL-quantile row
+                ks.append(np.full(1, kv, dtype=object))
+                vs.append(np.array([np.nan]))
+                ws.append(np.array([0.0]))
+                continue
             v, w = _compact_weighted(xi, np.ones(len(xi)), capacity)
             ks.append(np.full(len(v), kv, dtype=object))
             vs.append(v)
@@ -354,6 +375,8 @@ def grouped_quantiles(ds: rd.Dataset, key: str, col: str, qs: list[float],
     def _finish(g: pa.Table) -> pa.Table:
         v = g["v"].to_numpy(zero_copy_only=False)
         w = g["w"].to_numpy(zero_copy_only=False)
+        real = ~np.isnan(v)          # drop all-NULL-key sentinels
+        v, w = v[real], w[real]
         order = np.argsort(v, kind="stable")
         v, w = v[order], w[order]
         cols = {key: g[key].slice(0, 1)}

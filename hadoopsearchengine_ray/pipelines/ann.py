@@ -30,6 +30,7 @@ from ..functions.similarity import (
     _exact_rerank,
     _norm_rows,
     _rerank_candidate_ids,
+    _top_candidates,
     kmeans_centroids,
     pq_encode,
     pq_train,
@@ -148,10 +149,10 @@ class AnnIndex:
 
         # exact re-rank against the SOURCE table: fetch only the
         # bounded candidate set
-        cand_ids = _rerank_candidate_ids(cand, r_cand)
+        top = _top_candidates(cand, r_cand)
+        cand_ids = _rerank_candidate_ids(top)
         vecs = (rd.read_parquet(meta["source"],
                                 columns=[id_col, meta["vec_col"]])
                 .filter(expr=f"{id_col} in {cand_ids}")
                 .to_pandas())
-        return _exact_rerank(cand, vecs, q, k, r_cand, id_col,
-                             meta["vec_col"])
+        return _exact_rerank(top, vecs, q, k, id_col, meta["vec_col"])

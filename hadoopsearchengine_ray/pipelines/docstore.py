@@ -246,7 +246,14 @@ def _dedup_by_fingerprint(doc_ids, scores, content: dict,
     seen: set[int] = set()
     out = []
     for d, s in zip(doc_ids, scores):
-        rec = content.get(int(d), {})
+        rec = content.get(int(d))
+        if rec is None:
+            # doc missing from the store (stale store vs index): its
+            # content is UNKNOWN, not empty — treat it as unique rather
+            # than collapsing every missing doc onto the empty-string
+            # fingerprint and dropping all but the first
+            out.append((int(d), float(s)))
+            continue
         fp = fingerprint_py(tokenize_py(rec.get(text_col, "") or ""))
         if fp in seen:
             continue

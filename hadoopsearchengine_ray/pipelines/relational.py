@@ -276,7 +276,9 @@ def cumsum_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
         if len(v) == 0:
             df[alias] = v
             return df
-        k = df[key].to_numpy()
+        # factorize treats all NULL keys as ONE code (SQL's NULL
+        # partition); raw != comparison would split them since NaN != NaN
+        k = pd.factorize(df[key], use_na_sentinel=False)[0]
         cum = np.cumsum(v)
         # subtract the cumulative total just before each key's segment
         # (segment-id indexing — valid for negative values too, unlike
@@ -320,7 +322,9 @@ def lag_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
         if len(df) == 0:
             df[alias] = df[value_col]
             return df
-        k = df[key].to_numpy()
+        # factorized codes: NULL keys are one partition (SQL LAG
+        # semantics); NaN != NaN would null every in-partition lag
+        k = pd.factorize(df[key], use_na_sentinel=False)[0]
         shifted = df[value_col].shift(offset)
         # null out values pulled across a key boundary
         ksh = pd.Series(k).shift(offset).to_numpy()
@@ -352,7 +356,10 @@ def rank_per_key(ds: rd.Dataset, key: str, order_col: str,
 
     def _rank(g: pa.Table) -> pd.DataFrame:
         df = g.drop_columns(["__bucket"]).to_pandas()
-        grp = df.groupby(key)[order_col]
+        # dropna=False: NULL keys form one partition (SQL PARTITION BY
+        # semantics); the default would NaN their ranks and break the
+        # int64 cast
+        grp = df.groupby(key, dropna=False)[order_col]
         df["rnk"] = grp.rank(method="min",
                              ascending=not descending).astype("int64")
         df["drnk"] = grp.rank(method="dense",

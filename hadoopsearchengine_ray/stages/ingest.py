@@ -107,15 +107,25 @@ def zip_with_index(ds: rd.Dataset, sort_keys: list[str] | None = None,
                                check_dup_keys=list(sort_keys))
 
 
+def sha256_hex_column(col, null_to_empty: bool = False) -> pa.Array:
+    """sha256 hexdigest per row of a string column — THE content-hash
+    kernel (add_sha256 and incremental_dedup must hash identically or
+    the ingestion anti-join silently stops matching).  ``null_to_empty``
+    hashes NULL text as "" (dedup gate semantics); False keeps NULL."""
+    hashes = [hashlib.sha256(v.encode()).hexdigest() if v is not None
+              else (hashlib.sha256(b"").hexdigest() if null_to_empty
+                    else None)
+              for v in col.to_pylist()]
+    return pa.array(hashes, pa.string())
+
+
 def add_sha256(ds: rd.Dataset, text_col: str = "content",
                out_col: str = "sha256") -> rd.Dataset:
     """Per-row sha256 hex of the text column (the north-rule invariant:
     content sha256 equality vs the reference corpus)."""
 
     def _hash(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        hashes = [hashlib.sha256(v.encode()).hexdigest() if v is not None else None
-                  for v in col.to_pylist()]
-        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+        return batch.append_column(
+            out_col, sha256_hex_column(batch[text_col]))
 
     return ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)

@@ -156,3 +156,36 @@ def test_bloom_semi_join_matches_plain_semi_join():
     assert set(out["k"]) == exp
     assert len(out) == 4000 // 100 * len(exp)
     assert sorted(out.columns) == ["k", "v"]
+
+
+def test_null_semantics_windows_and_sketches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hadoopsearchengine_ray.functions import sketch as sk
+    from hadoopsearchengine_ray.pipelines.relational import (
+        cumsum_per_key,
+        lag_per_key,
+        rank_per_key,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, None, "a"], pa.string()),
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([10.0, 5.0, 7.0, 20.0]),
+    }))
+    # NULL keys form ONE partition everywhere (SQL PARTITION BY/GROUP BY)
+    r = rank_per_key(ds, "k", "v").to_pandas().sort_values("id")
+    assert list(r["rnk"]) == [2, 2, 1, 1]
+    c = cumsum_per_key(ds, "k", ["id"], "v").to_pandas().sort_values("id")
+    assert list(c["running_total"]) == [10.0, 5.0, 12.0, 30.0]
+    lg = lag_per_key(ds, "k", ["id"], "v").to_pandas().sort_values("id")
+    assert lg["lagged"].iloc[2] == 5.0 and lg["lagged"].iloc[3] == 10.0
+    h = sk.hll_distinct_per_key(ds, "k", "v", p=12).to_pandas()
+    assert len(h) == 2          # the NULL-key group survives
+    q = sk.grouped_quantiles(ds, "k", "v", [0.5]).to_pandas()
+    assert len(q) == 2
+    # count(DISTINCT col) ignores NULL values
+    g = sk.hll_distinct(rd.from_arrow(pa.table(
+        {"x": pa.array(["a", None, None], pa.string())})), "x", p=12)
+    assert round(g) == 1
