@@ -1169,8 +1169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
                                     tbl["embedding"].to_pylist())}
         qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+        # rerank=16: on these near-random synthetic embeddings the ADC
+        # ordering is noisy (no cluster structure for PQ to exploit), so
+        # the exact-rerank pool must be deeper — at 2k vectors rerank=8
+        # left true neighbors outside the top-80 ADC candidates
         out = similarity.ivfpq_knn(_emb(sf), qm, k=10, nprobe=12,
-                                   num_lists=16, m=8, ksub=64, rerank=8)
+                                   num_lists=16, m=8, ksub=64, rerank=16)
         exact = similarity.knn_cosine(_emb(sf), qm, k=10)
         rec = []
         for qi in range(len(KNN_QUERY_IDS)):
@@ -1204,9 +1208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
                                     tbl["embedding"].to_pylist())}
         qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
-        out = AnnIndex(idx_dir).query(qm, k=10, nprobe=12, rerank=8)
+        out = AnnIndex(idx_dir).query(qm, k=10, nprobe=12, rerank=16)
         fly = similarity.ivfpq_knn(_emb(sf), qm, k=10, nprobe=12,
-                                   num_lists=16, m=8, ksub=64, rerank=8)
+                                   num_lists=16, m=8, ksub=64, rerank=16)
         for qi in range(len(KNN_QUERY_IDS)):
             a = list(out[out.qid == qi].sort_values("rank").vec_id)
             b = list(fly[fly.qid == qi].sort_values("rank").vec_id)

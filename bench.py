@@ -350,7 +350,7 @@ def run_bench() -> dict:
                            columns=["vec_id", "embedding"])
     t0 = time.perf_counter()
     _sim.ivfpq_knn(_emb, _qm, k=10, nprobe=12, num_lists=16, m=8,
-                   ksub=64, rerank=8)
+                   ksub=64, rerank=16)
     timings["ivfpq_knn"] = round(time.perf_counter() - t0, 3)
 
     # persistent ANN index: one build, then repeated partition-pruned
@@ -364,11 +364,11 @@ def run_bench() -> dict:
                     num_lists=16, m=8, ksub=64)
     timings["ann_index_build"] = round(time.perf_counter() - t0, 3)
     _ann = AnnIndex(_ann_dir)
-    _ann.query(_qm, k=10, nprobe=12, rerank=8)   # warm
+    _ann.query(_qm, k=10, nprobe=12, rerank=16)   # warm
     _lat = []
     for _ in range(10):
         t0 = time.perf_counter()
-        _ann.query(_qm, k=10, nprobe=12, rerank=8)
+        _ann.query(_qm, k=10, nprobe=12, rerank=16)
         _lat.append(time.perf_counter() - t0)
     timings["ann_query_p50_ms"] = round(
         float(np.percentile(np.array(_lat) * 1e3, 50)), 3)
