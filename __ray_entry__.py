@@ -1197,27 +1197,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             build_ann_index,
         )
 
+        import shutil
         import tempfile
 
         # per-run tempdir: a fixed shared path would let two concurrent
-        # driver runs rmtree each other's index mid-read
+        # driver runs rmtree each other's index mid-read; removed on exit
+        # (a leak here left an hse_ann_index_* dir per driver run)
         idx_dir = tempfile.mkdtemp(prefix="hse_ann_index_")
-        build_ann_index(f"{sf}/embeddings.parquet", idx_dir,
-                        num_lists=16, m=8, ksub=64)
-        tbl = pq.read_table(f"{sf}/embeddings.parquet")
-        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
-                                    tbl["embedding"].to_pylist())}
-        qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
-        out = AnnIndex(idx_dir).query(qm, k=10, nprobe=12, rerank=16)
-        fly = similarity.ivfpq_knn(_emb(sf), qm, k=10, nprobe=12,
-                                   num_lists=16, m=8, ksub=64, rerank=16)
-        for qi in range(len(KNN_QUERY_IDS)):
-            a = list(out[out.qid == qi].sort_values("rank").vec_id)
-            b = list(fly[fly.qid == qi].sort_values("rank").vec_id)
-            if a != b:
-                raise AssertionError(
-                    f"ann_index self-check: persisted != on-the-fly for "
-                    f"query {qi}: {a} vs {b}")
+        try:
+            build_ann_index(f"{sf}/embeddings.parquet", idx_dir,
+                            num_lists=16, m=8, ksub=64)
+            tbl = pq.read_table(f"{sf}/embeddings.parquet")
+            lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                        tbl["embedding"].to_pylist())}
+            qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+            out = AnnIndex(idx_dir).query(qm, k=10, nprobe=12, rerank=16)
+            fly = similarity.ivfpq_knn(_emb(sf), qm, k=10, nprobe=12,
+                                       num_lists=16, m=8, ksub=64, rerank=16)
+            for qi in range(len(KNN_QUERY_IDS)):
+                a = list(out[out.qid == qi].sort_values("rank").vec_id)
+                b = list(fly[fly.qid == qi].sort_values("rank").vec_id)
+                if a != b:
+                    raise AssertionError(
+                        f"ann_index self-check: persisted != on-the-fly "
+                        f"for query {qi}: {a} vs {b}")
+            # serving tier: the pinned-actor pool must be rank-identical
+            # to the per-query-Dataset path it replaces
+            from hadoopsearchengine_ray.pipelines.ann import AnnPool
+
+            pool = AnnPool(idx_dir, num_owners=2)
+            try:
+                pooled = pool.query(qm, k=10, nprobe=12, rerank=16)
+            finally:
+                pool.shutdown()
+            for qi in range(len(KNN_QUERY_IDS)):
+                a = list(out[out.qid == qi].sort_values("rank").vec_id)
+                b = list(pooled[pooled.qid == qi].sort_values("rank").vec_id)
+                if a != b:
+                    raise AssertionError(
+                        f"ann_index self-check: pool != dataset path for "
+                        f"query {qi}: {a} vs {b}")
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
         out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
         return out
 

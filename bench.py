@@ -372,6 +372,20 @@ def run_bench() -> dict:
         _lat.append(time.perf_counter() - t0)
     timings["ann_query_p50_ms"] = round(
         float(np.percentile(np.array(_lat) * 1e3, 50)), 3)
+
+    # pinned ANN serving pool (round-4): list-owner actors hold codes +
+    # rerank vectors in RAM — no per-query Ray Dataset job
+    from hadoopsearchengine_ray.pipelines.ann import AnnPool
+    _pool = AnnPool(_ann_dir, num_owners=4)
+    _pool.query(_qm, k=10, nprobe=12, rerank=16)   # warm
+    _lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        _pool.query(_qm, k=10, nprobe=12, rerank=16)
+        _lat.append(time.perf_counter() - t0)
+    timings["ann_pool_p50_ms"] = round(
+        float(np.percentile(np.array(_lat) * 1e3, 50)), 3)
+    _pool.shutdown()
     shutil.rmtree(_ann_dir, ignore_errors=True)
 
     t0 = time.perf_counter()

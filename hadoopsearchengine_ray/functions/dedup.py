@@ -968,7 +968,16 @@ def dup_span_stats(docs: rd.Dataset, text_col: str = "text", n: int = 8,
     sort + group-size scan + np.unique per bucket) before the final
     tiny per-doc sum — the pair-explosion-free analog of
     shingle_overlap_pairs.  Reference analog: the duplicate-excerpt
-    checksum walk of CompileRankedList.h:203-242 applied corpus-wide."""
+    checksum walk of CompileRankedList.h:203-242 applied corpus-wide.
+
+    Caveat: grams compare by 64-bit rolling hash, so hash collisions
+    count as real duplicates — unlike shingle_overlap_pairs (where a
+    collision only adds a verified-later candidate pair), a collision
+    here flows straight into ``dup_grams``.  Expected overcount is
+    ~distinct_grams^2 / 2^65 spread over the corpus — negligible below
+    ~2^32 distinct grams; past that (the 10^12-doc regime), carry the
+    gram STRING through the bucketed exchange instead (the shape the
+    contamination pipeline already uses) when exact counts matter."""
     from ray.data.aggregate import Sum
 
     sh = _bucketed_shingles(docs, text_col, n, num_buckets)

@@ -265,6 +265,9 @@ def kmeans_centroids(embeddings: rd.Dataset, k: int = 64, iters: int = 5,
     import pyarrow.compute as pc
 
     n = embeddings.count()
+    if n == 0:
+        raise ValueError("kmeans_centroids: empty embeddings dataset — "
+                         "nothing to train the coarse quantizer on")
     stride = max(1, n // k)
 
     def _seed(batch: pa.Table) -> pa.Table:
@@ -423,6 +426,9 @@ def pq_train(embeddings: rd.Dataset, m: int = 8, ksub: int = 256,
         raise ValueError(f"ksub {ksub} > 256: codes are uint8 "
                          f"(1 byte per subspace by design)")
     n = embeddings.count()
+    if n == 0:
+        raise ValueError("pq_train: empty embeddings dataset — nothing "
+                         "to train the PQ codebooks on")
     stride = max(1, n // max(1, min(sample, n)))
 
     def _pick(batch: pa.Table) -> pa.Table:
@@ -563,6 +569,15 @@ def _rerank_candidate_ids(top: pd.DataFrame) -> list[int]:
     return sorted(int(x) for x in top["vec_id"].unique())
 
 
+def _empty_knn_frame() -> pd.DataFrame:
+    """Typed empty (qid, rank, vec_id) result — the zero-candidate edge
+    (empty corpus / all-empty probed lists) returns this instead of
+    letting an `in []` filter + np.stack([]) die downstream."""
+    return pd.DataFrame({"qid": pd.array([], dtype="int64"),
+                         "rank": pd.array([], dtype="int64"),
+                         "vec_id": pd.array([], dtype="int64")})
+
+
 
 def ivfpq_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
               nprobe: int = 8, num_lists: int = 16, m: int = 8,
@@ -607,6 +622,8 @@ def ivfpq_knn(embeddings: rd.Dataset, queries: np.ndarray, k: int = 10,
     # exact re-rank: fetch ONLY the candidate vectors (bounded: <= nq *
     # rerank*k rows) and score them against the true query vectors
     top = _top_candidates(cand, r_cand)
+    if top.empty:
+        return _empty_knn_frame()
     cand_ids = _rerank_candidate_ids(top)
     vecs = (embeddings.filter(expr=f"{id_col} in {cand_ids}")
             .to_pandas())

@@ -274,8 +274,11 @@ def hll_distinct_per_key(ds: rd.Dataset, key: str, col: str,
     The exchange is O(batches x keys-per-batch x 2^p) bytes, independent
     of the per-key row count (the exact path shuffles every distinct
     (key, value) pair).  Returns (key, n_distinct_est: float64)."""
-    if not 8 <= p <= 16:
-        raise ValueError("p must be in [8, 16] for the per-key form")
+    # p >= 12 keeps v < 2^52, where the shared float64-log2 rho kernel
+    # is exact (same invariant hll_registers states); p in [8, 12) would
+    # admit one-ulp rho off-by-ones near powers of two
+    if not 12 <= p <= 16:
+        raise ValueError("p must be in [12, 16] for the per-key form")
     m = 1 << p
     bits = 64 - p
 

@@ -346,7 +346,13 @@ def rank_per_key(ds: rd.Dataset, key: str, order_col: str,
     order_col [DESC])`` in one pass — appends int64 ``rnk`` (ties share
     the min rank, gaps after) and ``drnk`` (no gaps) columns.  Same
     bucket composition as the other window ops: one hash shuffle, one
-    lexsort + two vectorized pandas ranks per bucket."""
+    lexsort + two vectorized pandas ranks per bucket.
+
+    NULL ``order_col`` values are REJECTED (ValueError): pandas rank()
+    would NaN them and the int64 cast would raise obscurely, and SQL
+    engines disagree on NULL placement (DuckDB: NULLS LAST for DESC);
+    callers with nullable order columns must fill or filter first so
+    the semantics stay explicit."""
 
     def _bucket(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
@@ -356,6 +362,11 @@ def rank_per_key(ds: rd.Dataset, key: str, order_col: str,
 
     def _rank(g: pa.Table) -> pd.DataFrame:
         df = g.drop_columns(["__bucket"]).to_pandas()
+        if df[order_col].isna().any():
+            raise ValueError(
+                f"rank_per_key: NULL values in order column "
+                f"{order_col!r}; fill or filter them first (see "
+                "docstring — NULL ordering is engine-specific)")
         # dropna=False: NULL keys form one partition (SQL PARTITION BY
         # semantics); the default would NaN their ranks and break the
         # int64 cast

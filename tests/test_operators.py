@@ -833,6 +833,67 @@ def test_ann_index_persist_and_query(tmp_path):
     assert len(parts) > 1
 
 
+def test_ann_pool_rank_identical_to_dataset_path(tmp_path):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.ann import (
+        AnnIndex,
+        AnnPool,
+        build_ann_index,
+    )
+
+    rng = np.random.default_rng(47)
+    m = rng.standard_normal((600, 32))
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(600), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    }), src)
+    idx_dir = str(tmp_path / "annidx")
+    build_ann_index(src, idx_dir, num_lists=8, m=8, ksub=32, dim=32)
+
+    q = m[5:9]
+    base = AnnIndex(idx_dir).query(q, k=10, nprobe=6, rerank=8)
+    pool = AnnPool(idx_dir, num_owners=3)
+    try:
+        got = pool.query(q, k=10, nprobe=6, rerank=8)
+        for qi in range(len(q)):
+            assert list(got[got.qid == qi].sort_values("rank").vec_id) == \
+                list(base[base.qid == qi].sort_values("rank").vec_id)
+        # zero-candidate edge: nprobe=1 against a far-away query can still
+        # hit; force the empty path with an empty probe by querying with
+        # k on a pool over an index whose lists all miss is hard to set
+        # up deterministically — instead check a second call reuses the
+        # pinned state (no rebuild) and stays identical
+        again = pool.query(q, k=10, nprobe=6, rerank=8)
+        assert again.equals(got)
+    finally:
+        pool.shutdown()
+
+
+def test_ann_empty_candidates_returns_typed_empty():
+    # zero-candidate edges (ADVICE r3): an empty corpus fails LOUDLY at
+    # quantizer training (not an obscure np.stack crash downstream), and
+    # an empty ADC candidate set returns the typed empty frame
+    import pytest
+
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    with pytest.raises(ValueError, match="empty embeddings"):
+        similarity.ivfpq_knn(emb, np.zeros((1, 32)), k=5, nprobe=2,
+                             num_lists=2, m=8, ksub=16, dim=32)
+    import pandas as pd
+    top = similarity._top_candidates(
+        pd.DataFrame({"qid": pd.array([], dtype="int64"),
+                      "vec_id": pd.array([], dtype="int64"),
+                      "sim": pd.array([], dtype="float64")}), 10)
+    assert top.empty
+    out = similarity._empty_knn_frame()
+    assert list(out.columns) == ["qid", "rank", "vec_id"] and len(out) == 0
+
+
 def test_rank_per_key_matches_sql_semantics():
     from hadoopsearchengine_ray.pipelines.relational import rank_per_key
 
