@@ -369,6 +369,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return facet_topk(f"{sf}/documents.parquet", BM25_TERMS,
                           facet_col="lang", k=3)
 
+    def q_facet_topk_hot(sf):
+        # the stopword-scale regime: a hot term ('data' matches most of
+        # the corpus) forced onto the BIG dispatch path
+        # (driver_merge_threshold=0) — per-facet heads combine map-side,
+        # the matched set never lands on the driver.  Same oracle shape
+        # as facet_topk (both paths are rank-identical by contract).
+        from hadoopsearchengine_ray.functions.search import facet_topk
+
+        return facet_topk(f"{sf}/documents.parquet", ["data"],
+                          facet_col="lang", k=3,
+                          driver_merge_threshold=0)
+
     def q_bm25_prefix(sf):
         # wildcard search: 'wind*' + 'mer*' expand against the
         # dictionary (binary-search range scan), union scored as
@@ -1789,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix_topk": q_bm25_prefix,
         "autocomplete": q_autocomplete,
         "facet_topk": q_facet_topk,
+        "facet_topk_hot": q_facet_topk_hot,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
@@ -2188,6 +2201,39 @@ def oracle_sql() -> dict[str, str]:
             ),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            rk AS (
+              SELECT documents.lang, sc.doc_id,
+                     row_number() OVER (PARTITION BY documents.lang
+                                        ORDER BY s DESC, sc.doc_id) AS rank
+              FROM sc JOIN documents USING (doc_id)
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM rk WHERE rank <= 3 ORDER BY lang, rank
+        """,
+        # same contract on the forced BIG dispatch path (hot term 'data',
+        # map-side per-facet heads): the SQL doesn't care which path ran
+        "facet_topk_hot": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES ('data')),
             sc AS (
               SELECT tf.doc_id,
                      sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)

@@ -149,39 +149,61 @@ def facet_counts(parquet_path: str, terms: list[str],
 
 
 def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
-               k: int = 3, text_col: str = "text") -> pd.DataFrame:
+               k: int = 3, text_col: str = "text",
+               driver_merge_threshold: int = 200_000) -> pd.DataFrame:
     """Grouped retrieval: the BM25 top-``k`` docs PER FACET VALUE for a
     disjunctive term query (the 'best hits in every category' panel).
 
     Shape: the exact scorer ranks every matched doc once (work ~ sum of
     the query terms' dfs — the same bounded regime as facet_counts),
-    the facet column for JUST the matched ids comes from a pruned
-    (doc_id, facet) scan + vectorized isin, and the per-facet heads are
-    one vectorized sort + groupby-head over the matched set.  Returns
-    (facet, rank, doc_id) with rank per facet by (score DESC, doc_id) —
-    the same tie-break contract as bm25_topk."""
+    then SIZE-DISPATCHES (round-4, closing the r3 driver-materialization
+    mark): matched sets up to ``driver_merge_threshold`` take the small
+    path (pruned (doc_id, facet) scan to the driver + one vectorized
+    sort/groupby-head); above it — a stopword-scale term — the matched
+    (doc_id, score) pairs are BROADCAST once and each batch of the
+    (doc_id, facet) scan emits only its LOCAL per-facet top-k (top-k per
+    facet distributes over batch union), so the driver sees
+    facets x k x blocks rows, never the matched set.  Both paths are
+    oracle-identical (same final sort, asserted by the facet_topk /
+    facet_topk_hot driver queries).  Returns (facet, rank, doc_id) with
+    rank per facet by (score DESC, doc_id) — the bm25_topk tie-break."""
     import ray
     import ray.data as rd
 
     index_dir = index_for(parquet_path, text_col=text_col)
     scorer = BM25Scorer(index_dir)
     docs, scores = scorer.score_exact(terms, 1 << 62)   # all matched, sorted
-    m_ref = ray.put(np.asarray(docs, np.int64))
+    order = np.argsort(docs)
+    docs_s = np.asarray(docs, np.int64)[order]
+    scores_s = np.asarray(scores, np.float64)[order]
+    m_ref = ray.put((docs_s, scores_s))
+    small = len(docs_s) <= driver_merge_threshold
 
-    def _attach(batch: pa.Table) -> pa.Table:
-        mm = ray.get(m_ref)
-        keep = np.isin(
-            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-            mm)
-        return batch.filter(pa.array(keep))
+    def _attach(batch: pa.Table):
+        dd, ss = ray.get(m_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(dd):
+            pos = np.searchsorted(dd, ids)
+            pos[pos == len(dd)] = 0
+            hit = dd[pos] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        sub = batch.filter(pa.array(hit)).to_pandas()
+        sub["score"] = ss[np.searchsorted(dd, ids[hit])] if hit.any() \
+            else np.empty(0, np.float64)
+        if small:
+            return sub
+        # big path: map-side combine — each batch keeps only its local
+        # per-facet heads (global top-k per facet is contained in the
+        # union of local top-ks; ties cut by the same deterministic sort)
+        sub = sub.sort_values([facet_col, "score", "doc_id"],
+                              ascending=[True, False, True])
+        return sub.groupby(facet_col, sort=False, dropna=False).head(k)
 
-    fac = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
-           .map_batches(_attach, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .to_pandas())
-    sc = pd.DataFrame({"doc_id": np.asarray(docs, np.int64),
-                       "score": scores})
-    j = fac.merge(sc, on="doc_id", how="inner")
+    j = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
+         .map_batches(_attach, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .to_pandas())
     j = j.sort_values([facet_col, "score", "doc_id"],
                       ascending=[True, False, True])
     head = (j.groupby(facet_col, sort=False, dropna=False).head(k)

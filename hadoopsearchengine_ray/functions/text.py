@@ -388,23 +388,41 @@ def token_count_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 def lang_id_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Stopword-vote language ID: argmax language by stopword hits,
-    ties broken by language code asc, no hits -> 'und'."""
-    sw = {}
-    for term, lang in LANG_STOPWORDS:
-        sw.setdefault(term, []).append(lang)
+    ties broken by language code asc, no hits -> 'und'.
+
+    Vectorized (round-4, replacing the per-row per-token Python loop):
+    one flat-token dictionary-encode per batch, then per language ONE
+    ``pc.is_in`` membership test over the batch's DISTINCT terms
+    (vocabulary-bounded) propagated to occurrences by a code gather +
+    bincount per doc — no Python in the hot map stage."""
+    from .._tokflat import flat_token_view
+
     langs = sorted({l for _, l in LANG_STOPWORDS})
-    lang_ix = {l: i for i, l in enumerate(langs)}
+    lang_terms = {
+        l: pa.array(sorted(t for t, ll in LANG_STOPWORDS if ll == l))
+        for l in langs
+    }
+    lang_arr = np.asarray(langs, object)
 
     def _langid(batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch[text_col])
-        out = []
-        for tl in toks.to_pylist():
-            votes = [0] * len(langs)
-            for t in tl:
-                for l in sw.get(t, ()):
-                    votes[lang_ix[l]] += 1
-            best = max(range(len(langs)), key=lambda i: (votes[i], -i))
-            out.append(langs[best] if votes[best] > 0 else "und")
+        counts, d, codes, doc_idx = flat_token_view(toks)
+        ndoc = len(counts)
+        votes = np.zeros((ndoc, len(langs)), np.int64)
+        if len(codes):
+            for li, l in enumerate(langs):
+                hit = pc.is_in(d.dictionary,
+                               value_set=lang_terms[l]).to_numpy(
+                                   zero_copy_only=False)
+                tok_hit = hit[codes]
+                if tok_hit.any():
+                    votes[:, li] = np.bincount(doc_idx[tok_hit],
+                                               minlength=ndoc)
+        # argmax returns the FIRST max — langs are sorted asc, matching
+        # the (votes desc, lang asc) tie-break of the SQL oracle
+        best = votes.argmax(axis=1)
+        has = votes[np.arange(ndoc), best] > 0
+        out = np.where(has, lang_arr[best], "und")
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "lang_pred": pa.array(out, pa.string()),
@@ -766,15 +784,28 @@ def keyword_pagerank(docs: rd.Dataset, text_col: str = "text",
     state_ref = ray.put((kid, dict(zip(deg["src_kw"], deg["deg"]))))
 
     def _ids(batch: pa.Table) -> pa.Table:
+        # vocabulary-bounded attach (round-4, replacing the per-ROW dict
+        # mapping): only each batch's DISTINCT keywords pass through the
+        # broadcast id/degree maps; rows are a vectorized code gather
         kmap, dmap = ray.get(state_ref)
-        src = batch["src_kw"].to_pylist()
-        dst = batch["dst_kw"].to_pylist()
+        s = batch["src_kw"].combine_chunks().dictionary_encode()
+        t = batch["dst_kw"].combine_chunks().dictionary_encode()
+        si = s.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        s_terms = s.dictionary.to_pylist()
+        t_terms = t.dictionary.to_pylist()
+        s_ids = np.fromiter((kmap[x] for x in s_terms), np.uint64,
+                            len(s_terms))
+        t_ids = np.fromiter((kmap[x] for x in t_terms), np.uint64,
+                            len(t_terms))
+        s_deg = np.fromiter((dmap[x] for x in s_terms), np.float64,
+                            len(s_terms))
         cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
-        degs = np.fromiter((dmap[s] for s in src), np.float64, len(src))
         return pa.table({
-            "src": pa.array([kmap[s] for s in src], pa.uint64()),
-            "dst": pa.array([kmap[t] for t in dst], pa.uint64()),
-            "weight": pa.array((cnt / degs).astype(np.float32), pa.float32()),
+            "src": pa.array(s_ids[si], pa.uint64()),
+            "dst": pa.array(t_ids[ti], pa.uint64()),
+            "weight": pa.array((cnt / s_deg[si]).astype(np.float32),
+                               pa.float32()),
         })
 
     links = edges.map_batches(_ids, batch_format="pyarrow", batch_size=None)

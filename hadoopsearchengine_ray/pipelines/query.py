@@ -464,9 +464,16 @@ class BM25Scorer:
             i += 1
         tdocs = (np.concatenate(parts) if parts
                  else np.empty(0, np.int64))
-        # phase 2: non-essential terms — decoded only where candidates live
+        # phase 2: non-essential terms — decoded only where candidates
+        # live.  Skip blocks / decoded postings carry GLOBAL doc ids;
+        # a range reader's dense arrays and candidates are LOCAL
+        # (global - doc_lo), so translate at the boundary — the pool's
+        # range owners get the same phase-2 pruning as the full reader
+        # (round-4; parity asserted in tests/test_pool.py)
+        lo = np.int64(getattr(r, "doc_lo", 0))
         if i < len(infos):
             cand = tdocs[scores[tdocs] + rem[i - 1] >= theta] if n_touched >= k else tdocs
+            cand_g = (cand + lo).astype(np.uint64)
             for j in range(i, len(infos)):
                 _, w, t, _, _ = infos[j]
                 rows = r.posting_rows(t)
@@ -475,7 +482,7 @@ class BM25Scorer:
                     if len(sd) == 0:
                         continue
                     # blocks whose doc range intersects a candidate
-                    blk = np.unique(np.searchsorted(sd, cand.astype(np.uint64)))
+                    blk = np.unique(np.searchsorted(sd, cand_g))
                     blk = blk[blk < len(sd)]
                     if len(blk) == 0:
                         continue
@@ -483,8 +490,10 @@ class BM25Scorer:
                         row["doc_blob"], row["tf_blob"], row["df"], blk,
                         sd, row["skip_doc_off"], row["skip_tf_off"],
                     )
-                    d = d.astype(np.int64)
-                    keep = touched[d]
+                    d = d.astype(np.int64) - lo
+                    inb = (d >= 0) & (d < r.doc_space)
+                    keep = np.zeros(len(d), bool)
+                    keep[inb] = touched[d[inb]]
                     d, tf = d[keep], tf[keep].astype(np.float64)
                     if len(d) == 0:
                         continue
@@ -496,10 +505,7 @@ class BM25Scorer:
     def score(self, terms: list[str], k: int):
         if self.pr is not None:
             return self.score_blended(terms, k)
-        if self.use_maxscore and not getattr(self.rd, "is_range", False):
-            # MaxScore's phase-2 block slicing works in GLOBAL doc ids;
-            # range readers serve the exact dense path over their slice
-            # (already 1/num_ranges of the work)
+        if self.use_maxscore:
             return self.score_maxscore(terms, k)
         return self.score_exact(terms, k)
 
