@@ -396,6 +396,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_expanded_topk(sf):
+        # query-time association expansion (reference TextStringServer):
+        # 'merge' pulls in its top-2 adjacent-bigram partners at 0.5x
+        # weight; scored on the exact dense path.  Oracle = the bigram
+        # association CTE feeding a weighted BM25 sum.
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.functions.text import association_map
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        assoc = association_map(_docs(sf), top_m=2)
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_expanded(["merge"], 10, assoc,
+                                     discount=0.5, per_term=2)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_incremental_dedup(sf):
         # continual ingestion: incoming batch = fresh docs (last 20%)
         # + mirrors of every 10th existing doc (re-id'd); survivors =
@@ -1782,6 +1800,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               frames_per_clip=4)
 
     return {
+    # Ordering = driver-verification priority (the driver samples a
+    # PREFIX of this dict): first the queries never yet recorded in a
+    # driver CORRECTNESS file plus everything new/changed this round,
+    # then queries last driver-checked in r01/r02, then the r03-green
+    # set.  Coverage rotates: every query lands in a driver file.
+        "dup_spans": q_dup_spans,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ivfpq_knn": q_ivfpq_knn,
+        "ann_index": q_ann_index,
+        "left_join_orders": q_left_join_orders,
+        "range_join": q_range_join,
+        "expected_reward_topk": q_expected_reward,
+        "facet_topk_hot": q_facet_topk_hot,
+        "expanded_topk": q_expanded_topk,
+        "mmr_topk": q_mmr,
+        "facet_topk": q_facet_topk,
+        "lang_id": q_lang_id,
+        "keyword_pagerank": q_keyword_pagerank,
+        "term_cf_p95": q_cf_p95,
+        "stemmed_dictionary": q_stemmed_dict,
+        "html_strip": q_html_strip,
+        "keyword_sets": q_keyword_sets,
+        "word_stats": q_word_stats,
+        "association_top3": q_association_top3,
+        "spell_suggest": q_spell_suggest,
+        "exact_dedup": q_exact_dedup,
+        "shingle_pairs": q_shingle_pairs,
+        "minhash_near_dup": q_minhash,
+        "simhash_near_dup": q_simhash,
+        "doc_fingerprints": q_fingerprints,
+        "knn_cosine": q_knn,
+        "ivf_knn": q_ivf_knn,
+        "embedding_near_dup": q_emb_near_dup,
+        "key_occurrence": q_key_occurrence,
+        "revenue_by_flag": q_revenue,
+        "annotate_key_count": q_annotate,
+        "merge_set_partkeys": q_merge_set,
+        "cnr_join": q_cnr_join,
+        "big_join": q_big_join,
+        "topk_orders": q_topk_orders,
+        "events_hourly": q_events_hourly,
+        "hopping_window": q_hopping_window,
+        "sessionize": q_sessionize,
+        "asof_last_signup": q_asof_signup,
+        "top3_orders_per_cust": q_top3_orders_per_cust,
+        "pagerank": q_pagerank,
+        "wavepass_clusters": q_wavepass,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_components_dist": q_dedup_components_dist,
+        "media_features": q_media_features,
+        "media_frame_pipeline": q_media_pipeline,
         "tokenize_tf": q_tokenize,
         "dictionary": q_dictionary,
         "stop_excluded_dictionary": q_stop_excluded_dictionary,
@@ -1800,8 +1869,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
         "autocomplete": q_autocomplete,
-        "facet_topk": q_facet_topk,
-        "facet_topk_hot": q_facet_topk_hot,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
@@ -1825,55 +1892,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_per_cust": q_order_rank_per_cust,
         "rollup_revenue": q_rollup_revenue,
         "user_distinct_etypes": q_user_distinct_etypes,
-        "mmr_topk": q_mmr,
         "search_dedup": q_search_dedup,
         "sha256_docs": q_sha256,
         "quality_metrics": q_quality,
-        "lang_id": q_lang_id,
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
         "bigram_top100": q_bigrams,
-        "term_cf_p95": q_cf_p95,
-        "stemmed_dictionary": q_stemmed_dict,
-        "html_strip": q_html_strip,
-        "keyword_sets": q_keyword_sets,
-        "keyword_pagerank": q_keyword_pagerank,
-        "word_stats": q_word_stats,
-        "association_top3": q_association_top3,
-        "spell_suggest": q_spell_suggest,
-        "exact_dedup": q_exact_dedup,
-        "shingle_pairs": q_shingle_pairs,
-        "dup_spans": q_dup_spans,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_near_dup": q_minhash,
-        "simhash_near_dup": q_simhash,
-        "doc_fingerprints": q_fingerprints,
-        "knn_cosine": q_knn,
-        "ivf_knn": q_ivf_knn,
-        "ivfpq_knn": q_ivfpq_knn,
-        "ann_index": q_ann_index,
-        "embedding_near_dup": q_emb_near_dup,
-        "key_occurrence": q_key_occurrence,
-        "revenue_by_flag": q_revenue,
-        "annotate_key_count": q_annotate,
-        "merge_set_partkeys": q_merge_set,
-        "cnr_join": q_cnr_join,
-        "big_join": q_big_join,
-        "left_join_orders": q_left_join_orders,
-        "topk_orders": q_topk_orders,
-        "events_hourly": q_events_hourly,
-        "hopping_window": q_hopping_window,
-        "sessionize": q_sessionize,
-        "range_join": q_range_join,
-        "asof_last_signup": q_asof_signup,
-        "top3_orders_per_cust": q_top3_orders_per_cust,
-        "pagerank": q_pagerank,
-        "expected_reward_topk": q_expected_reward,
-        "wavepass_clusters": q_wavepass,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_components_dist": q_dedup_components_dist,
-        "media_features": q_media_features,
-        "media_frame_pipeline": q_media_pipeline,
     }
 
 
@@ -2253,6 +2277,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
             FROM rk WHERE rank <= 3 ORDER BY lang, rank
+        """,
+        # association-expanded retrieval: 'merge' + its top-2 bigram
+        # partners at 0.5x weight.  The association CTE is the SAME
+        # capped/sym/dedup/ranked stack as association_top3 (one
+        # definition of 'partner' across oracles); originals keep weight
+        # 1.0 (max-weight dedup, never additive), matching
+        # BM25Scorer.score_expanded.
+        "expanded_topk": f"""
+            WITH {TOK_ORDERED_CTE},
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toko
+                   GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES ('merge')),
+            big AS (
+              SELECT a.t || ' ' || b.t AS bigram, a.t AS x, b.t AS y,
+                     count(*) AS n
+              FROM toko a JOIN toko b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              GROUP BY 1, 2, 3
+            ),
+            capped AS (
+              SELECT * FROM big
+              QUALIFY row_number() OVER (ORDER BY n DESC, bigram) <= 10000
+            ),
+            sym AS (
+              SELECT x AS term, y AS partner, n FROM capped
+              UNION ALL
+              SELECT y, x, n FROM capped
+            ),
+            dd AS (
+              SELECT term, partner, max(n) AS n FROM sym
+              WHERE term <> partner GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT term, partner,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY n DESC, partner) AS rk
+              FROM dd
+            ),
+            exp AS (
+              SELECT term, 1.0 AS wt FROM q
+              UNION ALL
+              SELECT DISTINCT r.partner, 0.5 FROM ranked r JOIN q USING (term)
+              WHERE r.rk <= 2
+                AND r.partner NOT IN (SELECT term FROM q)
+            ),
+            w AS (SELECT term, max(wt) AS wt FROM exp GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( w.wt * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN w USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         # prefix autocomplete: completions ranked by collection
         # frequency (cf = total occurrences), tie-broken by term
@@ -3171,6 +3262,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id
             FROM ranked WHERE rank <= 10
+        """,
+        # greedy MMR as a recursive CTE (round-4, closing the one
+        # no_oracle row): the single-row recursive state carries the
+        # picked LIST; each step appends the argmax of
+        # 0.7*sim(q,d) - 0.3*max_{p in picked} cos(d,p) over the
+        # remaining top-100 candidates (ties: sim DESC, vec_id) —
+        # exactly functions/similarity.mmr_topk's selection rule.
+        # Cosines computed in DOUBLE on both sides.
+        "mmr_topk": f"""
+            WITH RECURSIVE
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                   WHERE vec_id = {KNN_QUERY_IDS[0]}),
+            cand AS (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT v FROM qv)) AS sim,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              ORDER BY sim DESC, vec_id
+              LIMIT 100
+            ),
+            sel(step, picked) AS (
+              SELECT 1, [(SELECT vec_id FROM cand
+                          ORDER BY sim DESC, vec_id LIMIT 1)]
+              UNION ALL
+              SELECT step + 1,
+                     list_append(picked, (
+                       SELECT c.vec_id
+                       FROM cand c
+                       WHERE NOT list_contains(sel.picked, c.vec_id)
+                       ORDER BY 0.7 * c.sim - 0.3 * (
+                                  SELECT max(list_cosine_similarity(c.v, p.v))
+                                  FROM cand p
+                                  WHERE list_contains(sel.picked, p.vec_id))
+                                DESC, c.sim DESC, c.vec_id
+                       LIMIT 1))
+              FROM sel WHERE step < 10
+            )
+            SELECT CAST(u.ord AS BIGINT) AS rank, CAST(u.vid AS BIGINT) AS vec_id
+            FROM (SELECT unnest(picked) AS vid,
+                         generate_subscripts(picked, 1) AS ord
+                  FROM sel WHERE step = 10) u
+            ORDER BY rank
         """,
         "key_occurrence": "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
         "revenue_by_flag": """

@@ -592,6 +592,50 @@ class BM25Scorer:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return self.score_exact(sorted(expanded), k)
 
+    def score_expanded(self, terms: list[str], k: int,
+                       assoc: dict[str, list[str]], discount: float = 0.5,
+                       per_term: int = 1):
+        """Association-driven query expansion (opt-in): each query term
+        pulls in its top ``per_term`` associated partners at
+        ``discount`` x their BM25 contribution — the reference's
+        TextStringServer synonym/weight lookup applied at query time
+        (/root/reference/DyableRequest/.../TextStringServer.h:40-116;
+        the association maps are stage-11 output,
+        DyableCommand/DyableCommand.cpp:290-304; build them with
+        functions.text.association_map).
+
+        Weight rules (mirrored by the SQL oracle): original terms score
+        at 1.0; a partner already in the query keeps 1.0; a partner
+        reachable from several query terms scores ONCE at ``discount``
+        (max-weight, not additive).  Exact dense path, (-score, doc_id)
+        rank contract."""
+        weights: dict[str, float] = {t: 1.0 for t in sorted(set(terms))}
+        for t in sorted(set(terms)):
+            for p in assoc.get(t, [])[:per_term]:
+                if p not in weights:
+                    weights[p] = discount
+        r = self.rd
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
+        for t in sorted(weights):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = weights[t] * r.idf(df)
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
+        return _topk_from_scores(docs, scores[docs], k)
+
     def score_conjunctive(self, terms: list[str], k: int):
         """AND semantics: only docs containing EVERY query term rank
         (the strict form of the reference's match-count-first ordering,
