@@ -129,6 +129,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_bm25_pool(sf):
+        # the doc-range-partitioned serving tier (pool.py): N range-owner
+        # actors each score their slice (range-local MaxScore since
+        # round-4), driver merges per-range top-k — same SQL oracle as
+        # bm25_topk because the merge is exact by construction
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.pool import (
+            RangePartitionedPool,
+        )
+
+        pool = RangePartitionedPool(index_for(f"{sf}/documents.parquet"),
+                                    num_ranges=4)
+        try:
+            d, _ = pool.score(BM25_TERMS, 10)
+        finally:
+            pool.shutdown()
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_phrase(sf):
         # positional index: exact-phrase occurrence counts per doc
         from hadoopsearchengine_ray.functions.search import index_for
@@ -1814,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expected_reward_topk": q_expected_reward,
         "facet_topk_hot": q_facet_topk_hot,
         "expanded_topk": q_expanded_topk,
+        "bm25_pool_topk": q_bm25_pool,
         "mmr_topk": q_mmr,
         "facet_topk": q_facet_topk,
         "lang_id": q_lang_id,
@@ -1967,6 +1989,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
         """,
         "bm25_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # the range-pool serving tier must produce the same ranking as
+        # the single reader — same oracle as bm25_topk by contract
+        "bm25_pool_topk": f"""
             WITH {TOK_CTE},
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
             dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),

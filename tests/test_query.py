@@ -140,3 +140,31 @@ def test_prefix_query_matches_bruteforce(t1_index_dir, t1_oracle):
     assert len(d) == 0
     with pytest.raises(ValueError, match="expands to"):
         sc.score_prefix(["r"], 10, max_expansions=1)
+
+
+def test_score_expanded_weight_semantics(t1_index_dir, t1_oracle):
+    """Association expansion (round-4): discount=1.0 must equal plain
+    disjunctive BM25 over the union of terms + partners; discount ~ 0
+    must equal the unexpanded query; a partner that IS a query term
+    keeps weight 1.0 (max-weight dedup)."""
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    vocab = sorted(idx.postings)
+    terms = [vocab[3]]
+    assoc = {terms[0]: [vocab[7], vocab[11]]}
+    # discount=1.0 == exact over the expanded union
+    d1, s1 = sc.score_expanded(terms, 10, assoc, discount=1.0, per_term=2)
+    d2, s2 = sc.score_exact(sorted({terms[0], vocab[7], vocab[11]}), 10)
+    assert list(d1) == list(d2) and np.allclose(s1, s2)
+    # discount=0.0 == the unexpanded query (partners contribute nothing)
+    d3, s3 = sc.score_expanded(terms, 10, assoc, discount=0.0, per_term=2)
+    d4, s4 = sc.score_exact(terms, 10)
+    assert list(d3) == list(d4) and np.allclose(s3, s4)
+    # a partner that is already a query term stays at weight 1.0
+    assoc_self = {terms[0]: [terms[0]]}
+    d5, s5 = sc.score_expanded(terms, 10, assoc_self, discount=0.5)
+    assert list(d5) == list(d4) and np.allclose(s5, s4)
+    # per_term slices the partner list
+    d6, s6 = sc.score_expanded(terms, 10, assoc, discount=1.0, per_term=1)
+    d7, s7 = sc.score_exact(sorted({terms[0], vocab[7]}), 10)
+    assert list(d6) == list(d7) and np.allclose(s6, s7)
