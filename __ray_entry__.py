@@ -47,6 +47,11 @@ toko AS (
 """
 
 BM25_TERMS = ["spark", "window", "merge"]
+
+# domain-mix target sampling rates (documents.source is src0..src19;
+# absent domains drop) — shared verbatim by the query and its oracle
+DOMAIN_MIX_W = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+                "src4": 0.1}
 PHRASE = ["table", "hash"]          # frequent adjacent pair in the corpus
 PROX_TERMS = ["table", "hash"]
 KNN_QUERY_IDS = [0, 1, 2]
@@ -534,6 +539,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return unigram_logprob(f"{sf}/documents.parquet")
+
+    def q_domain_mix(sf):
+        # deterministic domain-weighted subsampling (training-mix
+        # realization): id-keyed md5 coin vs per-domain rate — no
+        # shuffle, reproducible across engines (md5_number_lower parity)
+        from hadoopsearchengine_ray.functions.trainprep import domain_mix
+
+        return domain_mix(f"{sf}/documents.parquet", DOMAIN_MIX_W)
+
+    def q_ppl_bucket(sf):
+        # CCNet-style LM-quality band: keep docs between the p10 and p90
+        # unigram-logprob order statistics (quantile_disc parity)
+        from hadoopsearchengine_ray.functions.trainprep import (
+            ppl_bucket_filter,
+        )
+
+        return ppl_bucket_filter(f"{sf}/documents.parquet")
+
+    def q_search_snippets(sf):
+        # the composed serving path (BM25 -> DocStore fetch -> excerpt
+        # rendering); oracle checks the ranking AND that every served
+        # row rendered a non-empty snippet
+        from hadoopsearchengine_ray.functions.search import (
+            search_snippets_table,
+        )
+
+        return search_snippets_table(f"{sf}/documents.parquet",
+                                     BM25_TERMS, 10)
 
     def q_pii_redact(sf):
         # C4-style PII scrubbing.  The corpus has no PII, so the query
@@ -1826,6 +1859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver CORRECTNESS file plus everything new/changed this round,
     # then queries last driver-checked in r01/r02, then the r03-green
     # set.  Coverage rotates: every query lands in a driver file.
+        "domain_mix": q_domain_mix,
+        "ppl_bucket_filter": q_ppl_bucket,
+        "search_snippets": q_search_snippets,
         "dup_spans": q_dup_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "ivfpq_knn": q_ivfpq_knn,
@@ -2513,6 +2549,58 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         # corpus-unigram-LM mean log-prob (deterministic perplexity proxy)
+        "domain_mix": f"""
+            WITH w(domain, wt) AS (VALUES {", ".join(
+                f"('{d}', {w})" for d, w in DOMAIN_MIX_W.items())})
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN w ON d.source = w.domain
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000
+                  < CAST(round(wt * 1000000) AS UBIGINT)
+        """,
+        "ppl_bucket_filter": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS tot FROM cf),
+            s AS (SELECT t.doc_id, sum(t.tf) AS n_tokens,
+                         sum(t.tf * ln(c.cf / (SELECT tot FROM tot))) AS lp
+                  FROM tf t JOIN cf c USING (term) GROUP BY 1),
+            lp AS (SELECT d.doc_id,
+                          CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                          round(coalesce(s.lp / s.n_tokens, 0.0), 6) AS logprob
+                   FROM documents d LEFT JOIN s USING (doc_id)),
+            cuts AS (SELECT quantile_disc(logprob, 0.1) AS lo,
+                            quantile_disc(logprob, 0.9) AS hi FROM lp)
+            SELECT doc_id, n_tokens, logprob FROM lp, cuts
+            WHERE logprob >= lo AND logprob <= hi
+        """,
+        "search_snippets": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id,
+                   TRUE AS snippet_nonempty
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
         "unigram_logprob": f"""
             WITH {TOK_CTE},
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -36,6 +36,54 @@ def index_for(parquet_path: str, text_col: str = "text",
     return index_dir
 
 
+def store_for(parquet_path: str) -> str:
+    """Build-or-reuse a range-partitioned DocStore for a documents
+    parquet; returns the store dir.  A ``_DONE`` sentinel makes reuse a
+    stat call (same convention as ``index_for``'s manifest)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..pipelines.docstore import write_docstore
+
+    key = hashlib.sha256(("store:" + parquet_path).encode()).hexdigest()[:16]
+    store_dir = os.path.join(CACHE_ROOT, key)
+    done = os.path.join(store_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(store_dir, ignore_errors=True)
+        write_docstore(rd.read_parquet(parquet_path), store_dir)
+        open(done, "w").close()
+    return store_dir
+
+
+def search_snippets_table(parquet_path: str, terms: list[str],
+                          k: int = 10,
+                          text_col: str = "text") -> pd.DataFrame:
+    """The full serving path as one call — BM25 top-k, DocStore fetch,
+    query-biased excerpts (``search_with_snippets``) — projected to the
+    driver-checkable columns: (rank, doc_id, snippet_nonempty).  The
+    oracle asserts the ranking AND that every served row rendered a
+    snippet (a matched doc always contains a query term, so an empty
+    snippet would mean the fetch/render join dropped the record)."""
+    from ..pipelines.docstore import search_with_snippets
+
+    out = search_with_snippets(
+        index_for(parquet_path, text_col=text_col),
+        store_for(parquet_path), terms, k=k, text_col=text_col)
+    df = out.to_pandas()
+    if "snippet" not in df.columns:
+        return pd.DataFrame({
+            "rank": pd.array([], dtype="int64"),
+            "doc_id": pd.array([], dtype="int64"),
+            "snippet_nonempty": pd.array([], dtype="bool"),
+        })
+    return pd.DataFrame({
+        "rank": df["rank"].astype("int64"),
+        "doc_id": df["doc_id"].astype("int64"),
+        "snippet_nonempty": (df["snippet"].str.len() > 0).astype("bool"),
+    })
+
+
 def bm25_topk_table(parquet_path: str, terms: list[str], k: int = 10,
                     text_col: str = "text") -> pd.DataFrame:
     """(rank, doc_id) int64 — rank-identical contract with the SQL oracle."""

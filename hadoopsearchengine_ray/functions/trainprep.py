@@ -540,3 +540,89 @@ def prepare_corpus(docs, text_col: str = "text", seq_len: int = 512,
     kept = clean_corpus(docs, text_col, emit_tokens=True, **gate_kwargs)
     return _pack_offsets(kept.select_columns(["doc_id", "n_tokens"]),
                          seq_len)
+
+
+# ---------------------------------------------------------------------------
+# 7. domain-mix sampling + LM-quality band filter
+
+
+def domain_mix(docs, weights: dict[str, float], domain_col: str = "source",
+               id_col: str = "doc_id",
+               resolution: int = 1_000_000) -> rd.Dataset:
+    """Deterministic domain-weighted subsampling: keep a doc iff
+
+        md5_low64(str(doc_id)) % resolution < round(weight * resolution)
+
+    where ``weight`` is the target sampling rate for its domain
+    (missing domains sample at 0.0, i.e. drop).  The content-free,
+    id-keyed coin is the same ``md5_number_lower`` parity hash the
+    stratified sampler uses, so the selection is reproducible across
+    runs, engines and the SQL oracle — the standard way a training mix
+    (e.g. The Pile / Dolma domain weights) is realized without a
+    shuffle.  Returns ``(doc_id, domain_col)`` for the kept rows.
+
+    Scale: a stateless per-batch filter — no shuffle, no driver state;
+    the weights dict is vocabulary-of-domains sized (broadcast via
+    closure).  The per-row md5 is C ``hashlib`` (~1 us/row), the same
+    cost already accepted by ``stratified_sample``."""
+    from .._tokflat import md5_low64
+
+    if isinstance(docs, str):
+        docs = rd.read_parquet(docs, columns=[id_col, domain_col])
+    thresholds = {d: int(round(w * resolution)) for d, w in weights.items()}
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        coin = np.fromiter((md5_low64(str(int(i))) % resolution
+                            for i in ids), np.int64, len(ids))
+        dom = batch[domain_col].to_pandas()
+        thr = dom.map(thresholds).fillna(0).to_numpy(np.int64)
+        mask = coin < thr
+        return pa.table({
+            id_col: pa.array(ids[mask].astype(np.int64)),
+            domain_col: batch[domain_col].filter(pa.array(mask)),
+        })
+
+    return docs.map_batches(_keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def ppl_bucket_filter(docs, text_col: str = "text", lo: float = 0.1,
+                      hi: float = 0.9) -> rd.Dataset:
+    """CCNet-style LM-quality band filter: keep docs whose corpus-unigram
+    mean log-prob (``unigram_logprob``) lies within the [``lo``, ``hi``]
+    quantile band — dropping both the lowest-quality tail and the
+    boilerplate-like head.  Quantiles are exact discrete order
+    statistics (``quantile_disc`` parity via ``kth_percentile``'s
+    formula).  Returns ``(doc_id, n_tokens, logprob)`` for kept docs.
+
+    Scale: the logprob table is one row per doc (3 numeric cols), small
+    next to the corpus; it is materialized once and re-read for the
+    cut computation and the filter.  Both cuts come from ONE
+    per-value-counts groupby (cardinality = distinct 6-dp logprobs).
+    At 10^10+ docs swap the exact cuts for the mergeable MRL sketch
+    (``functions.sketch.quantile_sketch``) — same band semantics,
+    bounded driver state."""
+    lp = unigram_logprob(docs, text_col=text_col).materialize()
+
+    counts = (lp.groupby("logprob")
+              .count()
+              .to_pandas()
+              .sort_values("logprob")
+              .reset_index(drop=True))
+    n = int(counts["count()"].sum())
+    cum = counts["count()"].cumsum().to_numpy()
+
+    def _cut(q: float) -> float:
+        target = max(0, int(np.ceil(q * n)) - 1)
+        return float(counts["logprob"].iloc[
+            int(np.searchsorted(cum, target + 1))])
+
+    c_lo, c_hi = _cut(lo), _cut(hi)
+
+    def _band(batch: pa.Table) -> pa.Table:
+        v = batch["logprob"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v >= c_lo) & (v <= c_hi)))
+
+    return lp.map_batches(_band, batch_format="pyarrow",
+                          zero_copy_batch=True)

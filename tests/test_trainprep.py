@@ -187,3 +187,49 @@ def test_pack_sequences_multiblock_and_empty():
     last = [(s + max(c, 1) - 1) // 16 if c else s // 16
             for s, c in zip(starts, n)]
     assert out["seq_last"].tolist() == last
+
+
+def test_domain_mix_deterministic_rates():
+    # id-keyed md5 coin: exact shadow via the shared parity hash, and
+    # 0-weight / absent domains drop every row
+    from hadoopsearchengine_ray._tokflat import md5_low64
+
+    n = 400
+    texts = ["x"] * n
+    sources = [f"d{i % 4}" for i in range(n)]
+    w = {"d0": 1.0, "d1": 0.5, "d2": 0.0}          # d3 absent
+    out = (tp.domain_mix(_doc_ds(texts, sources=sources), w)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    expect = [(i, s) for i, s in enumerate(sources)
+              if md5_low64(str(i)) % 1_000_000
+              < round(w.get(s, 0.0) * 1_000_000)]
+    assert list(zip(out["doc_id"], out["source"])) == expect
+    kept = out["source"].value_counts()
+    assert kept.get("d0", 0) == n // 4             # rate 1.0 keeps all
+    assert kept.get("d2", 0) == 0 and kept.get("d3", 0) == 0
+    # rate 0.5 keeps roughly half (binomial; wide bounds, deterministic)
+    assert 25 <= kept.get("d1", 0) <= 75
+    # re-run is identical (pure function of ids)
+    out2 = (tp.domain_mix(_doc_ds(texts, sources=sources), w)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(out2)
+
+
+def test_ppl_bucket_filter_band():
+    # 18 mid docs, one all-rare doc (lowest logprob), one
+    # all-common-term doc (highest); the p10/p90 order-statistic band
+    # lands on the mid value and drops exactly the two extremes
+    texts = ["common word here"] * 18 + ["zzqq zzxx", "common common"]
+    lp = (tp.unigram_logprob(_doc_ds(texts))
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out = (tp.ppl_bucket_filter(_doc_ds(texts))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # shadow: quantile_disc cuts at ceil(q*n)-1 over sorted logprobs
+    vals = np.sort(lp["logprob"].to_numpy())
+    n = len(vals)
+    c_lo = vals[max(0, math.ceil(0.1 * n) - 1)]
+    c_hi = vals[max(0, math.ceil(0.9 * n) - 1)]
+    keep = lp[(lp["logprob"] >= c_lo) & (lp["logprob"] <= c_hi)]
+    assert out["doc_id"].tolist() == keep["doc_id"].tolist()
+    assert out["logprob"].tolist() == keep["logprob"].tolist()
+    assert 0 < len(out) < len(texts)               # band actually cuts
