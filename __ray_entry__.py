@@ -568,6 +568,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return search_snippets_table(f"{sf}/documents.parquet",
                                      BM25_TERMS, 10)
 
+    def q_packed_shards(sf):
+        # materialized concat-and-chunk packing: every 256-token
+        # training sequence's content is md5-hash-compared to the
+        # oracle's global token stream cut at the same boundaries
+        from hadoopsearchengine_ray.functions.trainprep import (
+            packed_shards,
+        )
+
+        return packed_shards(f"{sf}/documents.parquet", seq_len=256)
+
     def q_pii_redact(sf):
         # C4-style PII scrubbing.  The corpus has no PII, so the query
         # deterministically seeds one email + one IPv4 per doc (same
@@ -1862,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": q_domain_mix,
         "ppl_bucket_filter": q_ppl_bucket,
         "search_snippets": q_search_snippets,
+        "packed_shards": q_packed_shards,
         "dup_spans": q_dup_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "ivfpq_knn": q_ivfpq_knn,
@@ -2549,6 +2560,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         # corpus-unigram-LM mean log-prob (deterministic perplexity proxy)
+        "packed_shards": f"""
+            WITH {TOK_ORDERED_CTE},
+            g AS (SELECT t, row_number() OVER (ORDER BY doc_id, rn) AS gp
+                  FROM toko)
+            SELECT CAST((gp - 1) // 256 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(t, ' ' ORDER BY gp)) AS h
+            FROM g GROUP BY 1
+        """,
         "domain_mix": f"""
             WITH w(domain, wt) AS (VALUES {", ".join(
                 f"('{d}', {w})" for d, w in DOMAIN_MIX_W.items())})

@@ -626,3 +626,82 @@ def ppl_bucket_filter(docs, text_col: str = "text", lo: float = 0.1,
 
     return lp.map_batches(_band, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def packed_shards(docs, text_col: str = "text",
+                  seq_len: int = 512) -> rd.Dataset:
+    """Materialize the packed training sequences themselves (the step
+    after ``pack_sequences``' span metadata): the doc_id-ordered token
+    stream cut into fixed-``seq_len`` sequences, each emitted as
+
+        (seq_id, n_tokens, h)
+
+    with ``h`` the md5 of the space-joined token sequence — the same
+    hash-exact convention as ``text.chunk_hashes`` so the shard content
+    is verifiable byte-for-byte against the SQL oracle (production
+    would carry the int64 token-id list instead of the digest; the cut
+    discipline and shuffle shape are identical).
+
+    Scale: global offsets from ``pack_sequences`` (one narrow range
+    sort + O(blocks) prefix sum); offsets attach to the text via ONE
+    co-partitioned hash_join; each doc then emits at most
+    n_tokens/seq_len + 1 contiguous fragments (vectorized slicing +
+    ``pc.binary_join`` — no per-token Python), and sequences assemble
+    in a groupby whose groups are bounded by seq_len tokens.  The only
+    corpus-scale exchanges are the offset attach and the fragment
+    groupby — both unavoidable for cross-doc packing."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..pipelines.relational import hash_join
+
+    docs = _docs(docs, text_col)
+    spans = pack_sequences(docs, text_col, seq_len)
+    joined = hash_join(
+        docs, spans.select_columns(["doc_id", "start_tok"]), on="doc_id")
+
+    def _frag(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks() if isinstance(
+            batch[text_col], pa.ChunkedArray) else batch[text_col]
+        toks = tokenize_column(texts)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = toks.values
+        n = np.diff(offs)
+        start = batch["start_tok"].to_numpy(zero_copy_only=False)
+        bounds = [offs[0]]          # absolute cut positions into `vals`
+        seq_ids, frag_starts = [], []
+        for d in range(len(n)):
+            if n[d] == 0:
+                continue
+            s, nd = int(start[d]), int(n[d])
+            # global stream positions of the internal seq_len cuts
+            cuts = np.arange((s // seq_len + 1) * seq_len, s + nd, seq_len)
+            b = np.concatenate([[s], cuts, [s + nd]])
+            bounds.extend((b[1:] - s + offs[d]).tolist())
+            seq_ids.extend((b[:-1] // seq_len).tolist())
+            frag_starts.extend(b[:-1].tolist())
+        la = pa.ListArray.from_arrays(
+            pa.array(np.asarray(bounds, np.int64) - bounds[0], pa.int32()),
+            vals.slice(bounds[0]))
+        nfr = np.diff(np.asarray(bounds, np.int64))
+        return pa.table({
+            "seq_id": pa.array(np.asarray(seq_ids, np.int64)),
+            "frag_start": pa.array(np.asarray(frag_starts, np.int64)),
+            "frag_n": pa.array(nfr),
+            "frag_txt": pc.binary_join(la, " "),
+        })
+
+    frags = joined.map_batches(_frag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _asm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("frag_start")
+        txt = " ".join(g["frag_txt"])
+        return pd.DataFrame({
+            "seq_id": [int(g["seq_id"].iloc[0])],
+            "n_tokens": [int(g["frag_n"].sum())],
+            "h": [hashlib.md5(txt.encode()).hexdigest()],
+        })
+
+    return frags.groupby("seq_id").map_groups(_asm, batch_format="pandas")

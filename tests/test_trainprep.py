@@ -233,3 +233,28 @@ def test_ppl_bucket_filter_band():
     assert out["doc_id"].tolist() == keep["doc_id"].tolist()
     assert out["logprob"].tolist() == keep["logprob"].tolist()
     assert 0 < len(out) < len(texts)               # band actually cuts
+
+
+def test_packed_shards_content_hashes():
+    # docs that straddle sequence boundaries (seq_len=8): the global
+    # stream must cut mid-doc and the md5 of each sequence must equal
+    # the shadow's; token-less docs contribute nothing
+    import hashlib
+
+    texts = ["alpha beta gamma delta epsilon",        # 5 toks
+             "",                                      # 0
+             "zeta eta theta iota kappa lam mu nu",   # 8 -> crosses
+             "omicron pi rho",                        # 3
+             "sigma tau upsilon phi chi psi omega"]   # 7
+    ds = _doc_ds(texts)
+    out = (tp.packed_shards(ds, seq_len=8)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    stream = [t for txt in texts for t in tokenize_py(txt)]
+    exp = []
+    for s in range(0, len(stream), 8):
+        seq = stream[s:s + 8]
+        exp.append((s // 8, len(seq),
+                    hashlib.md5(" ".join(seq).encode()).hexdigest()))
+    assert list(zip(out["seq_id"], out["n_tokens"], out["h"])) == exp
+    # boundary really crossed: >1 sequence and the last is a remainder
+    assert len(exp) > 1 and exp[-1][1] < 8
