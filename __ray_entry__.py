@@ -55,6 +55,7 @@ DOMAIN_MIX_W = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
 PHRASE = ["table", "hash"]          # frequent adjacent pair in the corpus
 PROX_TERMS = ["table", "hash"]
 KNN_QUERY_IDS = [0, 1, 2]
+KNN_FILTER_LABEL = 3          # filtered-search predicate (embeddings.label)
 
 _LANG_SW_VALUES = (
     "('the','en'),('and','en'),('is','en'),('of','en'),('to','en'),"
@@ -1231,6 +1232,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
         return out
 
+    def q_filtered_knn(sf):
+        # metadata-filtered vector search (the "filtered ANN" serving
+        # shape): the label predicate pushes down into the parquet read
+        # (row-group pruning), then the exact cosine kernel sees only
+        # qualifying vectors — no post-hoc rank surgery
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf}/embeddings.parquet")
+        lut = {v: e for v, e in zip(tbl["vec_id"].to_pylist(),
+                                    tbl["embedding"].to_pylist())}
+        qm = np.array([lut[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"],
+                              filter=pads.field("label") == KNN_FILTER_LABEL)
+        out = similarity.knn_cosine(emb, qm, k=10)
+        out["qid"] = out["qid"].map(lambda i: KNN_QUERY_IDS[i])
+        return out
+
     def q_ivf_knn(sf):
         # IVF ANN scale path: coarse k-means quantizer + nprobe lists
         # per query; self-check = recall@10 vs the exact scan
@@ -1900,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "knn_cosine": q_knn,
+        "filtered_knn": q_filtered_knn,
         "ivf_knn": q_ivf_knn,
         "embedding_near_dup": q_emb_near_dup,
         "key_occurrence": q_key_occurrence,
@@ -3411,6 +3432,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.qid, e.vec_id,
                      list_cosine_similarity(e.embedding, q.qv) AS sim
               FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM ranked WHERE rank <= 10
+        """,
+        "filtered_knn": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id IN ({knn_ids})),
+            sims AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.label = {KNN_FILTER_LABEL}
             ),
             ranked AS (
               SELECT qid, vec_id,
