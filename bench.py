@@ -444,6 +444,10 @@ def run_bench() -> dict:
     _tp.prepare_corpus(f"{sf_dir}/documents.parquet", seq_len=512).count()
     timings["prepare_corpus"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    _tp.packed_shards(f"{sf_dir}/documents.parquet", seq_len=512).count()
+    timings["packed_shards"] = round(time.perf_counter() - t0, 3)
+
     # continual-ingestion dedup: first 80% indexed, last 20% + mirrors
     # of every 10th doc incoming
     import pyarrow.parquet as _pq

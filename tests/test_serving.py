@@ -307,3 +307,39 @@ def test_facet_ops_keep_null_group(tmp_path, ray_session):
     ft = facet_topk(path, ["cat"], facet_col="lang", k=2)
     assert 1 in set(ft["doc_id"])          # the NULL-lang doc survives
     assert len(ft) == 3
+
+
+def test_search_snippets_table_serving_path(tmp_path, ray_session):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import (
+        bm25_topk_table,
+        search_snippets_table,
+        store_for,
+    )
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "merge sort beats bubble sort on big arrays",
+            "window functions partition then order rows",
+            "spark window merge combine",      # matches all three terms
+            "nothing relevant whatsoever here",
+        ],
+    }), path)
+
+    out = search_snippets_table(path, ["spark", "window", "merge"], k=3)
+    ranks = bm25_topk_table(path, ["spark", "window", "merge"], k=3)
+    # identical ranking to the plain scorer, every row has a snippet
+    assert out["doc_id"].tolist() == ranks["doc_id"].tolist()
+    assert out["rank"].tolist() == ranks["rank"].tolist()
+    assert out["snippet_nonempty"].all()
+    assert out["doc_id"].iloc[0] == 2          # the 3-term doc ranks first
+
+    # store reuse: the _DONE sentinel makes the second call a no-op
+    d1 = store_for(path)
+    assert os.path.exists(os.path.join(d1, "_DONE"))
+    assert store_for(path) == d1
