@@ -658,6 +658,15 @@ def packed_shards(docs, text_col: str = "text",
 
     docs = _docs(docs, text_col)
     spans = pack_sequences(docs, text_col, seq_len)
+    # token-less corpus: no sequences — return a TYPED empty frame (an
+    # empty groupby result would drop the schema).  Cheap: spans'
+    # blocks are already materialized by the offsets prefix sum.
+    if not (spans.sum("n_tokens") or 0):
+        return rd.from_arrow(pa.table({
+            "seq_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "h": pa.array([], pa.string()),
+        }))
     joined = hash_join(
         docs, spans.select_columns(["doc_id", "start_tok"]), on="doc_id")
 
