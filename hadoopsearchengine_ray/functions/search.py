@@ -38,21 +38,30 @@ def index_for(parquet_path: str, text_col: str = "text",
 
 def store_for(parquet_path: str) -> str:
     """Build-or-reuse a range-partitioned DocStore for a documents
-    parquet; returns the store dir.  A ``_DONE`` sentinel makes reuse a
-    stat call (same convention as ``index_for``'s manifest)."""
+    parquet; returns the store dir.  The ``_DONE`` sentinel carries the
+    input's lineage fingerprint (path, size, mtime_ns — the same
+    invalidation ``index_for``'s manifest uses), so an in-place rewrite
+    of the parquet rebuilds the store instead of serving stale docs."""
     import shutil
 
     import ray.data as rd
 
     from ..pipelines.docstore import write_docstore
+    from ..state.manifest import lineage_fingerprint
 
     key = hashlib.sha256(("store:" + parquet_path).encode()).hexdigest()[:16]
     store_dir = os.path.join(CACHE_ROOT, key)
     done = os.path.join(store_dir, "_DONE")
-    if not os.path.exists(done):
+    fp = lineage_fingerprint([parquet_path])
+    have = None
+    if os.path.exists(done):
+        with open(done) as f:
+            have = f.read()
+    if have != fp:
         shutil.rmtree(store_dir, ignore_errors=True)
         write_docstore(rd.read_parquet(parquet_path), store_dir)
-        open(done, "w").close()
+        with open(done, "w") as f:
+            f.write(fp)
     return store_dir
 
 

@@ -610,6 +610,9 @@ def ppl_bucket_filter(docs, text_col: str = "text", lo: float = 0.1,
               .to_pandas()
               .sort_values("logprob")
               .reset_index(drop=True))
+    if counts.empty:
+        raise ValueError("ppl_bucket_filter: empty documents dataset — "
+                         "no logprob values to cut quantiles from")
     n = int(counts["count()"].sum())
     cum = counts["count()"].cumsum().to_numpy()
 

@@ -198,8 +198,12 @@ class _AnnListOwner:
         owned = sorted(int(x) for x in list_ids)
         parts = [os.path.join(index_dir, "codes", f"list_id={i}")
                  for i in owned]
-        parts = [p for p in parts if os.path.isdir(p)]  # empty lists
-        if parts:
+        # drop empty lists from BOTH sequences in lockstep — filtering
+        # only `parts` would shift the zip and mislabel every code
+        # after an empty IVF list
+        pairs = [(li, p) for li, p in zip(owned, parts) if os.path.isdir(p)]
+        if pairs:
+            owned, parts = zip(*pairs)
             tbls = [pads.dataset(p).to_table() for p in parts]
             ids, codes, lists = [], [], []
             for li, t in zip(owned, tbls):

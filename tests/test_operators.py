@@ -908,3 +908,53 @@ def test_rank_per_key_matches_sql_semantics():
     # 5 -> rank 4 (dense 3).  k=2: 7,7 -> rank 1,1.
     assert list(out["rnk"]) == [3, 1, 1, 4, 1, 1]
     assert list(out["drnk"]) == [2, 1, 1, 3, 1, 1]
+
+
+def test_ann_pool_with_empty_ivf_lists(tmp_path):
+    # 2 tight clusters, 8 requested lists -> most lists end up EMPTY
+    # (stale centroids never win a point).  The pool must keep list ids
+    # paired with the surviving partitions; a positional zip against
+    # the unfiltered owned list would mislabel every code after an
+    # empty list and silently return wrong neighbors.
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.ann import (
+        AnnIndex,
+        AnnPool,
+        build_ann_index,
+    )
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((240, 16))
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32())),
+    }), src)
+    idx_dir = str(tmp_path / "annidx")
+    build_ann_index(src, idx_dir, num_lists=8, m=4, ksub=8, dim=16)
+    # make list 1 EMPTY on disk (how an empty IVF list manifests: no
+    # codes/list_id=1 directory) — both serving paths must then agree
+    import os
+    import shutil
+    gone = os.path.join(idx_dir, "codes", "list_id=1")
+    assert os.path.isdir(gone)
+    shutil.rmtree(gone)
+
+    q = m[[0, 13]]
+    pool = AnnPool(idx_dir, num_owners=2)
+    try:
+        # nprobe=2 is the discriminating case: only the probed lists'
+        # labels are scanned, so a shifted label means the probe of a
+        # real list finds nothing (nprobe=8 would be healed by the
+        # exact rerank over the full candidate union)
+        for nprobe in (2, 8):
+            base = AnnIndex(idx_dir).query(q, k=5, nprobe=nprobe, rerank=8)
+            got = pool.query(q, k=5, nprobe=nprobe, rerank=8)
+            for qi in range(len(q)):
+                assert list(got[got.qid == qi].sort_values("rank").vec_id) \
+                    == list(base[base.qid == qi].sort_values("rank").vec_id), \
+                    f"nprobe={nprobe} qid={qi}"
+    finally:
+        pool.shutdown()

@@ -343,3 +343,27 @@ def test_search_snippets_table_serving_path(tmp_path, ray_session):
     d1 = store_for(path)
     assert os.path.exists(os.path.join(d1, "_DONE"))
     assert store_for(path) == d1
+
+
+def test_store_for_invalidates_on_rewrite(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import store_for
+    from hadoopsearchengine_ray.pipelines.docstore import DocStore
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["original zero", "original one"],
+    }), path)
+    d1 = store_for(path)
+    assert DocStore(d1).fetch([0]).to_pylist()[0]["text"] == "original zero"
+
+    # in-place rewrite: the lineage-bearing sentinel must force a rebuild
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["rewritten zero!!", "rewritten one!!"],
+    }), path)
+    d2 = store_for(path)
+    assert d2 == d1
+    assert DocStore(d2).fetch([0]).to_pylist()[0]["text"] == "rewritten zero!!"
