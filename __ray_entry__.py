@@ -52,6 +52,11 @@ BM25_TERMS = ["spark", "window", "merge"]
 # absent domains drop) — shared verbatim by the query and its oracle
 DOMAIN_MIX_W = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
                 "src4": 0.1}
+
+# the parsed-query front-end string: weighted OR (merge^2) + required
+# (+window) + excluded (-dup, a rare real term so the NOT bites) +
+# wildcard (s* -> scan/slow/small/sort/spark/stream)
+QUERY_STRING = "merge^2 +window -dup s*"
 PHRASE = ["table", "hash"]          # frequent adjacent pair in the corpus
 PROX_TERMS = ["table", "hash"]
 KNN_QUERY_IDS = [0, 1, 2]
@@ -568,6 +573,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return search_snippets_table(f"{sf}/documents.parquet",
                                      BM25_TERMS, 10)
+
+    def q_query_string(sf):
+        # the one-call parsed query front-end: weighted OR + required +
+        # excluded + wildcard composed in a single scoring pass
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_query(QUERY_STRING, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
 
     def q_packed_shards(sf):
         # materialized concat-and-chunk packing: every 256-token
@@ -1893,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_bucket_filter": q_ppl_bucket,
         "search_snippets": q_search_snippets,
         "packed_shards": q_packed_shards,
+        "query_string": q_query_string,
         "dup_spans": q_dup_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "ivfpq_knn": q_ivfpq_knn,
@@ -2581,6 +2600,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         # corpus-unigram-LM mean log-prob (deterministic perplexity proxy)
+        # the parsed query front-end: QUERY_STRING's parts mirrored
+        # exactly — max-merged weights, EXISTS for +window, NOT EXISTS
+        # for -dup, LIKE expansion for s*
+        "query_string": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            qx(term, w) AS (
+              SELECT 'merge', 2.0
+              UNION ALL SELECT 'window', 1.0
+              UNION ALL SELECT term, 1.0 FROM df WHERE term LIKE 's%'
+            ),
+            q AS (SELECT term, max(w) AS w FROM qx GROUP BY 1),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( q.w * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN q USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              WHERE EXISTS (SELECT 1 FROM tf t2
+                            WHERE t2.doc_id = tf.doc_id AND t2.term = 'window')
+                AND NOT EXISTS (SELECT 1 FROM tf t3
+                                WHERE t3.doc_id = tf.doc_id AND t3.term = 'dup')
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
         "packed_shards": f"""
             WITH {TOK_ORDERED_CTE},
             g AS (SELECT t, row_number() OVER (ORDER BY doc_id, rn) AS gp

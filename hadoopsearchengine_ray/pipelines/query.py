@@ -323,6 +323,64 @@ class IndexReader:
         return keys
 
 
+def parse_query(qstr: str) -> dict:
+    """Parse the front-end query-string syntax into its typed parts —
+    the reference's query parser routes the same word types (required /
+    excluded / wildcard / weighted; SWordHit type bits,
+    /root/reference/FileStorage.h:31-45, TextStringServer weights
+    DyableRequest/.../TextStringServer.h:40-116):
+
+        term        OR term, scores at weight 1.0
+        term^W      OR term at weight W (float > 0)
+        +term       required (AND): only docs containing it rank;
+                    still scores (weight suffix allowed)
+        -term       excluded (NOT): docs containing it never rank
+        prefix*     wildcard: every dictionary term with the prefix
+                    scores (weight suffix allowed: ``p*^W``)
+
+    Returns ``{"weights": {term: w}, "required": [...],
+    "excluded": [...], "prefixes": [(prefix, w), ...]}`` — weights are
+    max-merged when a term is named more than once."""
+    weights: dict[str, float] = {}
+    required: list[str] = []
+    excluded: list[str] = []
+    prefixes: list[tuple[str, float]] = []
+    for tok in qstr.lower().split():
+        kind = "or"
+        if tok.startswith("+"):
+            kind, tok = "and", tok[1:]
+        elif tok.startswith("-"):
+            kind, tok = "not", tok[1:]
+        w = 1.0
+        if "^" in tok:
+            tok, _, ws = tok.partition("^")
+            try:
+                w = float(ws)
+            except ValueError:
+                raise ValueError(f"bad weight suffix {ws!r} in query "
+                                 f"token {tok!r}")
+            if w <= 0:
+                raise ValueError(f"weight must be > 0, got {w} on {tok!r}")
+        if tok.endswith("*"):
+            pre = tok[:-1]
+            if not pre:
+                raise ValueError("bare '*' wildcard is not a query")
+            if kind != "or":
+                raise ValueError("wildcards cannot be required/excluded")
+            prefixes.append((pre, w))
+            continue
+        if not tok:
+            continue
+        if kind == "not":
+            excluded.append(tok)
+            continue
+        if kind == "and":
+            required.append(tok)
+        weights[tok] = max(weights.get(tok, 0.0), w)
+    return {"weights": weights, "required": required,
+            "excluded": excluded, "prefixes": prefixes}
+
+
 def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Top-k by (-score, doc_id) — deterministic tie-break."""
     if len(doc_ids) == 0:
@@ -743,6 +801,84 @@ class BM25Scorer:
             idx[idx == len(excluded)] = 0
             keep = excluded[idx] != d
             d, tf = d[keep], tfs[keep].astype(np.float64)
+            if len(d) == 0:
+                continue
+            denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
+            scores[d] += w * tf * (r.k1 + 1.0) / denom
+            touched[d] = True
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
+        return _topk_from_scores(docs, scores[docs], k)
+
+    def score_query(self, qstr: str, k: int, max_expansions: int = 512):
+        """One-call front-end search over the full query-string syntax
+        (``parse_query``): weighted OR terms, ``+required``,
+        ``-excluded`` and ``prefix*`` wildcards composed in a single
+        scoring pass — the serving analog of the reference's parsed
+        query routing.  Semantics (mirrored by the SQL oracle):
+
+        - every scoring term contributes ``max-merged weight x idf x
+          tf-saturation`` (global corpus stats throughout);
+        - candidates must contain ALL required terms (sorted posting
+          intersection) and NO excluded term;
+        - rank contract (-score, doc_id), as everywhere."""
+        p = parse_query(qstr)
+        r = self.rd
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        weights = dict(p["weights"])
+        for pre, w in p["prefixes"]:
+            for t in r.expand_prefix(pre, max_expansions):
+                weights[t] = max(weights.get(t, 0.0), w)
+        if not weights:
+            return empty
+        cand = None                      # required-candidate doc set
+        for t in sorted(set(p["required"])):
+            if r.lookup(t) is None:
+                return empty             # required term matches nowhere
+            d, _ = r.decoded_postings(t)
+            d = d.astype(np.int64)
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        ex_parts = []
+        for t in sorted(set(p["excluded"])):
+            if r.lookup(t):
+                d, _ = r.decoded_postings(t)
+                ex_parts.append(d.astype(np.int64))
+        excluded = np.unique(np.concatenate(ex_parts)) if ex_parts else None
+        if cand is not None and excluded is not None:
+            idx = np.searchsorted(excluded, cand)
+            idx[idx == len(excluded)] = 0
+            cand = cand[excluded[idx] != cand]
+            if len(cand) == 0:
+                return empty
+            excluded = None              # already folded into cand
+
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
+        for t in sorted(weights):
+            ent = r.lookup(t)
+            if not ent:
+                continue
+            _, df = ent
+            w = weights[t] * r.idf(df)
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            if cand is not None:
+                idx = np.searchsorted(cand, d)
+                idx[idx == len(cand)] = 0
+                inset = cand[idx] == d
+                d, tf = d[inset], tf[inset]
+            elif excluded is not None:
+                idx = np.searchsorted(excluded, d)
+                idx[idx == len(excluded)] = 0
+                keep = excluded[idx] != d
+                d, tf = d[keep], tf[keep]
             if len(d) == 0:
                 continue
             denom = tf + r.k1 * (1.0 - r.b + r.b * r.dl[d] / r.avgdl)

@@ -168,3 +168,61 @@ def test_score_expanded_weight_semantics(t1_index_dir, t1_oracle):
     d6, s6 = sc.score_expanded(terms, 10, assoc, discount=1.0, per_term=1)
     d7, s7 = sc.score_exact(sorted({terms[0], vocab[7]}), 10)
     assert list(d6) == list(d7) and np.allclose(s6, s7)
+
+
+def test_parse_query_syntax():
+    import pytest
+
+    from hadoopsearchengine_ray.pipelines.query import parse_query
+
+    p = parse_query("Merge^2 +window -dup s* cu*^1.5 merge")
+    assert p["weights"] == {"merge": 2.0, "window": 1.0}  # max-merged
+    assert p["required"] == ["window"]
+    assert p["excluded"] == ["dup"]
+    assert p["prefixes"] == [("s", 1.0), ("cu", 1.5)]
+    with pytest.raises(ValueError, match="weight"):
+        parse_query("term^0")
+    with pytest.raises(ValueError, match="weight"):
+        parse_query("term^abc")
+    with pytest.raises(ValueError, match="bare"):
+        parse_query("*")
+    with pytest.raises(ValueError, match="required/excluded"):
+        parse_query("+pre*")
+
+
+def test_score_query_composed_matches_bruteforce(t1_index_dir, t1_oracle):
+    """The one-call parsed front-end: weighted OR + required +
+    excluded + wildcard in a single pass, shadow-checked per doc."""
+    import math
+
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    # real corpus terms: ret* expands, 'return' required, 'import'
+    # weighted 2x, 'class' excluded
+    qstr = "import^2 +return -class ret*"
+    exp_terms = {t: 1.0 for t in idx.postings if t.startswith("ret")}
+    weights = dict(exp_terms)
+    weights["import"] = max(weights.get("import", 0.0), 2.0)
+    weights["return"] = max(weights.get("return", 0.0), 1.0)
+    required = {d for d, _ in idx.postings["return"]}
+    banned = {d for d, _ in idx.postings.get("class", ())}
+    scores: dict[int, float] = {}
+    for t, w in weights.items():
+        idf = idx.idf(t)
+        for doc_id, tf in idx.postings.get(t, ()):
+            if doc_id not in required or doc_id in banned:
+                continue
+            dl = idx.doclen[doc_id]
+            scores[doc_id] = scores.get(doc_id, 0.0) + (
+                w * idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / idx.avgdl)))
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    d, s = sc.score_query(qstr, 10)
+    assert [int(x) for x in d] == [x for x, _ in exp]
+    assert np.allclose(s, [v for _, v in exp])
+
+    # required term absent from the corpus -> empty
+    d, _ = sc.score_query("import +zzzznotaterm", 10)
+    assert len(d) == 0
+    # a term both required and excluded -> empty
+    d, _ = sc.score_query("+return -return import", 10)
+    assert len(d) == 0
