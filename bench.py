@@ -149,6 +149,19 @@ def run_bench() -> dict:
     timings["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
     timings["bm25_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 3)
 
+    # parsed query-string front-end (round 4): weighted OR + required +
+    # excluded + wildcard composed in one scoring pass, warm scorer
+    _qstrs = [f"{q['terms'][0]}^2 +{q['terms'][-1]} -{qs[(i + 7) % len(qs)]['terms'][0]} "
+              f"{q['terms'][0][:3]}*" for i, q in enumerate(qs[:50])]
+    scorer.score_query(_qstrs[0], 10)   # warm
+    _lat = []
+    for _qs in _qstrs:
+        t0 = time.perf_counter()
+        scorer.score_query(_qs, 10)
+        _lat.append(time.perf_counter() - t0)
+    timings["parsed_query_p50_ms"] = round(
+        float(np.percentile(np.array(_lat) * 1000, 50)), 3)
+
     # actor-pool throughput over the same query set
     t0 = time.perf_counter()
     run_queries(index_dir, qs, concurrency=max(2, ncpu // 4)).count()
