@@ -52,6 +52,15 @@ class _RangeScorer:
         """Batched replay (one RPC per query batch, not per query)."""
         return [self.score(t, k) for t, k in queries]
 
+    def score_query(self, qstr: str, k: int):
+        """Parsed query-string front-end over this range: required
+        intersection / exclusion / wildcard expansion all act on the
+        range-local postings (global dictionary, global idf/avgdl), so
+        each doc's full score still comes from exactly one owner and
+        the driver merge stays exact."""
+        d, s = self.scorer.score_query(qstr, k)
+        return d + self.lo, s
+
 
 class RangePartitionedPool:
     """N range-owner actors + exact driver-side top-k merge."""
@@ -82,6 +91,14 @@ class RangePartitionedPool:
 
     def score(self, terms: list[str], k: int):
         parts = ray.get([a.score.remote(terms, k) for a in self.actors])
+        return self._merge(parts, k)
+
+    def score_query(self, qstr: str, k: int):
+        """Parsed query-string search through the range tier — same
+        exact-merge argument as ``score`` (every doc scored by exactly
+        one owner with global stats)."""
+        parts = ray.get([a.score_query.remote(qstr, k)
+                         for a in self.actors])
         return self._merge(parts, k)
 
     def replay(self, queries: list[dict]) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -66,3 +66,23 @@ def test_range_reader_block_pruning(t1_index_dir):
     order = np.argsort(got_d)
     assert list(got_d[order]) == list(d_full.astype(np.int64))
     assert list(got_f[order]) == list(f_full)
+
+
+def test_pool_score_query_matches_single_reader(t1_index_dir, t1_oracle):
+    """The parsed query-string front-end through the range tier must be
+    rank-identical to the single reader: required / excluded / wildcard
+    all act range-locally, global stats keep the merge exact."""
+    idx, _ = t1_oracle
+    single = BM25Scorer(t1_index_dir)
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    try:
+        for qstr in ("import^2 +return -class ret*",
+                     "return import",
+                     "+return +import del*",
+                     "-return imp*"):
+            d1, s1 = single.score_query(qstr, 10)
+            d2, s2 = pool.score_query(qstr, 10)
+            assert [int(x) for x in d1] == [int(x) for x in d2], qstr
+            assert np.allclose(s1, s2), qstr
+    finally:
+        pool.shutdown()
