@@ -195,6 +195,15 @@ def build_index(
                                 with_positions=with_positions,
                                 exclude_terms=tuple(exclude_terms))
         tokens.write_parquet(tokens_dir)
+        if not os.path.isdir(tokens_dir):
+            # rows existed but EVERY doc tokenized to nothing (an empty
+            # Dataset writes no files): fail loudly — downstream stages
+            # would otherwise die in an obscure FileNotFoundError.  A
+            # zero-ROW corpus takes the empty-markers fast path above.
+            raise ValueError(
+                f"corpus {corpus_path!r} has rows but tokenized to zero "
+                "tokens — every doc is empty after the token filter; an "
+                "index over it would serve nothing")
         if sha_thread is not None:
             sha_thread.join()
             if errs:

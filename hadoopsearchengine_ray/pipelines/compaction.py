@@ -139,22 +139,37 @@ def _merge_batch(batch: pa.Table, tomb_ref, salt_stride: int,
     clean = _passthrough(~rows_dead)
 
     # --- re-encode path over the dead rows only -------------------------
-    tfs = decode_varints(_slab(batch["tf_blob"])[0])
-    aux = decode_varints(_slab(batch["aux_blob"])[0]) if has_aux else None
-    pos_flat = None
-    if has_pos:
-        pos_bytes, _ = _slab(batch["pos_blob"])
-        pos_flat, _ = decode_positions(pos_bytes.tobytes(), tfs)
-
+    # tf/aux/pos decode is restricted to the DEAD rows' blob cells (the
+    # clean majority's bytes pass through verbatim, never decoded past
+    # doc ids — the sparse-but-widespread tombstone regime would
+    # otherwise decode nearly the whole index for nothing)
+    dead_idx = np.flatnonzero(rows_dead)
+    dfs_dead = dfs[dead_idx]
     in_dead = np.repeat(rows_dead, dfs)
-    keep = in_dead & ~dead                  # surviving postings of dead rows
-    sub_starts = row_starts[rows_dead] if rows_dead.any() else np.empty(0, np.int64)
-    new_dfs = np.add.reduceat(keep.astype(np.int64), sub_starts) \
-        if len(sub_starts) else np.empty(0, np.int64)
+    dead_sub = dead[in_dead]                # per-posting flags, dead rows
+    keep_d = ~dead_sub                      # surviving postings of dead rows
+    sub_offs = np.concatenate(([0], np.cumsum(dfs_dead)))
+    new_dfs = np.add.reduceat(keep_d.astype(np.int64), sub_offs[:-1]) \
+        if len(dead_idx) else np.empty(0, np.int64)
     live_rows = new_dfs > 0                 # per dead row
-    docs_f, tfs_f = docs[keep], tfs[keep]
-    aux_f = aux[keep] if has_aux else None
-    pos_f = pos_flat[np.repeat(keep, tfs.astype(np.int64))] if has_pos else None
+
+    def _slab_rows(col, rows: np.ndarray) -> np.ndarray:
+        data, offs = _slab(col)
+        pieces = [data[offs[i]:offs[i + 1]] for i in rows]  # O(dead rows)
+        return np.concatenate(pieces) if pieces else np.empty(0, np.uint8)
+
+    docs_dead = docs[in_dead]
+    tfs_dead = decode_varints(_slab_rows(batch["tf_blob"], dead_idx))
+    aux_dead = (decode_varints(_slab_rows(batch["aux_blob"], dead_idx))
+                if has_aux else None)
+    pos_dead = None
+    if has_pos:
+        pos_bytes = _slab_rows(batch["pos_blob"], dead_idx)
+        pos_dead, _ = decode_positions(pos_bytes.tobytes(), tfs_dead)
+    docs_f, tfs_f = docs_dead[keep_d], tfs_dead[keep_d]
+    aux_f = aux_dead[keep_d] if has_aux else None
+    pos_f = (pos_dead[np.repeat(keep_d, tfs_dead.astype(np.int64))]
+             if has_pos else None)
 
     term_starts = np.concatenate(([0], np.cumsum(new_dfs[live_rows])))
     cols = encode_term_partition(term_starts, docs_f, tfs_f.astype(np.uint64),
@@ -163,7 +178,7 @@ def _merge_batch(batch: pa.Table, tomb_ref, salt_stride: int,
     n_out = len(first)
     cf = (np.add.reduceat(tfs_f.astype(np.int64), first) if n_out
           else np.empty(0, np.int64))
-    dead_rows_idx = np.flatnonzero(rows_dead)[live_rows]
+    dead_rows_idx = dead_idx[live_rows]
     out = {
         "term_id": pa.array(tid[dead_rows_idx], pa.int64()),
         "salt": pa.array(new_salt[dead_rows_idx], pa.uint8()),
@@ -274,8 +289,18 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
             "uint8 salt channel — rebuild instead (or compact in stages)")
 
     tomb = load_tombstones(main_index_dir)
-    alive_docs = sum(m["num_docs"] for m in metas) - len(tomb)
     space_floor = max(m["doc_id_space"] for m in metas)
+    # the alive count below is a pure subtraction, so a tombstone id
+    # outside the covered space would silently skew N/avgdl forever —
+    # mirror TombstoneReader's loud range check here
+    if tomb:
+        lo_t, hi_t = min(tomb), max(tomb)
+        if lo_t < 0 or hi_t >= space_floor:
+            raise ValueError(
+                f"tombstone id {hi_t if hi_t >= space_floor else lo_t} "
+                f"outside the segments' doc-id space ({space_floor}); "
+                "only indexed doc ids may be deleted")
+    alive_docs = sum(m["num_docs"] for m in metas) - len(tomb)
     out_parts = main_meta["num_index_parts"]
     id_col = id_cols.pop()
 
@@ -304,7 +329,10 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
         ds = rd.read_parquet(files)
         if filter_ids and len(tomb):
             ts = pa.array(tomb_arr, pa.uint64())
-            key = id_col if sub in ("sha256", "tokens") else "doc_id"
+            # token/doclen tables are ALWAYS keyed "doc_id" (tokenize
+            # emits doc_id regardless of id_col); only the sha table
+            # carries the source id column
+            key = id_col if sub == "sha256" else "doc_id"
 
             def _drop(b: pa.Table) -> pa.Table:
                 return b.filter(pc.invert(pc.is_in(
@@ -405,8 +433,17 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
         man.finish("dictionary", **_partition_metrics(dict_dir))
 
     # ---- sha256 + tokens: streaming carry-over -------------------------
-    if not man.is_done("tokens", lineage, os.path.join(out_dir, "tokens")):
-        man.start("tokens", lineage, os.path.join(out_dir, "tokens"))
+    # declare the tokens output path ONLY when the stage will create it
+    # (carry_tokens=False or no segment has a tokens dir): a declared
+    # path that never exists would fail is_done forever and re-run the
+    # sha carry-over on every invocation
+    tokens_out = (os.path.join(out_dir, "tokens")
+                  if carry_tokens and any(
+                      os.path.isdir(os.path.join(s, "tokens"))
+                      for s in segments)
+                  else None)
+    if not man.is_done("tokens", lineage, tokens_out):
+        man.start("tokens", lineage, tokens_out)
         n_tok = 0
         sha = _union_filtered("sha256", True)
         if sha is not None:

@@ -52,11 +52,14 @@ class MergedIndexReader:
         # order by ascending doc range (posting-list concatenation and
         # positional searchsorted both assume globally ascending doc ids)
         # and fail loudly on overlapping ranges — overlaps would silently
-        # double-count dl/df
+        # double-count dl/df.  Validation runs over the NON-EMPTY readers
+        # only, pairwise-adjacent after the sort: an empty segment
+        # sorting between two overlapping ranges must not hide them.
         readers.sort(key=lambda r: r.min_doc_id)
-        for a, b in zip(readers, readers[1:]):
-            if a.max_doc_id >= 0 and b.max_doc_id >= 0 \
-                    and a.max_doc_id >= b.min_doc_id:
+        nonempty = [r for r in readers if r.max_doc_id >= 0]
+        nonempty.sort(key=lambda r: r.min_doc_id)
+        for a, b in zip(nonempty, nonempty[1:]):
+            if a.max_doc_id >= b.min_doc_id:
                 raise ValueError(
                     f"merged indexes have overlapping doc-id ranges "
                     f"([{a.min_doc_id},{a.max_doc_id}] vs "
@@ -84,6 +87,19 @@ class MergedIndexReader:
 
     def idf(self, df: int) -> float:
         return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 512) -> list[str]:
+        """Wildcard expansion over the UNION of segment dictionaries —
+        same loud cap semantics as the single reader's."""
+        out: set[str] = set()
+        for r in self.readers:
+            out.update(r.expand_prefix(prefix, max_expansions))
+        if len(out) > max_expansions:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {len(out)} terms across "
+                f"segments (> {max_expansions}); use a longer prefix or "
+                "raise max_expansions")
+        return sorted(out)
 
     def posting_rows(self, term: str) -> list[dict]:
         out = []
@@ -138,13 +154,39 @@ def add_documents(main_index_dir: str, corpus_path: str,
                     droot, _delta_key(corpus_path), "meta.json"):
                 with open(mp) as f:
                     floor = max(floor, json.load(f)["doc_id_space"])
-    lo = pads.dataset(corpus_path).to_table(columns=[id_col])
-    min_id = pc.min(lo[id_col]).as_py() if lo.num_rows else None
+    # min id from parquet row-group statistics (no driver
+    # materialization of the id column); statistics-less files fall
+    # back to a column scan of just those fragments
+    dset = pads.dataset(corpus_path)
+    min_id = None
+    for frag in dset.get_fragments():
+        frag_min = None
+        md = getattr(frag, "metadata", None)
+        if md is not None:
+            try:
+                ci = md.schema.to_arrow_schema().get_field_index(id_col)
+                mins = [md.row_group(g).column(ci).statistics.min
+                        for g in range(md.num_row_groups)
+                        if md.row_group(g).num_rows]
+                frag_min = min(mins) if mins else None
+            except (AttributeError, TypeError):
+                frag_min = None
+        if frag_min is None:
+            t = frag.to_table(columns=[id_col])
+            frag_min = pc.min(t[id_col]).as_py() if t.num_rows else None
+        if frag_min is not None:
+            min_id = frag_min if min_id is None else min(min_id, frag_min)
     if min_id is not None and min_id < floor:
         raise ValueError(
             f"delta doc ids must be >= the covered doc_id_space "
             f"({floor}, main + existing deltas); got min id {min_id} — "
             "renumber the new docs before indexing")
+    # the main index's semantic build knobs propagate to the delta —
+    # a delta indexing terms the main amputated (M3 exclude list) would
+    # silently diverge from a rebuild's ranking
+    if "exclude_terms" not in build_kwargs:
+        build_kwargs["exclude_terms"] = tuple(
+            main_meta.get("exclude_terms", ()))
     delta_dir = os.path.join(main_index_dir, "deltas", _delta_key(corpus_path))
     build_index(corpus_path, delta_dir, id_mode="column", id_col=id_col,
                 text_col=text_col,
@@ -275,6 +317,12 @@ class TombstoneReader:
     def idf(self, df: int) -> float:
         return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
 
+    def expand_prefix(self, prefix: str, max_expansions: int = 512) -> list[str]:
+        # expansions whose every doc is tombstoned contribute nothing
+        # (filtered postings come back empty), matching a rebuild's
+        # absent term — delegation is exact
+        return self._base.expand_prefix(prefix, max_expansions)
+
     def decoded_postings(self, term: str):
         hit = self._post_cache.get(term)
         if hit is not None:
@@ -378,11 +426,20 @@ def compact_index(main_index_dir: str, out_dir: str,
             metas.append(json.load(f))
     main_meta = metas[0]
     tomb = load_tombstones(main_index_dir)
+    space_floor = max((m["doc_id_space"] for m in metas), default=0)
     # delete_documents' contract: every tombstone is a real indexed doc,
     # so the alive count is a pure subtraction (zero-token docs included
-    # — they are corpus rows even though they appear in no token row)
+    # — they are corpus rows even though they appear in no token row).
+    # An out-of-range id would skew N/avgdl forever: fail loudly here,
+    # like TombstoneReader does at serving time.
+    if tomb:
+        lo_t, hi_t = min(tomb), max(tomb)
+        if lo_t < 0 or hi_t >= space_floor:
+            raise ValueError(
+                f"tombstone id {hi_t if hi_t >= space_floor else lo_t} "
+                f"outside the segments' doc-id space ({space_floor}); "
+                "only indexed doc ids may be deleted")
     alive_docs = sum(m["num_docs"] for m in metas) - len(tomb)
-    space_floor = max((m["doc_id_space"] for m in metas), default=0)
     with_positions = bool(main_meta.get("with_positions", True))
     id_col = main_meta.get("id_col", "doc_id")
 
@@ -401,32 +458,35 @@ def compact_index(main_index_dir: str, out_dir: str,
 
     tomb_arr = pa.array(sorted(tomb), pa.uint64())
 
-    def _drop_tombstoned(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.invert(pc.is_in(batch[id_col].cast(pa.uint64()),
-                               value_set=tomb_arr)))
-
-    def _merged(srcs: list[str]) -> rd.Dataset:
+    def _merged(srcs: list[str], key: str) -> rd.Dataset:
         # read_parquet expands a single directory but treats a LIST as
-        # file paths — enumerate the segment files explicitly
+        # file paths — enumerate the segment files explicitly.  ``key``
+        # names the doc-id column of THIS table: token tables are
+        # always keyed "doc_id" (tokenize emits doc_id regardless of
+        # id_col); only the sha table carries the source id column.
         files = sorted(
             os.path.join(r, f)
             for s in srcs for r, _, fs in os.walk(s) for f in fs
             if f.endswith(".parquet"))
         ds = rd.read_parquet(files)
         if tomb:
-            ds = ds.map_batches(_drop_tombstoned, batch_format="pyarrow",
+            def _drop(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.invert(pc.is_in(batch[key].cast(pa.uint64()),
+                                       value_set=tomb_arr)))
+
+            ds = ds.map_batches(_drop, batch_format="pyarrow",
                                 zero_copy_batch=True)
         return ds
 
     if not man.is_done("tokens", lineage, tokens_dir):
         man.start("tokens", lineage, tokens_dir)
         shutil.rmtree(tokens_dir, ignore_errors=True)
-        _merged(tok_srcs).write_parquet(tokens_dir)
+        _merged(tok_srcs, "doc_id").write_parquet(tokens_dir)
         if sha_srcs:
             sha_dir = os.path.join(out_dir, "sha256")
             shutil.rmtree(sha_dir, ignore_errors=True)
-            _merged(sha_srcs).write_parquet(sha_dir)
+            _merged(sha_srcs, id_col).write_parquet(sha_dir)
         n_tokens = int(pads.dataset(tokens_dir).count_rows())
         man.finish("tokens", token_rows=n_tokens, corpus_docs=alive_docs)
 

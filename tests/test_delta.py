@@ -338,3 +338,150 @@ def test_merge_compact_many_segments(tmp_path, ray_session):
     for t in ("def", "return", "import"):
         d, _ = r.decoded_postings(t)
         assert (np.diff(d.astype(np.int64)) > 0).all(), t
+
+
+def test_wildcard_and_query_string_on_delta_and_tombstone_serving(
+        delta_dirs, tmp_path):
+    """expand_prefix must work through BOTH wrappers: MergedIndexReader
+    (union of segment dictionaries) and TombstoneReader (delegation) —
+    a wildcard query on a delta-serving scorer used to AttributeError."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import delete_documents
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    main, delta, full, root = delta_dirs
+    work = str(tmp_path / "m")
+    shutil.copytree(main, work)
+    sc = merged_scorer(work)                  # merged, no tombstones yet
+    fr = BM25Scorer(full)
+    d1, s1 = sc.score_prefix(["ret"], 10)
+    d2, s2 = fr.score_prefix(["ret"], 10)
+    assert list(d1) == list(d2) and np.allclose(s1, s2)
+    q1 = sc.score_query("import^2 +return ret*", 10)
+    q2 = fr.score_query("import^2 +return ret*", 10)
+    assert list(q1[0]) == list(q2[0]) and np.allclose(q1[1], q2[1])
+
+    delete_documents(work, [0, 7])            # now TombstoneReader wraps
+    sc2 = merged_scorer(work)
+    d3, _ = sc2.score_query("import ret*", 10)
+    assert 0 not in [int(x) for x in d3] and 7 not in [int(x) for x in d3]
+
+
+def test_delta_inherits_exclude_terms(tmp_path, ray_session):
+    """A delta built on a main index with M3 exclusions must amputate
+    the same terms, or merged ranking diverges from a rebuild."""
+    root = tmp_path
+    pq.write_table(_doc_table(0, 60), str(root / "main.parquet"))
+    pq.write_table(_doc_table(60, 80), str(root / "new.parquet"))
+    main = str(root / "idx")
+    build_index(str(root / "main.parquet"), main, id_mode="column",
+                text_col="text", exclude_terms=("return",))
+    delta = add_documents(main, str(root / "new.parquet"))
+    import json
+    import os
+
+    with open(os.path.join(delta, "meta.json")) as f:
+        assert f.read and json.load(open(os.path.join(delta, "meta.json")))[
+            "exclude_terms"] == ["return"]
+    merged = MergedIndexReader([main, delta])
+    assert merged.lookup("return") is None    # amputated on BOTH sides
+
+
+def test_compaction_rejects_out_of_range_tombstones(delta_dirs, tmp_path):
+    """A tombstone outside the covered doc-id space must fail loudly at
+    compaction (both strategies) instead of silently skewing N/avgdl."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.delta import (
+        compact_index,
+        delete_documents,
+    )
+
+    main, _, _, _ = delta_dirs
+    work = str(tmp_path / "m")
+    shutil.copytree(main, work)
+    delete_documents(work, [10 ** 9])
+    for mode in ("merge", "rebuild"):
+        with pytest.raises(ValueError, match="doc-id space"):
+            compact_index(work, str(tmp_path / f"out_{mode}"), mode=mode)
+
+
+def test_empty_segment_does_not_hide_overlap(delta_dirs, tmp_path):
+    """An empty segment sorting between two overlapping ranges must not
+    defeat the overlap validation."""
+    empty_corpus = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),          # zero rows
+    })
+    pq.write_table(empty_corpus, str(tmp_path / "e.parquet"))
+    e_idx = str(tmp_path / "e_idx")
+    build_index(str(tmp_path / "e.parquet"), e_idx,
+                id_mode="column", text_col="text")
+    main, _, full, _ = delta_dirs
+    # main (0-399) and full (0-499) overlap; E is empty (max_doc_id -1)
+    with pytest.raises(ValueError, match="overlapping"):
+        MergedIndexReader([main, e_idx, full])
+    # and a rows-but-zero-tokens corpus fails LOUDLY at build
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([""], pa.string())})
+    pq.write_table(bad, str(tmp_path / "bad.parquet"))
+    with pytest.raises(ValueError, match="zero tokens"):
+        build_index(str(tmp_path / "bad.parquet"),
+                    str(tmp_path / "bad_idx"),
+                    id_mode="column", text_col="text")
+
+
+def test_rebuild_compaction_with_custom_id_col_and_tombstones(
+        tmp_path, ray_session):
+    """Token tables are keyed 'doc_id' regardless of id_col: the rebuild
+    tombstone filter used to KeyError on a custom-id index."""
+    from hadoopsearchengine_ray.pipelines.delta import (
+        compact_index,
+        delete_documents,
+    )
+
+    tbl = corpus.gen_rows(np.arange(0, 80))
+    pq.write_table(pa.table({
+        "docno": pa.array(range(80), pa.int64()),
+        "text": tbl["content"],
+    }), str(tmp_path / "c.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c.parquet"), idx, id_mode="column",
+                id_col="docno", text_col="text")
+    delete_documents(idx, [3, 11])
+    out = str(tmp_path / "out")
+    meta = compact_index(idx, out, mode="rebuild")
+    assert meta["num_docs"] == 78
+    sc = BM25Scorer(out)
+    d, _ = sc.score(["return"], 80)
+    assert 3 not in [int(x) for x in d] and 11 not in [int(x) for x in d]
+
+
+def test_merge_compact_carry_tokens_false_is_idempotent(
+        tmp_path, ray_session):
+    """With carry_tokens=False the tokens stage must still checkpoint:
+    a second invocation may not rewrite the sha carry-over."""
+    import json
+    import os
+
+    from hadoopsearchengine_ray.pipelines.compaction import (
+        merge_compact_index,
+    )
+
+    tbl = corpus.gen_rows(np.arange(0, 60))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": tbl["content"],
+    }), str(tmp_path / "c.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c.parquet"), idx, id_mode="column",
+                text_col="text")
+    out = str(tmp_path / "out")
+    merge_compact_index(idx, out, carry_tokens=False)
+    man1 = json.load(open(os.path.join(out, "manifest.json")))
+    assert man1["stages"]["tokens"]["status"] == "done"
+    sha_dir = os.path.join(out, "sha256")
+    mtime1 = os.path.getmtime(sha_dir)
+    merge_compact_index(idx, out, carry_tokens=False)   # resume: no-op
+    assert os.path.getmtime(sha_dir) == mtime1
