@@ -244,17 +244,14 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
     caller falls back to the token-level rebuild)."""
     from ..stages.dictionary import dictionary_from_postings, _add_id
     from .build_index import INDEX_FORMAT_VERSION, K1, B, _partition_metrics
-    from .delta import _tombstone_path, load_tombstones
+    from .delta import _tombstone_path, list_delta_dirs, load_tombstones
 
     if os.path.abspath(out_dir) == os.path.abspath(main_index_dir):
         raise ValueError("compaction must write to a NEW directory — "
                          "compacting in place would destroy the inputs "
                          "it is still reading")
     if delta_dirs is None:
-        droot = os.path.join(main_index_dir, "deltas")
-        delta_dirs = sorted(
-            os.path.join(droot, d) for d in os.listdir(droot)
-        ) if os.path.isdir(droot) else []
+        delta_dirs = list_delta_dirs(main_index_dir)
     segments = [main_index_dir] + list(delta_dirs)
     metas = []
     for s in segments:

@@ -44,6 +44,26 @@ def _delta_key(corpus_path: str) -> str:
     return hashlib.sha256(corpus_path.encode()).hexdigest()[:12]
 
 
+def list_delta_dirs(main_index_dir: str) -> list[str]:
+    """Sorted delta dirs under ``main/deltas`` with a COMPLETE build
+    (meta.json present) — the single source of delta auto-discovery for
+    serving and compaction.  A half-built delta (crashed add_documents)
+    is skipped with a warning instead of crashing the caller; it
+    resumes on the next add_documents for the same corpus."""
+    droot = os.path.join(main_index_dir, "deltas")
+    if not os.path.isdir(droot):
+        return []
+    out = []
+    for d in sorted(os.listdir(droot)):
+        p = os.path.join(droot, d)
+        if os.path.exists(os.path.join(p, "meta.json")):
+            out.append(p)
+        else:
+            print(f"[delta] skipping half-built delta {p} (no meta.json);"
+                  " re-run add_documents to finish it", file=sys.stderr)
+    return out
+
+
 class MergedIndexReader:
     """IndexReader-compatible view over a main index + delta indexes."""
 
@@ -201,10 +221,7 @@ def merged_scorer(main_index_dir: str,
     given), rank-identical to a scorer over a full rebuild.  Tombstoned
     docs (delete_documents) are excluded from results and stats."""
     if delta_dirs is None:
-        droot = os.path.join(main_index_dir, "deltas")
-        delta_dirs = sorted(
-            os.path.join(droot, d) for d in os.listdir(droot)
-        ) if os.path.isdir(droot) else []
+        delta_dirs = list_delta_dirs(main_index_dir)
     reader = MergedIndexReader([main_index_dir] + list(delta_dirs))
     tomb = load_tombstones(main_index_dir)
     if tomb:
@@ -415,10 +432,7 @@ def compact_index(main_index_dir: str, out_dir: str,
                          "compacting in place would destroy the inputs "
                          "it is still reading")
     if delta_dirs is None:
-        droot = os.path.join(main_index_dir, "deltas")
-        delta_dirs = sorted(
-            os.path.join(droot, d) for d in os.listdir(droot)
-        ) if os.path.isdir(droot) else []
+        delta_dirs = list_delta_dirs(main_index_dir)
     segments = [main_index_dir] + list(delta_dirs)
     metas = []
     for seg in segments:
@@ -516,10 +530,7 @@ def maybe_compact(main_index_dir: str, out_dir: str,
     ``out_dir`` in for ``main_index_dir`` after a non-None return —
     compaction never mutates its inputs, so serving can keep reading
     the old segments until the swap."""
-    droot = os.path.join(main_index_dir, "deltas")
-    delta_dirs = sorted(
-        os.path.join(droot, d) for d in os.listdir(droot)
-    ) if os.path.isdir(droot) else []
+    delta_dirs = list_delta_dirs(main_index_dir)
     total = 0
     for seg in [main_index_dir] + delta_dirs:
         with open(os.path.join(seg, "meta.json")) as f:
