@@ -48,13 +48,18 @@ def varint_sizes(values: np.ndarray) -> np.ndarray:
     return nb
 
 
-def encode_varints(values: np.ndarray) -> np.ndarray:
-    """Vectorized LEB128 encode: uint64 array -> uint8 array."""
+def encode_varints(values: np.ndarray,
+                   sizes: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized LEB128 encode: uint64 array -> uint8 array.
+
+    ``sizes``: optional precomputed ``varint_sizes(values)`` — callers
+    that also need the per-value lengths (for offset cumsums) pass them
+    in so the 9-comparison size pass runs once, not twice."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8)
-    nb = varint_sizes(v)
+    nb = varint_sizes(v) if sizes is None else sizes
     offsets = np.cumsum(nb) - nb
     out = np.zeros(int(nb.sum()), dtype=np.uint8)
     maxb = int(nb.max())
@@ -137,12 +142,16 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
     gaps = np.empty(n, dtype=np.uint64)
     if n:
         gaps[1:] = doc_ids[1:] - doc_ids[:-1]
-    gaps[t_start] = doc_ids[t_start]
+        # df==0 terms (and an all-empty input) have start == n: masking
+        # keeps the reset write in bounds instead of IndexError-ing
+        resets = t_start[t_start < n]
+        gaps[resets] = doc_ids[resets]
 
-    doc_bytes = encode_varints(gaps)
-    tf_bytes = encode_varints(tfs)
-    doc_sz = np.concatenate(([0], np.cumsum(varint_sizes(gaps))))
-    tf_sz = np.concatenate(([0], np.cumsum(varint_sizes(tfs))))
+    doc_nb, tf_nb = varint_sizes(gaps), varint_sizes(tfs)
+    doc_bytes = encode_varints(gaps, sizes=doc_nb)
+    tf_bytes = encode_varints(tfs, sizes=tf_nb)
+    doc_sz = np.concatenate(([0], np.cumsum(doc_nb)))
+    tf_sz = np.concatenate(([0], np.cumsum(tf_nb)))
 
     # global block structure: for each term, blocks of SKIP_BLOCK docs
     nblocks = (dfs + SKIP_BLOCK - 1) // SKIP_BLOCK
@@ -153,7 +162,7 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
     blk_start = t_start[blk_term] + blk_ord * SKIP_BLOCK          # absolute row of block start
     blk_end = np.minimum(blk_start + SKIP_BLOCK, t_end[blk_term]) - 1
 
-    skip_docs = doc_ids[blk_start + (blk_end - blk_start)] if n else np.empty(0, np.uint64)
+    skip_docs = doc_ids[blk_end] if n else np.empty(0, np.uint64)
     skip_doc_off = (doc_sz[blk_start] - doc_sz[t_start][blk_term]).astype(np.uint32)
     skip_tf_off = (tf_sz[blk_start] - tf_sz[t_start][blk_term]).astype(np.uint32)
     if len(blk_start):
@@ -180,8 +189,9 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
             pgaps[1:] = pos[1:] - pos[:-1]
         row_starts = rows_flat[:-1][tfs > 0] if n else np.empty(0, np.int64)
         pgaps[row_starts] = pos[row_starts]   # absolute first position per doc
-        pos_bytes = encode_varints(pgaps)
-        pos_sz = np.concatenate(([0], np.cumsum(varint_sizes(pgaps)))) \
+        pos_nb = varint_sizes(pgaps)
+        pos_bytes = encode_varints(pgaps, sizes=pos_nb)
+        pos_sz = np.concatenate(([0], np.cumsum(pos_nb))) \
             if len(pos) else np.zeros(1, np.int64)
         term_flat_start = rows_flat[term_starts]
         out["pos_blob"] = _binary_from_offsets(pos_bytes, pos_sz[term_flat_start])
@@ -194,8 +204,9 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
         a = np.ascontiguousarray(aux, dtype=np.uint64)
         if len(a) != n:
             raise ValueError(f"aux length {len(a)} != posting rows {n}")
-        aux_bytes = encode_varints(a)
-        aux_sz = np.concatenate(([0], np.cumsum(varint_sizes(a))))
+        aux_nb = varint_sizes(a)
+        aux_bytes = encode_varints(a, sizes=aux_nb)
+        aux_sz = np.concatenate(([0], np.cumsum(aux_nb)))
         out["aux_blob"] = _binary_from_offsets(aux_bytes, aux_sz[term_starts])
     return out
 
@@ -203,7 +214,10 @@ def encode_term_partition(term_starts: np.ndarray, doc_ids: np.ndarray,
 def decode_aux(aux_blob: bytes, df: int) -> np.ndarray:
     """Decode a term's aux channel (e.g. anchor tf) -> uint64[df]."""
     vals = decode_varints(np.frombuffer(aux_blob, dtype=np.uint8))
-    assert len(vals) == df, (len(vals), df)
+    if len(vals) != df:
+        raise ValueError(
+            f"aux blob decodes {len(vals)} values, want df={df} — "
+            "corrupt or truncated blob")
     return vals
 
 
@@ -218,7 +232,12 @@ def decode_postings(doc_blob: bytes, tf_blob: bytes, df: int):
     """Decode blobs back to (doc_ids: uint64[df], tfs: uint64[df])."""
     gaps = decode_varints(np.frombuffer(doc_blob, dtype=np.uint8))
     tfs = decode_varints(np.frombuffer(tf_blob, dtype=np.uint8))
-    assert len(gaps) == df and len(tfs) == df, (len(gaps), len(tfs), df)
+    if len(gaps) != df or len(tfs) != df:
+        # ValueError (not assert): a truncated blob must fail loudly
+        # even under `python -O`, like decode_positions does
+        raise ValueError(
+            f"posting blobs decode ({len(gaps)}, {len(tfs)}) values, "
+            f"want df={df} — corrupt or truncated blob")
     return np.cumsum(gaps, dtype=np.uint64), tfs
 
 

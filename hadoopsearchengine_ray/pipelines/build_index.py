@@ -277,6 +277,34 @@ def _build_from_tokens(
 
     n_docs = int(man.stages["tokens"]["metrics"]["corpus_docs"])
 
+    def _id_space_from_tokens(fallback: int) -> int:
+        """Doc-id-space ceiling (max doc_id + 1) from parquet row-group
+        statistics — metadata-only, no data scan.  Needed so hot-term
+        SALTING stays balanced for column-mode ids that start far above
+        the row count (every delta corpus does: its ids begin at the
+        main index's doc_id_space, so a row-count-based salt bucketing
+        would clip the whole delta into one salt)."""
+        import pyarrow.dataset as pads
+
+        mx = None
+        try:
+            for frag in pads.dataset(tokens_dir).get_fragments():
+                md = frag.metadata
+                if md is None:
+                    return fallback
+                ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    if not rg.num_rows:
+                        continue
+                    st = rg.column(ci).statistics
+                    if st is None or st.max is None:
+                        return fallback
+                    mx = st.max if mx is None else max(mx, st.max)
+        except Exception:
+            return fallback
+        return (int(mx) + 1) if mx is not None else fallback
+
     # ---- stage 2: vocab + hot-term sample (postings' only upstream) --
     vocab_dir = os.path.join(index_dir, "vocab")
     if not man.is_done("vocab", lineage, vocab_dir):
@@ -369,7 +397,10 @@ def _build_from_tokens(
             post = build_postings(
                 _tokens(post_cols),
                 hot_term_ids=hot_ids,
-                num_docs=n_docs,
+                # the SALT bucketing spreads over the id SPACE, not the
+                # row count (column-mode/delta ids start above n_docs)
+                num_docs=max(n_docs, doc_id_space_floor,
+                             _id_space_from_tokens(n_docs)),
                 num_shards=num_shards,
                 num_salts=num_salts,
                 num_index_parts=num_index_parts,

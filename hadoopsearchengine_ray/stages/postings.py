@@ -67,10 +67,20 @@ def make_shard_assigner(hot_term_ids: dict[int, int], num_docs: int,
     vectorized id/shard/salt arithmetic.  Hot terms route to dedicated
     (hot_idx, doc-range-salt) sub-shards."""
     hot_ref = ray.put(hot_term_ids)
-    num_docs = max(1, num_docs)
+    # salt = doc // ceil(space/S): monotonic in doc id and overflow-free
+    # for ANY uint64 id.  (The previous doc*S//space multiply wrapped
+    # past 2^64/S, making salt non-monotonic — the reader's salt-order
+    # posting concatenation would silently go unsorted.)  Ids beyond
+    # ``num_docs`` clip into the last salt: still monotonic; only hot
+    # load balance degrades, so column-mode callers with a sparse id
+    # space should pass the id-space ceiling, not the row count.
+    salt_width = np.uint64(max(1, -(-max(1, num_docs) // num_salts)))
+    _hot_cache: list = []            # one plasma get per worker, not per batch
 
     def _assign(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
+        if not _hot_cache:
+            _hot_cache.append(ray.get(hot_ref))
+        hot = _hot_cache[0]
         dict_arr = batch["term"].combine_chunks().dictionary_encode()
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = dict_arr.dictionary.to_pylist()
@@ -80,7 +90,7 @@ def make_shard_assigner(hot_term_ids: dict[int, int], num_docs: int,
         row_tid = tids[codes]
         row_hot = hot_idx[codes]
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        salt = (doc * np.uint64(num_salts) // np.uint64(num_docs)).astype(np.int64)
+        salt = (doc // salt_width).astype(np.int64)
         np.clip(salt, 0, num_salts - 1, out=salt)
         shard = row_tid % np.int64(num_shards)   # numpy %: sign of divisor
         is_hot = row_hot >= 0

@@ -19,11 +19,6 @@ import ray.data as rd
 
 from ..tokenizer import tokenize_column
 
-TOKEN_SCHEMA = pa.schema(
-    [("doc_id", pa.uint64()), ("term", pa.string()), ("tf", pa.uint32())]
-)
-
-
 def tokenize_batch(batch: pa.Table, text_col: str = "content",
                    id_col: str = "doc_id",
                    with_positions: bool = False,
@@ -54,8 +49,11 @@ def tokenize_batch(batch: pa.Table, text_col: str = "content",
         keep_np = keep.to_numpy(zero_copy_only=False)
         flat = flat.filter(keep)
         doc_idx = doc_idx[keep_np]
-        counts = np.bincount(doc_idx.astype(np.int64),
-                             minlength=ndocs).astype(np.int64)
+        if with_positions:
+            # per-doc counts are only read again to derive positional
+            # doc_starts — skip the O(kept tokens) bincount otherwise
+            counts = np.bincount(doc_idx.astype(np.int64),
+                                 minlength=ndocs).astype(np.int64)
 
     # count (doc, term) pairs vectorized: dictionary-encode terms, pack
     # (local_doc, code) into one uint64 key, np.unique with counts

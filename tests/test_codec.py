@@ -72,3 +72,87 @@ def test_multi_term_partition_encode():
         )
         assert np.array_equal(d, doc_all[t])
         assert np.array_equal(f, tf_all[t])
+
+
+def test_empty_and_zero_df_terms_encode():
+    """Empty input and df==0 terms must encode to valid (empty) blobs
+    instead of IndexError-ing (review regression)."""
+    e = np.empty(0, np.uint64)
+    enc = codec.encode_postings(e, e)
+    assert enc["df"] == 0 and enc["doc_blob"] == b""
+    d, t = codec.decode_postings(enc["doc_blob"], enc["tf_blob"], 0)
+    assert len(d) == 0 and len(t) == 0
+    # a df==0 term BETWEEN non-empty terms, and one trailing
+    docs = np.array([3, 9, 5], np.uint64)     # term0: [3,9], term2: [5]
+    tfs = np.array([1, 2, 7], np.uint64)
+    cols = codec.encode_term_partition(
+        np.array([0, 2, 2, 3, 3]), docs, tfs)  # term1 and term3 empty
+    assert cols["df"].to_pylist() == [2, 0, 1, 0]
+    d0, t0 = codec.decode_postings(cols["doc_blob"][0].as_py(),
+                                   cols["tf_blob"][0].as_py(), 2)
+    assert list(d0) == [3, 9] and list(t0) == [1, 2]
+    d2, t2 = codec.decode_postings(cols["doc_blob"][2].as_py(),
+                                   cols["tf_blob"][2].as_py(), 1)
+    assert list(d2) == [5] and list(t2) == [7]
+    assert cols["doc_blob"][1].as_py() == b""
+
+
+def test_truncated_blob_raises_value_error():
+    """Corrupt blobs must raise ValueError (works under python -O too,
+    unlike the old bare assert)."""
+    import pytest
+
+    enc = codec.encode_postings(np.array([1, 2, 3], np.uint64),
+                                np.array([1, 1, 1], np.uint64))
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        codec.decode_postings(enc["doc_blob"][:-1], enc["tf_blob"], 3)
+    with pytest.raises(ValueError, match="corrupt or truncated"):
+        codec.decode_aux(enc["tf_blob"][:-1], 3)
+
+
+def test_salt_monotonic_for_sparse_and_huge_ids():
+    """Salt bucketing must be MONOTONIC in doc id for any uint64 id
+    (the old doc*S//N multiply wrapped past 2^64/S) and spread a
+    delta-style id range (starting at the main's space) across salts."""
+    import pyarrow as pa
+
+    from hadoopsearchengine_ray.stages.postings import (
+        make_shard_assigner,
+        term_ids_for,
+    )
+
+    tid = int(term_ids_for(["hot"])[0])
+    S = 8
+    # ids far above num_docs AND near the uint64 ceiling
+    ids = np.array([100, 999, 2**61, 2**63 + 5, 2**64 - 2], np.uint64)
+    assign = make_shard_assigner({tid: 0}, num_docs=2**64 - 1,
+                                 num_salts=S)
+    out = assign(pa.table({
+        "term": pa.array(["hot"] * len(ids)),
+        "doc_id": pa.array(ids, pa.uint64()),
+        "tf": pa.array([1] * len(ids), pa.uint32()),
+    }))
+    salts = out["salt"].to_pylist()
+    assert salts == sorted(salts), "salt must be monotonic in doc id"
+    assert all(0 <= s < S for s in salts)
+    # delta regime: 1000 rows with ids in [50_000, 51_000), space 51_000
+    ids2 = np.arange(50_000, 51_000, dtype=np.uint64)
+    assign2 = make_shard_assigner({tid: 0}, num_docs=51_000, num_salts=S)
+    out2 = assign2(pa.table({
+        "term": pa.array(["hot"] * len(ids2)),
+        "doc_id": pa.array(ids2, pa.uint64()),
+        "tf": pa.array([1] * len(ids2), pa.uint32()),
+    }))
+    s2 = np.asarray(out2["salt"].to_pylist())
+    assert (np.diff(s2) >= 0).all()
+    # the whole delta range no longer collapses into ONE salt bucket —
+    # it may span few buckets (range/width), but must not be constant
+    # when it crosses a width boundary; with width ceil(51000/8)=6375
+    # the range [50000,51000) fits inside one bucket — use a wider range
+    ids3 = np.arange(20_000, 51_000, 31, dtype=np.uint64)
+    out3 = assign2(pa.table({
+        "term": pa.array(["hot"] * len(ids3)),
+        "doc_id": pa.array(ids3, pa.uint64()),
+        "tf": pa.array([1] * len(ids3), pa.uint32()),
+    }))
+    assert len(set(out3["salt"].to_pylist())) >= 4
