@@ -375,6 +375,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return autocomplete(f"{sf}/documents.parquet", "c", n=10)
 
+    def q_grep_substring(sf):
+        # trigram-index code grep: exact substring match, candidates
+        # from the rarest required trigrams, RE2-verified
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_substring
+
+        src = f"{sf}/documents.parquet"
+        return grep_substring(trigram_for(src), src, "merge batch") \
+            .to_pandas()
+
+    def q_grep_regex(sf):
+        # trigram-index regex grep: required-literal CNF planning over
+        # the same index, RE2 verify (DuckDB regexps are RE2 too)
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_regex
+
+        src = f"{sf}/documents.parquet"
+        return grep_regex(trigram_for(src), src,
+                          "spark (scan|merge)").to_pandas()
+
     def q_facet_counts(sf):
         # faceted search panel: docs matching ANY query term, counted
         # per lang — posting-decoded match set broadcast over a pruned
@@ -1978,6 +1998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
         "autocomplete": q_autocomplete,
+        "grep_substring": q_grep_substring,
+        "grep_regex": q_grep_regex,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
@@ -2491,6 +2513,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT)
                      AS rank, term, cf
             FROM c ORDER BY cf DESC, term LIMIT 10
+        """,
+        # trigram code grep: exact substring containment
+        "grep_substring": """
+            SELECT doc_id FROM documents
+            WHERE contains(text, 'merge batch')
+            ORDER BY doc_id
+        """,
+        # trigram regex grep: DuckDB regexp_matches is RE2, the same
+        # engine the verify stage uses -> semantics agree exactly
+        "grep_regex": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, 'spark (scan|merge)')
+            ORDER BY doc_id
         """,
         # faceted counts: distinct docs matching ANY query term, per lang
         "facet_counts": f"""

@@ -65,6 +65,32 @@ def store_for(parquet_path: str) -> str:
     return store_dir
 
 
+def trigram_for(parquet_path: str, text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """Build-or-reuse a trigram grep index for a documents parquet;
+    same lineage-fingerprint invalidation as ``store_for``."""
+    import shutil
+
+    from ..pipelines.grep import build_trigram_index
+    from ..state.manifest import lineage_fingerprint
+
+    key = hashlib.sha256(("tri:" + parquet_path).encode()).hexdigest()[:16]
+    idx_dir = os.path.join(CACHE_ROOT, key)
+    done = os.path.join(idx_dir, "_DONE")
+    fp = lineage_fingerprint([parquet_path])
+    have = None
+    if os.path.exists(done):
+        with open(done) as f:
+            have = f.read()
+    if have != fp:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_trigram_index(parquet_path, idx_dir,
+                            text_col=text_col, id_col=id_col)
+        with open(done, "w") as f:
+            f.write(fp)
+    return idx_dir
+
+
 def search_snippets_table(parquet_path: str, terms: list[str],
                           k: int = 10,
                           text_col: str = "text") -> pd.DataFrame:

@@ -1,0 +1,481 @@
+"""Trigram substring / regex search over the code corpus.
+
+The reference engine retrieves by tokenized words only (hits keyed by
+word id, /root/reference/DyableIndex/ hit lists; word lookup
+DyableRequest/.../TextStringServer.h) — a user grepping for an exact
+code fragment (``"for (int i"``, an identifier substring, a regex) has
+no index to use.  This module adds the code-search capability the
+input corpus calls for: a Google-Code-Search-style trigram index
+(R. Cox, "Regular Expression Matching with a Trigram Index", 2012 —
+public write-up of the codesearch.google.com design), expressed
+Ray-Data-first:
+
+- **Build**: ``map_batches`` extracts each doc's UNIQUE byte trigrams
+  with a fully vectorized numpy kernel (one pass over the Arrow string
+  buffer, no per-row Python), then ONE range shuffle
+  (``sort(bucket, gram, doc_id)``) co-locates each trigram's postings,
+  and a second ``map_batches`` delta-gap varint encodes per-gram doc-id
+  runs (reusing the main index's codec).  Output is hive-partitioned
+  Parquet (``bucket=gram % NUM_BUCKETS``) with gram-sorted row groups,
+  so a query touches only the row groups statistics admit.
+- **Skew**: stopword-scale trigrams ("  t", "e  ") are handled two
+  ways: a gram's postings may span block boundaries (each block emits
+  its own sorted SEGMENT row; the reader merges), so no single task
+  ever holds a whole hot gram; and the query planner intersects only
+  the ``max_and`` RAREST required trigrams (any subset of required
+  grams still yields a candidate SUPERSET), so a hot gram's postings
+  are simply never read.  The global df table that drives the planner
+  is bounded by the gram space itself (<= 2^24 rows) regardless of
+  corpus size.
+- **Verify**: trigram candidates are a superset; actual matches are
+  confirmed with RE2 (``pyarrow.compute.match_substring[_regex]``),
+  size-dispatched: a driver-side pruned fetch for small candidate
+  sets, a broadcast-filter ``map_batches`` streaming scan for large
+  ones, and a loud full-scan fallback when the pattern yields no
+  required trigram (< 3 bytes of required literal).
+
+DuckDB's ``contains`` / ``regexp_matches`` are exact oracles (DuckDB
+regexps are RE2 too, so regex semantics agree with the verify stage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..codec import (
+    _binary_from_offsets,
+    decode_varints,
+    encode_varints,
+    varint_sizes,
+)
+
+NUM_BUCKETS = 64          # gram % NUM_BUCKETS hive partitions
+MAX_AND = 8               # rarest required grams intersected per clause
+DRIVER_FETCH_CAP = 65_536  # candidates above this verify distributed
+
+
+# ---------------------------------------------------------------------------
+# build
+
+
+def _ensure_typed(out_dir: str, schema: pa.Schema) -> None:
+    """Guarantee a readable typed dataset even for a token-less corpus
+    (the packed_shards empty-schema lesson): if the writer emitted no
+    parquet files, park one empty file with the right schema."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for _root, _dirs, files in os.walk(out_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return
+    pq.write_table(schema.empty_table(),
+                   os.path.join(out_dir, "empty.parquet"))
+
+
+def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int):
+    """Vectorized per-batch (gram, doc_id, bucket) extraction.
+
+    One numpy pass over the shared UTF-8 buffer of the Arrow string
+    column: trigram codes are three shifted byte loads; per-doc
+    uniqueness is one ``np.unique`` over packed (row, gram) keys."""
+
+    empty = pa.table({
+        "gram": pa.array([], pa.int32()),
+        "doc_id": pa.array([], pa.int64()),
+        "bucket": pa.array([], pa.int32()),
+    })
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return empty
+        col = pc.fill_null(batch[text_col].combine_chunks(), "")
+        s = col.cast(pa.large_string())
+        bufs = s.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[
+            s.offset: s.offset + len(s) + 1]
+        counts = np.maximum(offs[1:] - offs[:-1] - 2, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        cum = np.cumsum(counts)
+        row_rep = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        pos = offs[:-1][row_rep] + (np.arange(total) -
+                                    np.repeat(cum - counts, counts))
+        codes = ((data[pos].astype(np.uint32) << 16)
+                 | (data[pos + 1].astype(np.uint32) << 8)
+                 | data[pos + 2].astype(np.uint32))
+        key = (row_rep << 24) | codes.astype(np.int64)
+        uq = np.unique(key)
+        row_idx = uq >> 24
+        gram = (uq & 0xFFFFFF).astype(np.int32)
+        ids = batch[id_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "gram": pa.array(gram),
+            "doc_id": pa.array(ids[row_idx], pa.int64()),
+            "bucket": pa.array(gram % np.int32(num_buckets)),
+        })
+
+    return _fn
+
+
+def _encode_block(batch: pa.Table) -> pa.Table:
+    """Encode a (bucket, gram, doc_id)-sorted block into per-gram
+    delta-varint posting segments.  A gram split across block
+    boundaries yields one segment per block; the reader merges."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "bucket": pa.array([], pa.int32()),
+            "gram": pa.array([], pa.int32()),
+            "df": pa.array([], pa.int64()),
+            "doc_blob": pa.array([], pa.binary()),
+        })
+    grams = batch["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+    docs = batch["doc_id"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    run_start = np.flatnonzero(np.diff(grams) != 0) + 1
+    starts = np.concatenate(([0], run_start))
+    deltas = np.empty_like(docs)
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[starts] = docs[starts]
+    sizes = varint_sizes(deltas.astype(np.uint64))
+    enc = encode_varints(deltas.astype(np.uint64), sizes)
+    byte_cum = np.concatenate(([0], np.cumsum(sizes)))
+    cell_offsets = byte_cum[np.concatenate((starts, [len(docs)]))]
+    dfs = np.diff(np.concatenate((starts, [len(docs)])))
+    return pa.table({
+        "bucket": batch["bucket"].combine_chunks().take(
+            pa.array(starts, pa.int64())),
+        "gram": pa.array(grams[starts], pa.int32()),
+        "df": pa.array(dfs, pa.int64()),
+        "doc_blob": _binary_from_offsets(enc, cell_offsets),
+    })
+
+
+def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        num_buckets: int = NUM_BUCKETS) -> str:
+    """Build the trigram index; returns ``index_dir``.
+
+    ``corpus``: a parquet path (read pruned to the two needed columns)
+    or a Dataset.  Exactly ONE all-to-all exchange (the range sort);
+    everything else is streaming map_batches."""
+    if isinstance(corpus, str):
+        ds = rd.read_parquet(corpus, columns=[id_col, text_col])
+    else:
+        ds = corpus.select_columns([id_col, text_col])
+    rows = ds.map_batches(_trigram_rows_fn(text_col, id_col, num_buckets),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    encoded = (rows.sort(["bucket", "gram", "doc_id"])
+               .map_batches(_encode_block, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    post_dir = os.path.join(index_dir, "postings")
+    encoded.write_parquet(post_dir, partition_cols=["bucket"])
+    _ensure_typed(post_dir, pa.schema([
+        ("gram", pa.int32()), ("df", pa.int64()),
+        ("doc_blob", pa.binary()), ("bucket", pa.int32())]))
+
+    # global df per gram: bounded by the 2^24 gram space, one small
+    # aggregate over the segment rows (postings blobs never reread)
+    df_dir = os.path.join(index_dir, "df")
+    (rd.read_parquet(post_dir, columns=["gram", "df"])
+     .groupby("gram").sum("df")
+     .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+                  batch_format="pyarrow")
+     .write_parquet(df_dir))
+    _ensure_typed(df_dir, pa.schema([("gram", pa.int32()),
+                                     ("df", pa.int64())]))
+
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"text_col": text_col, "id_col": id_col,
+                   "num_buckets": num_buckets}, f)
+    return index_dir
+
+
+# ---------------------------------------------------------------------------
+# regex -> required-trigram CNF
+
+def _pattern_grams(literal: bytes) -> np.ndarray:
+    """Unique trigram codes of a byte string (empty if < 3 bytes)."""
+    if len(literal) < 3:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(literal, dtype=np.uint8)
+    codes = ((b[:-2].astype(np.int64) << 16)
+             | (b[1:-1].astype(np.int64) << 8) | b[2:].astype(np.int64))
+    return np.unique(codes)
+
+
+def regex_required_literals(pattern: str) -> list[list[str]]:
+    """Required-literal CNF of a regex: a list of clauses, each clause a
+    list of alternative literal strings (>= 3 bytes each); every match
+    of the regex must contain, for each clause, at least one of its
+    alternatives as a substring.  Empty list => no pruning possible.
+
+    A conservative subset of Cox's RegexpQuery analysis: maximal
+    LITERAL runs inside a concatenation are required; groups and
+    min>=1 repeats recurse; a top-level alternation contributes one
+    OR-clause only when EVERY branch yields a required literal
+    (otherwise it prunes nothing).  Anything else (classes, ``.``,
+    ``*``/``?``, anchors, backrefs) just breaks the current run —
+    always sound, sometimes loose."""
+    try:
+        from re import _parser as sre_parse  # py >= 3.11
+    except ImportError:  # pragma: no cover - older interpreters
+        import sre_parse
+
+    def walk(items) -> list[list[str]]:
+        clauses: list[list[str]] = []
+        run: list[str] = []
+
+        def flush():
+            s = "".join(run)
+            run.clear()
+            if len(s.encode()) >= 3:
+                clauses.append([s])
+
+        for op, av in items:
+            name = str(op)
+            if name == "LITERAL":
+                run.append(chr(av))
+            elif name == "SUBPATTERN":
+                flush()
+                clauses.extend(walk(av[3]))
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                flush()
+                lo, _hi, sub = av
+                if lo >= 1:
+                    clauses.extend(walk(sub))
+            elif name == "BRANCH":
+                flush()
+                alt_lits: list[str] = []
+                ok = True
+                for branch in av[1]:
+                    sub = walk(branch)
+                    singles = [c[0] for c in sub if len(c) == 1]
+                    if not singles:
+                        ok = False
+                        break
+                    alt_lits.append(max(singles, key=lambda s: len(s.encode())))
+                if ok and alt_lits:
+                    clauses.append(alt_lits)
+            else:
+                # AT (anchors), IN (classes), ANY, NOT_LITERAL,
+                # GROUPREF, ... : no literal requirement derivable
+                flush()
+        flush()
+        return clauses
+
+    return walk(sre_parse.parse(pattern))
+
+
+# ---------------------------------------------------------------------------
+# reader / planner
+
+
+class TrigramIndex:
+    """Planner + posting reader over a built trigram index.
+
+    Driver-side state is tiny (meta + a pyarrow dataset handle); every
+    posting read is bucket- and row-group-pruned to the asked grams."""
+
+    def __init__(self, index_dir: str):
+        import pyarrow.dataset as pads
+
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        part = pads.partitioning(
+            pa.schema([("bucket", pa.int32())]), flavor="hive")
+        self._post = pads.dataset(os.path.join(index_dir, "postings"),
+                                  partitioning=part)
+        self._df = pads.dataset(os.path.join(index_dir, "df"))
+
+    def df(self, grams: np.ndarray) -> dict[int, int]:
+        """Global df for each asked gram (0 when absent)."""
+        import pyarrow.dataset as pads
+
+        out = {int(g): 0 for g in grams}
+        if len(grams) == 0:
+            return out
+        tbl = self._df.to_table(
+            filter=pads.field("gram").isin([int(g) for g in grams]))
+        for g, d in zip(tbl["gram"].to_pylist(), tbl["df"].to_pylist()):
+            out[int(g)] = int(d)
+        return out
+
+    def postings(self, grams: list[int]) -> dict[int, np.ndarray]:
+        """Sorted unique doc ids per gram (segments decoded + merged)."""
+        import pyarrow.dataset as pads
+
+        out: dict[int, list[np.ndarray]] = {int(g): [] for g in grams}
+        if not grams:
+            return {}
+        buckets = sorted({int(g) % self.meta["num_buckets"] for g in grams})
+        filt = (pads.field("bucket").isin(buckets)
+                & pads.field("gram").isin([int(g) for g in grams]))
+        tbl = self._post.to_table(filter=filt,
+                                  columns=["gram", "df", "doc_blob"])
+        for g, blob in zip(tbl["gram"].to_pylist(),
+                           tbl["doc_blob"].to_pylist()):
+            docs = np.cumsum(decode_varints(
+                np.frombuffer(blob, dtype=np.uint8)).astype(np.int64))
+            out[int(g)].append(docs)
+        merged = {}
+        for g, segs in out.items():
+            if not segs:
+                merged[g] = np.empty(0, dtype=np.int64)
+            elif len(segs) == 1:
+                merged[g] = segs[0]
+            else:
+                merged[g] = np.unique(np.concatenate(segs))
+        return merged
+
+    def _intersect_grams(self, grams: np.ndarray,
+                         max_and: int = MAX_AND) -> np.ndarray | None:
+        """Candidate doc ids containing ALL the grams (None = no info)."""
+        if len(grams) == 0:
+            return None
+        dfs = self.df(grams)
+        if any(d == 0 for d in dfs.values()):
+            return np.empty(0, dtype=np.int64)
+        chosen = sorted(dfs, key=lambda g: (dfs[g], g))[:max_and]
+        posts = self.postings(chosen)
+        cand: np.ndarray | None = None
+        for g in sorted(chosen, key=lambda g: dfs[g]):
+            cand = posts[g] if cand is None else np.intersect1d(
+                cand, posts[g], assume_unique=True)
+            if len(cand) == 0:
+                break
+        return cand
+
+    def candidates_literal(self, pattern: str,
+                           max_and: int = MAX_AND) -> np.ndarray | None:
+        """Superset of docs containing ``pattern``; None when the
+        pattern is shorter than one trigram (full scan required)."""
+        return self._intersect_grams(_pattern_grams(pattern.encode()),
+                                     max_and=max_and)
+
+    def candidates_regex(self, pattern: str,
+                         max_and: int = MAX_AND) -> np.ndarray | None:
+        """Superset of docs that can match ``pattern`` (None = no
+        pruning derivable from the regex)."""
+        clauses = regex_required_literals(pattern)
+        cand: np.ndarray | None = None
+        for alts in clauses:
+            sets = []
+            opaque = False
+            for lit in alts:
+                s = self.candidates_literal(lit, max_and=max_and)
+                if s is None:       # an alternative too short to prune
+                    opaque = True
+                    break
+                sets.append(s)
+            if opaque:
+                continue
+            clause_set = sets[0] if len(sets) == 1 else \
+                np.unique(np.concatenate(sets))
+            cand = clause_set if cand is None else np.intersect1d(
+                cand, clause_set, assume_unique=True)
+            if len(cand) == 0:
+                return cand
+        return cand
+
+
+# ---------------------------------------------------------------------------
+# serving: candidates -> verified matches
+
+
+def _verified_matches(corpus_path: str, cand: np.ndarray | None,
+                      matcher, id_col: str, text_col: str) -> pa.Table:
+    """Docs whose text satisfies ``matcher`` (an Arrow-native predicate
+    ``ChunkedArray -> BooleanArray``), restricted to ``cand`` when the
+    planner produced one.  Size-dispatched:
+
+    - ``cand`` empty: nothing to do.
+    - small ``cand``: one pruned driver-side fetch (row-group stats on
+      ``id_col`` keep it local to the candidate ranges).
+    - large ``cand``: candidates broadcast once via ``ray.put``; a
+      streaming ``map_batches`` scan filters + verifies per block.
+    - ``cand is None`` (no trigram info): LOUD full streaming scan.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+    if cand is not None and len(cand) == 0:
+        return empty
+
+    if cand is not None and len(cand) <= DRIVER_FETCH_CAP:
+        tbl = pads.dataset(corpus_path).to_table(
+            columns=[id_col, text_col],
+            filter=pads.field(id_col).isin([int(d) for d in cand]))
+        if tbl.num_rows == 0:
+            return empty
+        mask = matcher(pc.fill_null(tbl[text_col], ""))
+        out = pa.table({id_col: tbl[id_col].filter(mask).cast(pa.int64())})
+        return out.sort_by(id_col)
+
+    cand_ref = ray.put(np.sort(cand)) if cand is not None else None
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        t = batch
+        if cand_ref is not None:
+            arr = ray.get(cand_ref)
+            ids = t[id_col].combine_chunks().cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = np.searchsorted(arr, ids, side="left")
+            mask = (keep < len(arr)) & (arr[np.minimum(keep, len(arr) - 1)]
+                                        == ids)
+            t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        m = matcher(pc.fill_null(t[text_col], ""))
+        return pa.table({id_col: t[id_col].filter(m).cast(pa.int64())})
+
+    out = (rd.read_parquet(corpus_path, columns=[id_col, text_col])
+           .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
+           .to_arrow_refs())
+    tables = [t for t in ray.get(out) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by(id_col)
+
+
+def grep_substring(index_dir: str, corpus_path: str,
+                   pattern: str) -> pa.Table:
+    """Doc ids whose text contains ``pattern`` (exact, case-sensitive),
+    sorted ascending.  Patterns shorter than 3 bytes fall back to a
+    full streaming scan (documented cost: no trigram can prune them).
+    Oracle: ``SELECT doc_id FROM documents WHERE contains(text, ?)``."""
+    import pyarrow.compute as pc
+
+    idx = TrigramIndex(index_dir)
+    cand = idx.candidates_literal(pattern)
+    return _verified_matches(
+        corpus_path, cand,
+        lambda col: pc.match_substring(col, pattern),
+        idx.meta["id_col"], idx.meta["text_col"])
+
+
+def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
+    """Doc ids whose text matches ``pattern`` (RE2 search semantics —
+    the same engine DuckDB's ``regexp_matches`` uses), sorted ascending.
+    The pattern must be valid under both Python ``re`` (parsed for the
+    required-literal analysis only) and RE2 (the match engine)."""
+    import pyarrow.compute as pc
+
+    idx = TrigramIndex(index_dir)
+    cand = idx.candidates_regex(pattern)
+    return _verified_matches(
+        corpus_path, cand,
+        lambda col: pc.match_substring_regex(col, pattern),
+        idx.meta["id_col"], idx.meta["text_col"])

@@ -1,0 +1,176 @@
+"""Trigram substring/regex index (pipelines/grep.py) vs brute force."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hadoopsearchengine_ray import corpus
+from hadoopsearchengine_ray.pipelines import grep
+from hadoopsearchengine_ray.pipelines.grep import (
+    TrigramIndex,
+    _encode_block,
+    _pattern_grams,
+    build_trigram_index,
+    grep_regex,
+    grep_substring,
+    regex_required_literals,
+)
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def grep_corpus(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("grep")
+    tbl = corpus.gen_rows(np.arange(N_DOCS))
+    tbl = tbl.append_column(
+        "doc_id", pa.array(np.arange(N_DOCS, dtype=np.int64)))
+    path = str(d / "docs.parquet")
+    pq.write_table(tbl, path)
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()))
+    return path, texts
+
+
+@pytest.fixture(scope="module")
+def grep_index(grep_corpus, tmp_path_factory):
+    path, _ = grep_corpus
+    idx = str(tmp_path_factory.mktemp("grep_idx") / "tri")
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    return idx
+
+
+SUBSTRINGS = [
+    "def ",               # common
+    "return",             # common token
+    "zzz_never_there",    # absent
+    "x)",                 # 2 bytes -> full-scan fallback
+    "for (",
+]
+
+
+def test_substring_parity(grep_corpus, grep_index):
+    path, texts = grep_corpus
+    for pat in SUBSTRINGS:
+        got = grep_substring(grep_index, path, pat)["doc_id"].to_pylist()
+        want = sorted(d for d, s in texts.items() if pat in s)
+        assert got == want, pat
+
+
+REGEXES = [
+    r"def \w+\(",                # class breaks the run; 'def ' required
+    r"(return|yield) ",          # branch of two literals
+    r"for \(int",                # literal with paren
+    r"import\s+os",              # both sides required
+    r"never(gonna|match)zzz",    # absent
+]
+
+
+def test_regex_parity(grep_corpus, grep_index):
+    path, texts = grep_corpus
+    for rx in REGEXES:
+        got = grep_regex(grep_index, path, rx)["doc_id"].to_pylist()
+        rc = re.compile(rx)
+        want = sorted(d for d, s in texts.items() if rc.search(s))
+        assert got == want, rx
+
+
+def test_broadcast_verify_path(grep_corpus, grep_index, monkeypatch):
+    """Force the distributed broadcast-filter verify (large-candidate
+    dispatch) and check it returns the same rows as the driver path."""
+    path, texts = grep_corpus
+    pat = "return"
+    base = grep_substring(grep_index, path, pat)["doc_id"].to_pylist()
+    monkeypatch.setattr(grep, "DRIVER_FETCH_CAP", 0)
+    dist = grep_substring(grep_index, path, pat)["doc_id"].to_pylist()
+    assert dist == base and base == sorted(
+        d for d, s in texts.items() if pat in s)
+
+
+def test_required_literal_cnf():
+    assert regex_required_literals(r"spark (scan|merge)") == \
+        [["spark "], ["scan", "merge"]]
+    # min=0 repeat contributes nothing; the literal around it stays
+    assert regex_required_literals(r"abc(xyz)?def") == [["abc"], ["def"]]
+    # a branch with a non-literal alternative prunes nothing
+    assert regex_required_literals(r"(abc|d+)") == []
+    # anchors break runs but don't block literals
+    assert regex_required_literals(r"^needle$") == [["needle"]]
+    # classes break the run mid-literal
+    assert regex_required_literals(r"foo[0-9]bar") == [["foo"], ["bar"]]
+    # short literals (<3 bytes) yield no requirement
+    assert regex_required_literals(r"ab") == []
+    # min>=1 repeats require one occurrence of the body
+    assert regex_required_literals(r"(abcd)+") == [["abcd"]]
+
+
+def test_pattern_grams():
+    g = _pattern_grams(b"abcd")
+    assert sorted(g) == sorted([
+        (ord("a") << 16) | (ord("b") << 8) | ord("c"),
+        (ord("b") << 16) | (ord("c") << 8) | ord("d"),
+    ])
+    assert len(_pattern_grams(b"ab")) == 0
+
+
+def test_segment_merge(tmp_path):
+    """A gram split across encode blocks must merge at read time."""
+    idx = str(tmp_path / "seg")
+    gram = (ord("a") << 16) | (ord("b") << 8) | ord("c")
+    bucket = gram % 64
+    rows1 = pa.table({
+        "bucket": pa.array([bucket] * 3, pa.int32()),
+        "gram": pa.array([gram] * 3, pa.int32()),
+        "doc_id": pa.array([1, 5, 9], pa.int64()),
+    })
+    rows2 = pa.table({
+        "bucket": pa.array([bucket] * 2, pa.int32()),
+        "gram": pa.array([gram] * 2, pa.int32()),
+        "doc_id": pa.array([3, 7], pa.int64()),
+    })
+    seg = pa.concat_tables([_encode_block(rows1), _encode_block(rows2)])
+    pdir = os.path.join(idx, "postings", f"bucket={bucket}")
+    os.makedirs(pdir)
+    pq.write_table(seg.drop_columns(["bucket"]),
+                   os.path.join(pdir, "part.parquet"))
+    ddir = os.path.join(idx, "df")
+    os.makedirs(ddir)
+    pq.write_table(pa.table({"gram": pa.array([gram], pa.int32()),
+                             "df": pa.array([5], pa.int64())}),
+                   os.path.join(ddir, "df.parquet"))
+    import json
+    with open(os.path.join(idx, "meta.json"), "w") as f:
+        json.dump({"text_col": "content", "id_col": "doc_id",
+                   "num_buckets": 64}, f)
+    ti = TrigramIndex(idx)
+    assert ti.postings([gram])[gram].tolist() == [1, 3, 5, 7, 9]
+
+
+def test_empty_corpus(tmp_path, ray_session):
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "content": pa.array([], pa.string()),
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_trigram_index(src, idx, text_col="content", id_col="doc_id")
+    assert grep_substring(idx, src, "anything").num_rows == 0
+    assert grep_regex(idx, src, r"any(thing|where)").num_rows == 0
+
+
+def test_multiblock_build_parity(grep_corpus, tmp_path, ray_session):
+    """Build from a many-block Dataset (sort emits multiple encode
+    blocks -> per-gram segments) and check parity still holds."""
+    import ray.data as rd
+
+    path, texts = grep_corpus
+    ds = rd.read_parquet(path, columns=["doc_id", "content"]) \
+        .repartition(8)
+    idx = str(tmp_path / "mb")
+    build_trigram_index(ds, idx, text_col="content", id_col="doc_id")
+    pat = "return"
+    got = grep_substring(idx, path, pat)["doc_id"].to_pylist()
+    assert got == sorted(d for d, s in texts.items() if pat in s)
