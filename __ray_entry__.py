@@ -395,6 +395,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grep_regex(trigram_for(src), src,
                           "spark (scan|merge)").to_pandas()
 
+    def q_grep_count(sf):
+        # trigram-index grep with occurrence counts: non-overlapping,
+        # the replace-length SQL convention (Arrow count_substring)
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_count
+
+        src = f"{sf}/documents.parquet"
+        return grep_count(trigram_for(src), src, "merge batch").to_pandas()
+
+    def q_grep_multi(sf):
+        # BATCHED multi-pattern grep: one df read + one postings read
+        # plan the whole pattern batch; verify touches each corpus row
+        # at most once (absent pattern included to hit the provably-
+        # empty planner branch)
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_multi
+
+        src = f"{sf}/documents.parquet"
+        return grep_multi(trigram_for(src), src,
+                          ["spark scan", "merge batch",
+                           "zz absent"]).to_pandas()
+
+    def q_grep_substring_ci(sf):
+        # case-insensitive grep from a casefolded trigram index:
+        # lower(text)-contains-lower(pattern) semantics; the UPPERCASE
+        # pattern discriminates (the case-sensitive path returns 0 rows
+        # on the all-lowercase corpus)
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_substring
+
+        src = f"{sf}/documents.parquet"
+        return grep_substring(trigram_for(src, casefold=True), src,
+                              "MERGE Batch").to_pandas()
+
     def q_facet_counts(sf):
         # faceted search panel: docs matching ANY query term, counted
         # per lang — posting-decoded match set broadcast over a pruned
@@ -2000,6 +2034,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete": q_autocomplete,
         "grep_substring": q_grep_substring,
         "grep_regex": q_grep_regex,
+        "grep_count": q_grep_count,
+        "grep_multi": q_grep_multi,
+        "grep_substring_ci": q_grep_substring_ci,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
@@ -2525,6 +2562,31 @@ def oracle_sql() -> dict[str, str]:
         "grep_regex": """
             SELECT doc_id FROM documents
             WHERE regexp_matches(text, 'spark (scan|merge)')
+            ORDER BY doc_id
+        """,
+        # grep with non-overlapping occurrence counts (replace-length
+        # convention == Arrow count_substring)
+        "grep_count": """
+            SELECT doc_id,
+                   CAST((len(text) - len(replace(text, 'merge batch', '')))
+                        // len('merge batch') AS BIGINT) AS n_matches
+            FROM documents
+            WHERE contains(text, 'merge batch')
+            ORDER BY doc_id
+        """,
+        # batched multi-pattern grep
+        "grep_multi": """
+            SELECT p.pattern, d.doc_id
+            FROM documents d
+            CROSS JOIN (VALUES ('spark scan'), ('merge batch'),
+                               ('zz absent')) p(pattern)
+            WHERE contains(d.text, p.pattern)
+            ORDER BY p.pattern, d.doc_id
+        """,
+        # case-insensitive grep (casefolded index)
+        "grep_substring_ci": """
+            SELECT doc_id FROM documents
+            WHERE contains(lower(text), lower('MERGE Batch'))
             ORDER BY doc_id
         """,
         # faceted counts: distinct docs matching ANY query term, per lang

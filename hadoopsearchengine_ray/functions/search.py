@@ -66,15 +66,17 @@ def store_for(parquet_path: str) -> str:
 
 
 def trigram_for(parquet_path: str, text_col: str = "text",
-                id_col: str = "doc_id") -> str:
+                id_col: str = "doc_id", casefold: bool = False) -> str:
     """Build-or-reuse a trigram grep index for a documents parquet;
-    same lineage-fingerprint invalidation as ``store_for``."""
+    same lineage-fingerprint invalidation as ``store_for``.  Casefolded
+    and case-sensitive indexes cache under distinct keys."""
     import shutil
 
     from ..pipelines.grep import build_trigram_index
     from ..state.manifest import lineage_fingerprint
 
-    key = hashlib.sha256(("tri:" + parquet_path).encode()).hexdigest()[:16]
+    tag = "tri-ci:" if casefold else "tri:"
+    key = hashlib.sha256((tag + parquet_path).encode()).hexdigest()[:16]
     idx_dir = os.path.join(CACHE_ROOT, key)
     done = os.path.join(idx_dir, "_DONE")
     fp = lineage_fingerprint([parquet_path])
@@ -85,7 +87,8 @@ def trigram_for(parquet_path: str, text_col: str = "text",
     if have != fp:
         shutil.rmtree(idx_dir, ignore_errors=True)
         build_trigram_index(parquet_path, idx_dir,
-                            text_col=text_col, id_col=id_col)
+                            text_col=text_col, id_col=id_col,
+                            casefold=casefold)
         with open(done, "w") as f:
             f.write(fp)
     return idx_dir

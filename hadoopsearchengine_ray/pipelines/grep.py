@@ -78,7 +78,19 @@ def _ensure_typed(out_dir: str, schema: pa.Schema) -> None:
                    os.path.join(out_dir, "empty.parquet"))
 
 
-def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int):
+def _fold_bytes(data: np.ndarray) -> np.ndarray:
+    """ASCII-only lowercase of a uint8 byte view (A-Z -> a-z).
+
+    Deliberately byte-level: the casefolded index must fold pattern and
+    text identically, and folding happens inside the UTF-8 buffer where
+    multi-byte codepoints cannot be case-mapped safely.  Non-ASCII
+    uppercase simply stays distinct — sound (the verify stage decides
+    final membership), merely loose for such patterns."""
+    return np.where((data >= 65) & (data <= 90), data + 32, data)
+
+
+def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int,
+                     casefold: bool = False):
     """Vectorized per-batch (gram, doc_id, bucket) extraction.
 
     One numpy pass over the shared UTF-8 buffer of the Arrow string
@@ -106,6 +118,8 @@ def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int):
         if total == 0:
             return empty
         data = np.frombuffer(bufs[2], dtype=np.uint8)
+        if casefold:
+            data = _fold_bytes(data)
         cum = np.cumsum(counts)
         row_rep = np.repeat(np.arange(len(s), dtype=np.int64), counts)
         pos = offs[:-1][row_rep] + (np.arange(total) -
@@ -163,17 +177,21 @@ def _encode_block(batch: pa.Table) -> pa.Table:
 
 def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
                         id_col: str = "doc_id",
-                        num_buckets: int = NUM_BUCKETS) -> str:
+                        num_buckets: int = NUM_BUCKETS,
+                        casefold: bool = False) -> str:
     """Build the trigram index; returns ``index_dir``.
 
     ``corpus``: a parquet path (read pruned to the two needed columns)
     or a Dataset.  Exactly ONE all-to-all exchange (the range sort);
-    everything else is streaming map_batches."""
+    everything else is streaming map_batches.  With ``casefold`` the
+    grams are ASCII-lowercased at extraction and queries served from
+    the index are case-insensitive (``lower(text)`` semantics)."""
     if isinstance(corpus, str):
         ds = rd.read_parquet(corpus, columns=[id_col, text_col])
     else:
         ds = corpus.select_columns([id_col, text_col])
-    rows = ds.map_batches(_trigram_rows_fn(text_col, id_col, num_buckets),
+    rows = ds.map_batches(_trigram_rows_fn(text_col, id_col, num_buckets,
+                                           casefold=casefold),
                           batch_format="pyarrow", zero_copy_batch=True)
     encoded = (rows.sort(["bucket", "gram", "doc_id"])
                .map_batches(_encode_block, batch_format="pyarrow",
@@ -197,18 +215,20 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
 
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"text_col": text_col, "id_col": id_col,
-                   "num_buckets": num_buckets}, f)
+                   "num_buckets": num_buckets, "casefold": casefold}, f)
     return index_dir
 
 
 # ---------------------------------------------------------------------------
 # regex -> required-trigram CNF
 
-def _pattern_grams(literal: bytes) -> np.ndarray:
+def _pattern_grams(literal: bytes, casefold: bool = False) -> np.ndarray:
     """Unique trigram codes of a byte string (empty if < 3 bytes)."""
     if len(literal) < 3:
         return np.empty(0, dtype=np.int64)
     b = np.frombuffer(literal, dtype=np.uint8)
+    if casefold:
+        b = _fold_bytes(b)
     codes = ((b[:-2].astype(np.int64) << 16)
              | (b[1:-1].astype(np.int64) << 8) | b[2:].astype(np.int64))
     return np.unique(codes)
@@ -293,6 +313,7 @@ class TrigramIndex:
         self.dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        self.casefold = bool(self.meta.get("casefold", False))
         part = pads.partitioning(
             pa.schema([("bucket", pa.int32())]), flavor="hive")
         self._post = pads.dataset(os.path.join(index_dir, "postings"),
@@ -360,9 +381,54 @@ class TrigramIndex:
     def candidates_literal(self, pattern: str,
                            max_and: int = MAX_AND) -> np.ndarray | None:
         """Superset of docs containing ``pattern``; None when the
-        pattern is shorter than one trigram (full scan required)."""
-        return self._intersect_grams(_pattern_grams(pattern.encode()),
-                                     max_and=max_and)
+        pattern is shorter than one trigram (full scan required).
+        On a casefolded index the pattern folds the same way the text
+        did at build time."""
+        return self._intersect_grams(
+            _pattern_grams(pattern.encode(), self.casefold),
+            max_and=max_and)
+
+    def candidates_multi(self, patterns: list[str],
+                         max_and: int = MAX_AND
+                         ) -> dict[str, np.ndarray | None]:
+        """Batched planning: candidate sets for MANY literal patterns
+        with exactly ONE df read and ONE postings read (the pruned
+        filters carry the union of every pattern's chosen grams), so a
+        k-pattern batch costs one index round-trip, not k."""
+        gsets = {p: _pattern_grams(p.encode(), self.casefold)
+                 for p in patterns}
+        nonempty = [g for g in gsets.values() if len(g)]
+        all_g = (np.unique(np.concatenate(nonempty)) if nonempty
+                 else np.empty(0, dtype=np.int64))
+        dfs = self.df(all_g)
+        chosen: dict[str, list[int] | None] = {}
+        needed: set[int] = set()
+        for p, g in gsets.items():
+            if len(g) == 0:
+                chosen[p] = None          # too short to prune: full scan
+                continue
+            if any(dfs[int(x)] == 0 for x in g):
+                chosen[p] = []            # a required gram absent: empty
+                continue
+            sel = sorted((int(x) for x in g),
+                         key=lambda x: (dfs[x], x))[:max_and]
+            chosen[p] = sel
+            needed.update(sel)
+        posts = self.postings(sorted(needed))
+        out: dict[str, np.ndarray | None] = {}
+        for p, sel in chosen.items():
+            if sel is None:
+                out[p] = None
+                continue
+            cand: np.ndarray | None = np.empty(0, dtype=np.int64) \
+                if sel == [] else None
+            for g in sorted(sel or [], key=lambda g: dfs[g]):
+                cand = posts[g] if cand is None else np.intersect1d(
+                    cand, posts[g], assume_unique=True)
+                if len(cand) == 0:
+                    break
+            out[p] = cand
+        return out
 
     def candidates_regex(self, pattern: str,
                          max_and: int = MAX_AND) -> np.ndarray | None:
@@ -395,10 +461,14 @@ class TrigramIndex:
 
 
 def _verified_matches(corpus_path: str, cand: np.ndarray | None,
-                      matcher, id_col: str, text_col: str) -> pa.Table:
+                      matcher, id_col: str, text_col: str,
+                      counter=None) -> pa.Table:
     """Docs whose text satisfies ``matcher`` (an Arrow-native predicate
     ``ChunkedArray -> BooleanArray``), restricted to ``cand`` when the
-    planner produced one.  Size-dispatched:
+    planner produced one.  With ``counter`` (``ChunkedArray ->
+    Int32Array`` occurrence counts) the result carries an
+    ``n_matches`` column and keeps rows with count > 0; ``matcher`` is
+    ignored.  Size-dispatched:
 
     - ``cand`` empty: nothing to do.
     - small ``cand``: one pruned driver-side fetch (row-group stats on
@@ -410,7 +480,19 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    empty = pa.table({id_col: pa.array([], pa.int64())})
+    def _result(tbl: pa.Table) -> pa.Table:
+        text = pc.fill_null(tbl[text_col], "")
+        ids = tbl[id_col].cast(pa.int64())
+        if counter is None:
+            mask = matcher(text)
+            return pa.table({id_col: ids.filter(mask)})
+        n = pc.cast(counter(text), pa.int64())
+        mask = pc.greater(n, 0)
+        return pa.table({id_col: ids.filter(mask),
+                         "n_matches": n.filter(mask)})
+
+    empty = _result(pa.table({id_col: pa.array([], pa.int64()),
+                              text_col: pa.array([], pa.string())}))
     if cand is not None and len(cand) == 0:
         return empty
 
@@ -420,9 +502,7 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
             filter=pads.field(id_col).isin([int(d) for d in cand]))
         if tbl.num_rows == 0:
             return empty
-        mask = matcher(pc.fill_null(tbl[text_col], ""))
-        out = pa.table({id_col: tbl[id_col].filter(mask).cast(pa.int64())})
-        return out.sort_by(id_col)
+        return _result(tbl).sort_by(id_col)
 
     cand_ref = ray.put(np.sort(cand)) if cand is not None else None
 
@@ -437,9 +517,8 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
                                         == ids)
             t = t.filter(pa.array(mask))
         if t.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64())})
-        m = matcher(pc.fill_null(t[text_col], ""))
-        return pa.table({id_col: t[id_col].filter(m).cast(pa.int64())})
+            return empty
+        return _result(t)
 
     out = (rd.read_parquet(corpus_path, columns=[id_col, text_col])
            .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
@@ -450,30 +529,152 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
     return pa.concat_tables(tables).sort_by(id_col)
 
 
+def _literal_matcher(idx: "TrigramIndex", pattern: str):
+    """Substring predicate matching the index's case mode.  The
+    casefolded mode lowercases BOTH sides (``contains(lower(text),
+    lower(pat))`` — DuckDB-oracle-identical for ASCII and agreeing
+    with Arrow's utf8_lower for the rest)."""
+    import pyarrow.compute as pc
+
+    if idx.casefold:
+        pat = pattern.lower()
+        return lambda col: pc.match_substring(pc.utf8_lower(col), pat)
+    return lambda col: pc.match_substring(col, pattern)
+
+
 def grep_substring(index_dir: str, corpus_path: str,
                    pattern: str) -> pa.Table:
-    """Doc ids whose text contains ``pattern`` (exact, case-sensitive),
-    sorted ascending.  Patterns shorter than 3 bytes fall back to a
-    full streaming scan (documented cost: no trigram can prune them).
+    """Doc ids whose text contains ``pattern``, sorted ascending.
+    Case-sensitivity follows the index build (``casefold=True`` ->
+    ``contains(lower(text), lower(pattern))`` semantics).  Patterns
+    shorter than 3 bytes fall back to a full streaming scan
+    (documented cost: no trigram can prune them).
     Oracle: ``SELECT doc_id FROM documents WHERE contains(text, ?)``."""
+    idx = TrigramIndex(index_dir)
+    cand = idx.candidates_literal(pattern)
+    return _verified_matches(
+        corpus_path, cand, _literal_matcher(idx, pattern),
+        idx.meta["id_col"], idx.meta["text_col"])
+
+
+def grep_count(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
+    """(doc_id, n_matches) for docs containing ``pattern``, sorted by
+    doc id.  Counts are NON-overlapping occurrences — the same
+    convention as SQL's replace-length trick
+    ``(len(text) - len(replace(text, p, ''))) // len(p)`` and Arrow's
+    ``count_substring``, so the DuckDB oracle is value-exact."""
     import pyarrow.compute as pc
 
     idx = TrigramIndex(index_dir)
     cand = idx.candidates_literal(pattern)
+    if idx.casefold:
+        pat = pattern.lower()
+        counter = lambda col: pc.count_substring(pc.utf8_lower(col), pat)  # noqa: E731
+    else:
+        counter = lambda col: pc.count_substring(col, pattern)  # noqa: E731
     return _verified_matches(
-        corpus_path, cand,
-        lambda col: pc.match_substring(col, pattern),
-        idx.meta["id_col"], idx.meta["text_col"])
+        corpus_path, cand, None,
+        idx.meta["id_col"], idx.meta["text_col"], counter=counter)
+
+
+def grep_multi(index_dir: str, corpus_path: str,
+               patterns: list[str]) -> pa.Table:
+    """(pattern, doc_id) pairs for a BATCH of literal patterns, sorted.
+
+    Planning is batched (``candidates_multi``: one df read + one
+    postings read for the whole batch); verification touches each
+    corpus row at most once:
+
+    - every pattern provably empty: return immediately;
+    - the union of candidate sets small: ONE pruned driver fetch, all
+      patterns verified against it (sound — a true match of pattern p
+      is always inside p's candidate superset, hence inside the
+      union);
+    - otherwise one streaming scan that restricts rows to the union
+      (or the full corpus when some pattern had no trigram to prune
+      by) and emits per-pattern matches.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    idx = TrigramIndex(index_dir)
+    id_col, text_col = idx.meta["id_col"], idx.meta["text_col"]
+    cands = idx.candidates_multi(patterns)
+    live = {p: c for p, c in cands.items()
+            if c is None or len(c) > 0}
+    empty = pa.table({"pattern": pa.array([], pa.string()),
+                      id_col: pa.array([], pa.int64())})
+    if not live:
+        return empty
+
+    def _verify(tbl: pa.Table) -> pa.Table:
+        """All live patterns over one fetched/streamed row block."""
+        text = pc.fill_null(tbl[text_col], "")
+        ids = tbl[id_col].cast(pa.int64())
+        parts = []
+        for p in sorted(live):
+            m = _literal_matcher(idx, p)(text)
+            hit = ids.filter(m)
+            if len(hit):
+                parts.append(pa.table({
+                    "pattern": pa.array([p] * len(hit), pa.string()),
+                    id_col: hit}))
+        return pa.concat_tables(parts) if parts else empty
+
+    full_scan = any(c is None for c in live.values())
+    union = (np.unique(np.concatenate([c for c in live.values()
+                                       if c is not None]))
+             if not full_scan else None)
+
+    if union is not None and len(union) == 0:
+        return empty
+    if union is not None and len(union) <= DRIVER_FETCH_CAP:
+        tbl = pads.dataset(corpus_path).to_table(
+            columns=[id_col, text_col],
+            filter=pads.field(id_col).isin([int(d) for d in union]))
+        return _verify(tbl).sort_by([("pattern", "ascending"),
+                                     (id_col, "ascending")])
+
+    union_ref = ray.put(union) if union is not None else None
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        t = batch
+        if union_ref is not None:
+            arr = ray.get(union_ref)
+            ids = t[id_col].combine_chunks().cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            at = np.searchsorted(arr, ids, side="left")
+            mask = (at < len(arr)) & (arr[np.minimum(at, len(arr) - 1)]
+                                      == ids)
+            t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return empty
+        return _verify(t)
+
+    out = (rd.read_parquet(corpus_path, columns=[id_col, text_col])
+           .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
+           .to_arrow_refs())
+    tables = [t for t in ray.get(out) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by([("pattern", "ascending"),
+                                             (id_col, "ascending")])
 
 
 def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
     """Doc ids whose text matches ``pattern`` (RE2 search semantics —
     the same engine DuckDB's ``regexp_matches`` uses), sorted ascending.
     The pattern must be valid under both Python ``re`` (parsed for the
-    required-literal analysis only) and RE2 (the match engine)."""
+    required-literal analysis only) and RE2 (the match engine).
+    Requires a case-SENSITIVE index: regex case-insensitivity cannot be
+    planned against folded grams soundly for arbitrary patterns."""
     import pyarrow.compute as pc
 
     idx = TrigramIndex(index_dir)
+    if idx.casefold:
+        raise ValueError("grep_regex requires a case-sensitive index "
+                         "(build with casefold=False); regex planning "
+                         "over folded grams is not supported")
     cand = idx.candidates_regex(pattern)
     return _verified_matches(
         corpus_path, cand,

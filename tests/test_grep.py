@@ -15,6 +15,8 @@ from hadoopsearchengine_ray.pipelines.grep import (
     _encode_block,
     _pattern_grams,
     build_trigram_index,
+    grep_count,
+    grep_multi,
     grep_regex,
     grep_substring,
     regex_required_literals,
@@ -159,6 +161,78 @@ def test_empty_corpus(tmp_path, ray_session):
     build_trigram_index(src, idx, text_col="content", id_col="doc_id")
     assert grep_substring(idx, src, "anything").num_rows == 0
     assert grep_regex(idx, src, r"any(thing|where)").num_rows == 0
+
+
+def test_grep_count_parity(grep_corpus, grep_index):
+    """Non-overlapping counts vs str.count (same convention)."""
+    path, texts = grep_corpus
+    for pat in ["return", "def ", "zzz_never_there"]:
+        got = grep_count(grep_index, path, pat)
+        want = {d: s.count(pat) for d, s in texts.items() if pat in s}
+        assert dict(zip(got["doc_id"].to_pylist(),
+                        got["n_matches"].to_pylist())) == want, pat
+        assert got["doc_id"].to_pylist() == sorted(want)
+
+
+def test_grep_multi_parity(grep_corpus, grep_index):
+    """Batched multi-pattern grep: common + absent + short (full-scan)
+    patterns in one batch, vs per-pattern brute force."""
+    path, texts = grep_corpus
+    pats = ["return", "def ", "zzz_never_there", "x)", "for ("]
+    got = grep_multi(grep_index, path, pats)
+    pairs = list(zip(got["pattern"].to_pylist(),
+                     got["doc_id"].to_pylist()))
+    want = sorted((p, d) for p in pats
+                  for d, s in texts.items() if p in s)
+    assert pairs == want
+
+
+def test_grep_multi_dispatch_parity(grep_corpus, grep_index, monkeypatch):
+    """Distributed union-scan path returns what the driver path does."""
+    path, texts = grep_corpus
+    pats = ["return", "import os"]
+    base = grep_multi(grep_index, path, pats)
+    monkeypatch.setattr(grep, "DRIVER_FETCH_CAP", 0)
+    dist = grep_multi(grep_index, path, pats)
+    assert base.equals(dist)
+    monkeypatch.undo()
+    assert grep_multi(grep_index, path, ["zzz_never_there"]).num_rows == 0
+
+
+def test_casefold_index(tmp_path, ray_session):
+    """Casefolded index: lower(text)-contains-lower(pat) semantics,
+    discriminating corpus (mixed case), regex refuses the folded
+    index."""
+    rows = {
+        0: "Merge BATCH now",
+        1: "merge batch now",
+        2: "MERGE nothing",
+        3: "unrelated text",
+    }
+    src = str(tmp_path / "mixed.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(rows), pa.int64()),
+        "content": pa.array([rows[k] for k in sorted(rows)], pa.string()),
+    }), src)
+    ci = str(tmp_path / "ci")
+    build_trigram_index(src, ci, text_col="content", id_col="doc_id",
+                        casefold=True)
+    cs = str(tmp_path / "cs")
+    build_trigram_index(src, cs, text_col="content", id_col="doc_id")
+
+    assert grep_substring(ci, src, "MERGE batch")["doc_id"].to_pylist() \
+        == [0, 1]
+    assert grep_substring(cs, src, "MERGE batch")["doc_id"].to_pylist() \
+        == []
+    got = grep_count(ci, src, "MeRgE")
+    assert dict(zip(got["doc_id"].to_pylist(),
+                    got["n_matches"].to_pylist())) == {0: 1, 1: 1, 2: 1}
+    assert grep_multi(ci, src, ["merge BATCH", "NOTHING"]) \
+        .to_pydict() == {"pattern": ["NOTHING", "merge BATCH",
+                                     "merge BATCH"],
+                         "doc_id": [2, 0, 1]}
+    with pytest.raises(ValueError, match="case-sensitive"):
+        grep_regex(ci, src, "merge (batch|now)")
 
 
 def test_multiblock_build_parity(grep_corpus, tmp_path, ray_session):
