@@ -1040,6 +1040,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bigrams(sf):
         return text.bigram_table(_docs(sf), k=100)
 
+    def q_pmi_bigrams(sf):
+        # top collocations by pointwise mutual information; integer
+        # counts only in the frame (lift is the ordering key, computed
+        # with the identical IEEE op order in the SQL oracle)
+        return text.pmi_bigrams(_docs(sf), min_count=5, k=50)
+
     def q_cf_p95(sf):
         d = text.dictionary_table(_docs(sf))
         val = rel.kth_percentile(d, "cf", 0.95)
@@ -2066,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
         "bigram_top100": q_bigrams,
+        "pmi_bigrams": q_pmi_bigrams,
     }
 
 
@@ -3342,6 +3349,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM big
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
+        """,
+        # collocations by PMI: frame carries exact integers only; the
+        # ORDER BY lift reproduces the Ray side's float bit-for-bit
+        # (same IEEE op order: ((n_ab * N1) * N1) / ((N2 * n_a) * n_b))
+        "pmi_bigrams": f"""
+            WITH {TOK_ORDERED_CTE},
+            uni AS (SELECT t AS term, count(*) AS n FROM toko GROUP BY 1),
+            n1 AS (SELECT sum(n) AS v FROM uni),
+            big AS (
+              SELECT a.t AS ta, b.t AS tb, count(*) AS n_ab
+              FROM toko a JOIN toko b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              GROUP BY 1, 2
+            ),
+            n2 AS (SELECT sum(n_ab) AS v FROM big),
+            sc AS (
+              SELECT ta || ' ' || tb AS bigram, n_ab,
+                     CAST(ua.n AS BIGINT) AS n_a,
+                     CAST(ub.n AS BIGINT) AS n_b,
+                     (CAST(n_ab AS DOUBLE) * n1.v * n1.v)
+                       / (CAST(n2.v AS DOUBLE) * ua.n * ub.n) AS lift
+              FROM big
+              JOIN uni ua ON big.ta = ua.term
+              JOIN uni ub ON big.tb = ub.term, n1, n2
+              WHERE n_ab >= 5
+            )
+            SELECT CAST(row_number() OVER (ORDER BY lift DESC, bigram)
+                        AS BIGINT) AS rank,
+                   bigram, n_ab, n_a, n_b
+            FROM sc ORDER BY lift DESC, bigram LIMIT 50
         """,
         "term_cf_p95": f"""
             WITH {TOK_CTE},

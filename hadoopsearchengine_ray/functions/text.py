@@ -464,6 +464,122 @@ def bigram_table(docs: rd.Dataset, text_col: str = "text",
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def pmi_bigrams(docs: rd.Dataset, text_col: str = "text",
+                min_count: int = 5, k: int = 50):
+    """Top-k adjacent-token collocations by pointwise mutual
+    information (Church & Hanks 1990, public), the statistical upgrade
+    of the reference's raw association counting
+    (/root/reference/DyableAssociations/CreateAssociations.cpp:24-48).
+
+    PMI = ln(lift) with lift = P(ab) / (P(a) P(b)), P(a) from the
+    unigram stream (N1 tokens) and P(ab) from the adjacent-bigram
+    stream (N2 = N1 - num_docs pairs).  ln is monotone, so ranking
+    uses lift directly and the returned frame carries only EXACT
+    integers (rank, bigram, n_ab, n_a, n_b) — float-hash-safe against
+    the SQL oracle, which computes lift with the identical IEEE
+    operation order ((n_ab * N1) * N1) / ((N2 * n_a) * n_b).
+
+    Shape: ONE tokenizing pass emits partial unigram+bigram counts
+    (combiner inside the batch), one groupby merges them; the
+    aggregated count table (vocab + bigram-vocab, corpus-independent
+    upper bound) is materialized once and feeds totals, the broadcast
+    unigram map, and the qualifying-bigram scorer.  Only bigrams with
+    n_ab >= min_count are scored (standard PMI practice — rare pairs
+    have unstable PMI — and it bounds the sort input)."""
+    import pandas as pd
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        flat = toks.values
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        empty = pa.table({"kind": pa.array([], pa.string()),
+                          "gram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        du = flat.dictionary_encode()
+        ucodes = du.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ucnt = np.bincount(ucodes, minlength=len(du.dictionary))
+        parts = [pa.table({
+            "kind": pa.array(["u"] * len(du.dictionary), pa.string()),
+            "gram": du.dictionary.cast(pa.string()),
+            "n": pa.array(ucnt.astype(np.int64), pa.int64())})]
+        if n > 1:
+            valid = np.ones(n - 1, dtype=bool)
+            ends = offs[1:-1] - 1
+            ends = ends[(ends >= 0) & (ends < n - 1)]
+            valid[ends] = False
+            left = pc.array_filter(flat.slice(0, n - 1), pa.array(valid))
+            right = pc.array_filter(flat.slice(1), pa.array(valid))
+            big = pc.binary_join_element_wise(left, right, " ")
+            db = big.dictionary_encode()
+            bcodes = db.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(bcodes):
+                bcnt = np.bincount(bcodes, minlength=len(db.dictionary))
+                parts.append(pa.table({
+                    "kind": pa.array(["b"] * len(db.dictionary),
+                                     pa.string()),
+                    "gram": db.dictionary.cast(pa.string()),
+                    "n": pa.array(bcnt.astype(np.int64), pa.int64())}))
+        return pa.concat_tables(parts)
+
+    counts = (docs.map_batches(_counts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby(["kind", "gram"])
+              .aggregate(Sum("n", alias_name="n"))
+              .materialize())
+
+    empty = pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                          "bigram": pd.Series([], dtype="object"),
+                          "n_ab": pd.Series([], dtype="int64"),
+                          "n_a": pd.Series([], dtype="int64"),
+                          "n_b": pd.Series([], dtype="int64")})
+    totals = {r["kind"]: int(r["sum(n)"])
+              for r in counts.groupby("kind").sum("n").take_all()}
+    n1, n2 = totals.get("u", 0), totals.get("b", 0)
+    if n2 == 0:
+        return empty
+
+    # unigram map: vocab-bounded broadcast (same regime note as the
+    # dictionary broadcast in stages/dictionary.py — a >2M-term corpus
+    # would swap this for a hash join on the left/right term)
+    upd = counts.filter(expr="kind == 'u'").to_pandas()
+    umap = pd.Series(upd["n"].astype("int64").to_numpy(),
+                     index=upd["gram"])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas()
+        if not len(t):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "lift": pa.array([], pa.float64())})
+        sides = t["gram"].str.split(" ", n=1, expand=True)
+        n_a = sides[0].map(umap).to_numpy(dtype=np.int64)
+        n_b = sides[1].map(umap).to_numpy(dtype=np.int64)
+        n_ab = t["n"].to_numpy(dtype=np.int64)
+        # IEEE op order mirrored in the SQL oracle exactly
+        lift = (n_ab.astype(np.float64) * n1 * n1) \
+            / (np.float64(n2) * n_a * n_b)
+        return pa.table({"bigram": pa.array(t["gram"], pa.string()),
+                         "n_ab": pa.array(n_ab, pa.int64()),
+                         "n_a": pa.array(n_a, pa.int64()),
+                         "n_b": pa.array(n_b, pa.int64()),
+                         "lift": pa.array(lift, pa.float64())})
+
+    top = (counts.filter(expr=f"kind == 'b' and n >= {int(min_count)}")
+           .map_batches(_score, batch_format="pyarrow")
+           .sort(["lift", "bigram"], descending=[True, False])
+           .limit(k).to_pandas())
+    if not len(top):
+        return empty
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top.drop(columns=["lift"])
+
+
 def association_map(docs: rd.Dataset, text_col: str = "text",
                     top_m: int = 3, max_bigrams: int = 10_000) -> dict[str, list[str]]:
     """Per-term top co-occurring partners from adjacent-bigram counts —

@@ -370,6 +370,45 @@ def test_bigram_table():
     assert top["aa bb"] == 3 and top["bb aa"] == 1
 
 
+def test_pmi_bigrams_matches_bruteforce():
+    """PMI ranking + exact count columns vs a pure-Python recompute
+    (same tokenizer, same lift formula and op order)."""
+    import collections
+    import math
+
+    texts = ["aa bb cc aa bb", "cc dd aa bb", "dd cc dd cc aa",
+             "bb aa bb aa", "cc aa dd bb cc dd"] * 3
+    out = text.pmi_bigrams(_doc_ds(texts), min_count=2, k=10)
+
+    uni, big = collections.Counter(), collections.Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        big.update(" ".join(p) for p in zip(toks, toks[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    scored = sorted(
+        ((-(c * n1 * n1) / (n2 * uni[g.split()[0]] * uni[g.split()[1]]),
+          g, c) for g, c in big.items() if c >= 2))
+    want = [(g, c) for _, g, c in scored][:10]
+    assert list(zip(out.bigram, out.n_ab)) == want
+    assert out["rank"].tolist() == list(range(1, len(want) + 1))
+    for _, r in out.iterrows():
+        a, b = r.bigram.split()
+        assert (r.n_a, r.n_b) == (uni[a], uni[b])
+    # PMI sanity: the top pair's lift exceeds 1 (ln(lift) > 0)
+    top = out.iloc[0]
+    assert math.log((top.n_ab * n1 * n1)
+                    / (n2 * top.n_a * top.n_b)) > 0
+
+
+def test_pmi_bigrams_empty_and_threshold():
+    assert len(text.pmi_bigrams(_doc_ds([]), min_count=2, k=5)) == 0
+    # every bigram under the count floor -> typed empty frame
+    out = text.pmi_bigrams(_doc_ds(["aa bb", "cc dd"]), min_count=3, k=5)
+    assert len(out) == 0 and list(out.columns) == [
+        "rank", "bigram", "n_ab", "n_a", "n_b"]
+
+
 def test_relational_primitives():
     df = pa.table({
         "k": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
