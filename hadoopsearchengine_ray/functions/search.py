@@ -75,7 +75,10 @@ def trigram_for(parquet_path: str, text_col: str = "text",
     from ..pipelines.grep import build_trigram_index
     from ..state.manifest import lineage_fingerprint
 
-    tag = "tri-ci:" if casefold else "tri:"
+    # key carries EVERY build parameter (an index built over one
+    # column pair must never be served for another) plus a format
+    # version (v2 = utf8_lower casefold; bumping evicts stale caches)
+    tag = f"tri:v2:{text_col}:{id_col}:{int(casefold)}:"
     key = hashlib.sha256((tag + parquet_path).encode()).hexdigest()[:16]
     idx_dir = os.path.join(CACHE_ROOT, key)
     done = os.path.join(idx_dir, "_DONE")

@@ -431,6 +431,26 @@ def lang_id_table(docs: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return docs.map_batches(_langid, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _adjacent_bigrams(toks) -> pa.Array:
+    """Joined ``"left right"`` strings of ADJACENT same-doc token pairs
+    from a tokenized list column.  The doc-boundary mask (a pair is
+    valid iff both tokens belong to one doc) lives only here — shared
+    by ``bigram_table`` and ``pmi_bigrams`` so the two counts can never
+    drift."""
+    flat = toks.values
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(flat)
+    if n <= 1:
+        return pa.array([], pa.string())
+    valid = np.ones(n - 1, dtype=bool)
+    ends = offs[1:-1] - 1  # last token index of each doc (nonempty handling)
+    ends = ends[(ends >= 0) & (ends < n - 1)]
+    valid[ends] = False
+    left = pc.array_filter(flat.slice(0, n - 1), pa.array(valid))
+    right = pc.array_filter(flat.slice(1), pa.array(valid))
+    return pc.binary_join_element_wise(left, right, " ")
+
+
 def bigram_table(docs: rd.Dataset, text_col: str = "text",
                  k: int = 100) -> rd.Dataset:
     """Top-k adjacent-token bigrams by count (association counting,
@@ -438,21 +458,10 @@ def bigram_table(docs: rd.Dataset, text_col: str = "text",
     KeyOccurrence).  Deterministic order: count desc, bigram asc."""
 
     def _bigrams(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[text_col])
-        flat = toks.values
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(flat)
-        if n == 0:
+        big = _adjacent_bigrams(tokenize_column(batch[text_col]))
+        if len(big) == 0:
             return pa.table({"bigram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        # pair (i, i+1) valid iff both in same doc
-        valid = np.ones(n - 1, dtype=bool) if n > 1 else np.zeros(0, bool)
-        ends = offs[1:-1] - 1  # last token index of each doc (nonempty handling)
-        ends = ends[(ends >= 0) & (ends < n - 1)]
-        valid[ends] = False
-        left = pc.array_filter(flat.slice(0, n - 1), pa.array(valid))
-        right = pc.array_filter(flat.slice(1), pa.array(valid))
-        big = pc.binary_join_element_wise(left, right, " ")
         d = big.dictionary_encode()
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         cnt = np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64)
@@ -491,12 +500,10 @@ def pmi_bigrams(docs: rd.Dataset, text_col: str = "text",
     def _counts(batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch[text_col])
         flat = toks.values
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(flat)
         empty = pa.table({"kind": pa.array([], pa.string()),
                           "gram": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
-        if n == 0:
+        if len(flat) == 0:
             return empty
         du = flat.dictionary_encode()
         ucodes = du.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -505,24 +512,16 @@ def pmi_bigrams(docs: rd.Dataset, text_col: str = "text",
             "kind": pa.array(["u"] * len(du.dictionary), pa.string()),
             "gram": du.dictionary.cast(pa.string()),
             "n": pa.array(ucnt.astype(np.int64), pa.int64())})]
-        if n > 1:
-            valid = np.ones(n - 1, dtype=bool)
-            ends = offs[1:-1] - 1
-            ends = ends[(ends >= 0) & (ends < n - 1)]
-            valid[ends] = False
-            left = pc.array_filter(flat.slice(0, n - 1), pa.array(valid))
-            right = pc.array_filter(flat.slice(1), pa.array(valid))
-            big = pc.binary_join_element_wise(left, right, " ")
+        big = _adjacent_bigrams(toks)   # shared doc-boundary kernel
+        if len(big):
             db = big.dictionary_encode()
             bcodes = db.indices.to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            if len(bcodes):
-                bcnt = np.bincount(bcodes, minlength=len(db.dictionary))
-                parts.append(pa.table({
-                    "kind": pa.array(["b"] * len(db.dictionary),
-                                     pa.string()),
-                    "gram": db.dictionary.cast(pa.string()),
-                    "n": pa.array(bcnt.astype(np.int64), pa.int64())}))
+            bcnt = np.bincount(bcodes, minlength=len(db.dictionary))
+            parts.append(pa.table({
+                "kind": pa.array(["b"] * len(db.dictionary), pa.string()),
+                "gram": db.dictionary.cast(pa.string()),
+                "n": pa.array(bcnt.astype(np.int64), pa.int64())}))
         return pa.concat_tables(parts)
 
     counts = (docs.map_batches(_counts, batch_format="pyarrow",

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -78,15 +79,18 @@ def _ensure_typed(out_dir: str, schema: pa.Schema) -> None:
                    os.path.join(out_dir, "empty.parquet"))
 
 
-def _fold_bytes(data: np.ndarray) -> np.ndarray:
-    """ASCII-only lowercase of a uint8 byte view (A-Z -> a-z).
+def _fold_str(s: str) -> str:
+    """Lowercase a pattern with the SAME kernel the build and the
+    verify stage use (Arrow ``utf8_lower``, utf8proc simple mapping).
+    Using one fold everywhere is what makes the casefolded index sound:
+    a build-side ASCII-only fold paired with a Unicode-lower verify
+    would prune docs the declared ``contains(lower(text),
+    lower(pattern))`` semantics match (e.g. ``RÉSUMÉ`` vs ``résumé``).
+    Python's ``str.lower`` is NOT equivalent (full case mapping, e.g.
+    ``İ`` -> two codepoints), hence the Arrow round-trip here."""
+    import pyarrow.compute as pc
 
-    Deliberately byte-level: the casefolded index must fold pattern and
-    text identically, and folding happens inside the UTF-8 buffer where
-    multi-byte codepoints cannot be case-mapped safely.  Non-ASCII
-    uppercase simply stays distinct — sound (the verify stage decides
-    final membership), merely loose for such patterns."""
-    return np.where((data >= 65) & (data <= 90), data + 32, data)
+    return pc.utf8_lower(pa.array([s], pa.string()))[0].as_py()
 
 
 def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int,
@@ -109,6 +113,10 @@ def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int,
         if batch.num_rows == 0:
             return empty
         col = pc.fill_null(batch[text_col].combine_chunks(), "")
+        if casefold:
+            # fold the TEXT, not the bytes: grams must come from the
+            # exact string the verify stage lowercases (utf8_lower)
+            col = pc.utf8_lower(col)
         s = col.cast(pa.large_string())
         bufs = s.buffers()
         offs = np.frombuffer(bufs[1], dtype=np.int64)[
@@ -118,8 +126,6 @@ def _trigram_rows_fn(text_col: str, id_col: str, num_buckets: int,
         if total == 0:
             return empty
         data = np.frombuffer(bufs[2], dtype=np.uint8)
-        if casefold:
-            data = _fold_bytes(data)
         cum = np.cumsum(counts)
         row_rep = np.repeat(np.arange(len(s), dtype=np.int64), counts)
         pos = offs[:-1][row_rep] + (np.arange(total) -
@@ -184,8 +190,10 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
     ``corpus``: a parquet path (read pruned to the two needed columns)
     or a Dataset.  Exactly ONE all-to-all exchange (the range sort);
     everything else is streaming map_batches.  With ``casefold`` the
-    grams are ASCII-lowercased at extraction and queries served from
-    the index are case-insensitive (``lower(text)`` semantics)."""
+    text is ``utf8_lower``-folded before gram extraction and queries
+    served from the index are case-insensitive (``contains(lower(text),
+    lower(pattern))`` semantics, the same kernel at build, plan and
+    verify time)."""
     if isinstance(corpus, str):
         ds = rd.read_parquet(corpus, columns=[id_col, text_col])
     else:
@@ -215,20 +223,21 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
 
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"text_col": text_col, "id_col": id_col,
-                   "num_buckets": num_buckets, "casefold": casefold}, f)
+                   "num_buckets": num_buckets, "casefold": casefold,
+                   "fold": "utf8_lower" if casefold else None}, f)
     return index_dir
 
 
 # ---------------------------------------------------------------------------
 # regex -> required-trigram CNF
 
-def _pattern_grams(literal: bytes, casefold: bool = False) -> np.ndarray:
-    """Unique trigram codes of a byte string (empty if < 3 bytes)."""
+def _pattern_grams(literal: bytes) -> np.ndarray:
+    """Unique trigram codes of a byte string (empty if < 3 bytes).
+    Casefolded indexes fold the STRING first (``_fold_str``) so the
+    pattern's bytes match the build-side ``utf8_lower`` output."""
     if len(literal) < 3:
         return np.empty(0, dtype=np.int64)
     b = np.frombuffer(literal, dtype=np.uint8)
-    if casefold:
-        b = _fold_bytes(b)
     codes = ((b[:-2].astype(np.int64) << 16)
              | (b[1:-1].astype(np.int64) << 8) | b[2:].astype(np.int64))
     return np.unique(codes)
@@ -246,7 +255,16 @@ def regex_required_literals(pattern: str) -> list[list[str]]:
     OR-clause only when EVERY branch yields a required literal
     (otherwise it prunes nothing).  Anything else (classes, ``.``,
     ``*``/``?``, anchors, backrefs) just breaks the current run —
-    always sound, sometimes loose."""
+    always sound, sometimes loose.
+
+    Case-insensitivity is handled conservatively: a global ``(?i)``
+    yields NO required literals (RE2 matches case variants whose
+    trigrams a case-sensitive index stores separately — requiring the
+    as-written literal's grams would silently drop those matches), and
+    a scoped ``(?i:...)`` group contributes nothing from inside the
+    group.  Sound; the verify stage still honors the flag."""
+    import re as _re
+
     try:
         from re import _parser as sre_parse  # py >= 3.11
     except ImportError:  # pragma: no cover - older interpreters
@@ -268,7 +286,10 @@ def regex_required_literals(pattern: str) -> list[list[str]]:
                 run.append(chr(av))
             elif name == "SUBPATTERN":
                 flush()
-                clauses.extend(walk(av[3]))
+                _gid, add_flags, _del_flags, sub = av
+                if add_flags & _re.IGNORECASE:
+                    continue          # (?i:...): opaque, prunes nothing
+                clauses.extend(walk(sub))
             elif name in ("MAX_REPEAT", "MIN_REPEAT"):
                 flush()
                 lo, _hi, sub = av
@@ -294,7 +315,10 @@ def regex_required_literals(pattern: str) -> list[list[str]]:
         flush()
         return clauses
 
-    return walk(sre_parse.parse(pattern))
+    parsed = sre_parse.parse(pattern)
+    if parsed.state.flags & _re.IGNORECASE:
+        return []                     # global (?i): no sound pruning
+    return walk(parsed)
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +338,11 @@ class TrigramIndex:
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.casefold = bool(self.meta.get("casefold", False))
+        if self.casefold and self.meta.get("fold") != "utf8_lower":
+            raise ValueError(
+                f"casefolded trigram index at {index_dir} predates the "
+                "utf8_lower fold format (its grams were ASCII-folded, "
+                "which loses non-ASCII case pairs); rebuild it")
         part = pads.partitioning(
             pa.schema([("bucket", pa.int32())]), flavor="hive")
         self._post = pads.dataset(os.path.join(index_dir, "postings"),
@@ -383,10 +412,13 @@ class TrigramIndex:
         """Superset of docs containing ``pattern``; None when the
         pattern is shorter than one trigram (full scan required).
         On a casefolded index the pattern folds the same way the text
-        did at build time."""
+        did at build time (``utf8_lower``)."""
         return self._intersect_grams(
-            _pattern_grams(pattern.encode(), self.casefold),
+            _pattern_grams(self._fold(pattern).encode()),
             max_and=max_and)
+
+    def _fold(self, pattern: str) -> str:
+        return _fold_str(pattern) if self.casefold else pattern
 
     def candidates_multi(self, patterns: list[str],
                          max_and: int = MAX_AND
@@ -395,7 +427,7 @@ class TrigramIndex:
         with exactly ONE df read and ONE postings read (the pruned
         filters carry the union of every pattern's chosen grams), so a
         k-pattern batch costs one index round-trip, not k."""
-        gsets = {p: _pattern_grams(p.encode(), self.casefold)
+        gsets = {p: _pattern_grams(self._fold(p).encode())
                  for p in patterns}
         nonempty = [g for g in gsets.values() if len(g)]
         all_g = (np.unique(np.concatenate(nonempty)) if nonempty
@@ -460,6 +492,64 @@ class TrigramIndex:
 # serving: candidates -> verified matches
 
 
+def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
+                     result_fn, id_col: str, text_col: str,
+                     empty: pa.Table, sort_keys) -> pa.Table:
+    """Shared candidates -> verified-matches dispatch behind every grep
+    entry point.  ``result_fn`` verifies one pruned/streamed row block
+    (a ``pa.Table`` with the id + text columns) and returns result
+    rows; ``cand`` is the planner's candidate doc-id superset (None =
+    the pattern yielded no trigram to prune by).  Size-dispatched:
+
+    - ``cand`` empty: nothing to do.
+    - small ``cand``: one pruned driver-side fetch (row-group stats on
+      ``id_col`` keep it local to the candidate ranges).
+    - large ``cand``: candidates broadcast once via ``ray.put``; a
+      streaming ``map_batches`` scan filters + verifies per block.
+    - ``cand is None``: full streaming scan, LOUD (stderr) — callers
+      relying on index pruning should notice the O(corpus) downgrade.
+    """
+    import pyarrow.dataset as pads
+
+    if cand is not None and len(cand) == 0:
+        return empty
+
+    if cand is not None and len(cand) <= DRIVER_FETCH_CAP:
+        tbl = pads.dataset(corpus_path).to_table(
+            columns=[id_col, text_col],
+            filter=pads.field(id_col).isin([int(d) for d in cand]))
+        if tbl.num_rows == 0:
+            return empty
+        return result_fn(tbl).sort_by(sort_keys)
+
+    if cand is None:
+        print(f"[grep] pattern yields no required trigram: full "
+              f"streaming scan of {corpus_path}", file=sys.stderr)
+    cand_ref = ray.put(np.sort(cand)) if cand is not None else None
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        t = batch
+        if cand_ref is not None:
+            arr = ray.get(cand_ref)
+            ids = t[id_col].combine_chunks().cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            at = np.searchsorted(arr, ids, side="left")
+            mask = (at < len(arr)) & (arr[np.minimum(at, len(arr) - 1)]
+                                      == ids)
+            t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return empty
+        return result_fn(t)
+
+    out = (rd.read_parquet(corpus_path, columns=[id_col, text_col])
+           .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
+           .to_arrow_refs())
+    tables = [t for t in ray.get(out) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by(sort_keys)
+
+
 def _verified_matches(corpus_path: str, cand: np.ndarray | None,
                       matcher, id_col: str, text_col: str,
                       counter=None) -> pa.Table:
@@ -468,17 +558,9 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
     planner produced one.  With ``counter`` (``ChunkedArray ->
     Int32Array`` occurrence counts) the result carries an
     ``n_matches`` column and keeps rows with count > 0; ``matcher`` is
-    ignored.  Size-dispatched:
-
-    - ``cand`` empty: nothing to do.
-    - small ``cand``: one pruned driver-side fetch (row-group stats on
-      ``id_col`` keep it local to the candidate ranges).
-    - large ``cand``: candidates broadcast once via ``ray.put``; a
-      streaming ``map_batches`` scan filters + verifies per block.
-    - ``cand is None`` (no trigram info): LOUD full streaming scan.
-    """
+    ignored.  Dispatch (pruned fetch / broadcast scan / loud full
+    scan) is shared with ``grep_multi`` via ``_dispatch_verify``."""
     import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
     def _result(tbl: pa.Table) -> pa.Table:
         text = pc.fill_null(tbl[text_col], "")
@@ -493,51 +575,19 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
 
     empty = _result(pa.table({id_col: pa.array([], pa.int64()),
                               text_col: pa.array([], pa.string())}))
-    if cand is not None and len(cand) == 0:
-        return empty
-
-    if cand is not None and len(cand) <= DRIVER_FETCH_CAP:
-        tbl = pads.dataset(corpus_path).to_table(
-            columns=[id_col, text_col],
-            filter=pads.field(id_col).isin([int(d) for d in cand]))
-        if tbl.num_rows == 0:
-            return empty
-        return _result(tbl).sort_by(id_col)
-
-    cand_ref = ray.put(np.sort(cand)) if cand is not None else None
-
-    def _scan(batch: pa.Table) -> pa.Table:
-        t = batch
-        if cand_ref is not None:
-            arr = ray.get(cand_ref)
-            ids = t[id_col].combine_chunks().cast(pa.int64()) \
-                .to_numpy(zero_copy_only=False)
-            keep = np.searchsorted(arr, ids, side="left")
-            mask = (keep < len(arr)) & (arr[np.minimum(keep, len(arr) - 1)]
-                                        == ids)
-            t = t.filter(pa.array(mask))
-        if t.num_rows == 0:
-            return empty
-        return _result(t)
-
-    out = (rd.read_parquet(corpus_path, columns=[id_col, text_col])
-           .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
-           .to_arrow_refs())
-    tables = [t for t in ray.get(out) if t.num_rows]
-    if not tables:
-        return empty
-    return pa.concat_tables(tables).sort_by(id_col)
+    return _dispatch_verify(corpus_path, cand, _result, id_col, text_col,
+                            empty, [(id_col, "ascending")])
 
 
 def _literal_matcher(idx: "TrigramIndex", pattern: str):
     """Substring predicate matching the index's case mode.  The
-    casefolded mode lowercases BOTH sides (``contains(lower(text),
-    lower(pat))`` — DuckDB-oracle-identical for ASCII and agreeing
-    with Arrow's utf8_lower for the rest)."""
+    casefolded mode lowercases BOTH sides with the same utf8_lower
+    kernel the build folded with (``contains(lower(text),
+    lower(pat))`` — DuckDB-oracle-identical)."""
     import pyarrow.compute as pc
 
     if idx.casefold:
-        pat = pattern.lower()
+        pat = _fold_str(pattern)
         return lambda col: pc.match_substring(pc.utf8_lower(col), pat)
     return lambda col: pc.match_substring(col, pattern)
 
@@ -568,7 +618,7 @@ def grep_count(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
     idx = TrigramIndex(index_dir)
     cand = idx.candidates_literal(pattern)
     if idx.casefold:
-        pat = pattern.lower()
+        pat = _fold_str(pattern)
         counter = lambda col: pc.count_substring(pc.utf8_lower(col), pat)  # noqa: E731
     else:
         counter = lambda col: pc.count_substring(col, pattern)  # noqa: E731
@@ -595,7 +645,6 @@ def grep_multi(index_dir: str, corpus_path: str,
       by) and emits per-pattern matches.
     """
     import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
     idx = TrigramIndex(index_dir)
     id_col, text_col = idx.meta["id_col"], idx.meta["text_col"]
@@ -607,14 +656,18 @@ def grep_multi(index_dir: str, corpus_path: str,
     if not live:
         return empty
 
+    # folded patterns hoisted once; the casefolded mode lowercases the
+    # block's text ONCE for the whole batch of patterns, not per pattern
+    pats = {p: idx._fold(p) for p in live}
+
     def _verify(tbl: pa.Table) -> pa.Table:
         """All live patterns over one fetched/streamed row block."""
         text = pc.fill_null(tbl[text_col], "")
+        hay = pc.utf8_lower(text) if idx.casefold else text
         ids = tbl[id_col].cast(pa.int64())
         parts = []
         for p in sorted(live):
-            m = _literal_matcher(idx, p)(text)
-            hit = ids.filter(m)
+            hit = ids.filter(pc.match_substring(hay, pats[p]))
             if len(hit):
                 parts.append(pa.table({
                     "pattern": pa.array([p] * len(hit), pa.string()),
@@ -625,40 +678,9 @@ def grep_multi(index_dir: str, corpus_path: str,
     union = (np.unique(np.concatenate([c for c in live.values()
                                        if c is not None]))
              if not full_scan else None)
-
-    if union is not None and len(union) == 0:
-        return empty
-    if union is not None and len(union) <= DRIVER_FETCH_CAP:
-        tbl = pads.dataset(corpus_path).to_table(
-            columns=[id_col, text_col],
-            filter=pads.field(id_col).isin([int(d) for d in union]))
-        return _verify(tbl).sort_by([("pattern", "ascending"),
-                                     (id_col, "ascending")])
-
-    union_ref = ray.put(union) if union is not None else None
-
-    def _scan(batch: pa.Table) -> pa.Table:
-        t = batch
-        if union_ref is not None:
-            arr = ray.get(union_ref)
-            ids = t[id_col].combine_chunks().cast(pa.int64()) \
-                .to_numpy(zero_copy_only=False)
-            at = np.searchsorted(arr, ids, side="left")
-            mask = (at < len(arr)) & (arr[np.minimum(at, len(arr) - 1)]
-                                      == ids)
-            t = t.filter(pa.array(mask))
-        if t.num_rows == 0:
-            return empty
-        return _verify(t)
-
-    out = (rd.read_parquet(corpus_path, columns=[id_col, text_col])
-           .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
-           .to_arrow_refs())
-    tables = [t for t in ray.get(out) if t.num_rows]
-    if not tables:
-        return empty
-    return pa.concat_tables(tables).sort_by([("pattern", "ascending"),
-                                             (id_col, "ascending")])
+    return _dispatch_verify(corpus_path, union, _verify, id_col, text_col,
+                            empty, [("pattern", "ascending"),
+                                    (id_col, "ascending")])
 
 
 def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:

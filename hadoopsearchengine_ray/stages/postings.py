@@ -90,8 +90,11 @@ def make_shard_assigner(hot_term_ids: dict[int, int], num_docs: int,
         row_tid = tids[codes]
         row_hot = hot_idx[codes]
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        salt = (doc // salt_width).astype(np.int64)
-        np.clip(salt, 0, num_salts - 1, out=salt)
+        # clip in uint64 BEFORE the int64 cast: a quotient >= 2^63
+        # (huge ids with a small declared space) would wrap negative
+        # and clip to salt 0, breaking monotonicity
+        salt = np.minimum(doc // salt_width,
+                          np.uint64(num_salts - 1)).astype(np.int64)
         shard = row_tid % np.int64(num_shards)   # numpy %: sign of divisor
         is_hot = row_hot >= 0
         shard[is_hot] = num_shards + row_hot[is_hot] * num_salts + salt[is_hot]

@@ -156,3 +156,15 @@ def test_salt_monotonic_for_sparse_and_huge_ids():
         "tf": pa.array([1] * len(ids3), pa.uint32()),
     }))
     assert len(set(out3["salt"].to_pylist())) >= 4
+    # tiny declared space + huge real ids: the quotient itself exceeds
+    # 2^63 (salt_width 1), which must clip in uint64, not wrap negative
+    assign3 = make_shard_assigner({tid: 0}, num_docs=S, num_salts=S)
+    ids4 = np.array([0, 3, 100, 2**63 + 5, 2**64 - 2], np.uint64)
+    out4 = assign3(pa.table({
+        "term": pa.array(["hot"] * len(ids4)),
+        "doc_id": pa.array(ids4, pa.uint64()),
+        "tf": pa.array([1] * len(ids4), pa.uint32()),
+    }))
+    s4 = out4["salt"].to_pylist()
+    assert s4 == sorted(s4) and all(0 <= s < S for s in s4)
+    assert s4 == [0, 3, 7, 7, 7]

@@ -248,3 +248,95 @@ def test_multiblock_build_parity(grep_corpus, tmp_path, ray_session):
     pat = "return"
     got = grep_substring(idx, path, pat)["doc_id"].to_pylist()
     assert got == sorted(d for d, s in texts.items() if pat in s)
+
+
+def _write_docs(path: str, rows: dict[int, str],
+                col: str = "content") -> str:
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(rows), pa.int64()),
+        col: pa.array([rows[k] for k in sorted(rows)], pa.string()),
+    }), path)
+    return path
+
+
+def test_regex_ignorecase_is_not_pruned(tmp_path, ray_session):
+    """(?i) regexes must not be planned with case-sensitive grams —
+    the old planner required the as-written literal's trigrams and
+    silently dropped every upper-case match."""
+    src = _write_docs(str(tmp_path / "up.parquet"), {
+        0: "MERGE batch now", 1: "unrelated text here",
+        2: "big merge day"})
+    idx = str(tmp_path / "cs")
+    build_trigram_index(src, idx, text_col="content", id_col="doc_id")
+
+    # global flag: NO sound pruning derivable
+    assert regex_required_literals("(?i)merge") == []
+    ti = TrigramIndex(idx)
+    assert ti.candidates_regex("(?i)merge") is None
+    assert grep_regex(idx, src, "(?i)merge")["doc_id"].to_pylist() \
+        == [0, 2]
+    # scoped flag: the group is opaque, surrounding literals still prune
+    assert regex_required_literals("(?i:merge) batch") == [[" batch"]]
+    assert grep_regex(idx, src, "(?i:merge) batch")["doc_id"] \
+        .to_pylist() == [0]
+    # case-sensitive patterns keep their pruning
+    assert ti.candidates_regex("merge") is not None
+
+
+def test_casefold_non_ascii(tmp_path, ray_session):
+    """The casefolded index folds with the SAME utf8_lower kernel the
+    verify stage uses, so non-ASCII case pairs are found (the old
+    ASCII-only byte fold silently missed them)."""
+    src = _write_docs(str(tmp_path / "uni.parquet"), {
+        0: "RÉSUMÉ time", 1: "résumé time", 2: "nothing here"})
+    ci = str(tmp_path / "ci")
+    build_trigram_index(src, ci, text_col="content", id_col="doc_id",
+                        casefold=True)
+    assert grep_substring(ci, src, "résumé")["doc_id"].to_pylist() == [0, 1]
+    assert grep_substring(ci, src, "RÉSUMÉ")["doc_id"].to_pylist() == [0, 1]
+    got = grep_count(ci, src, "Résumé time")
+    assert dict(zip(got["doc_id"].to_pylist(),
+                    got["n_matches"].to_pylist())) == {0: 1, 1: 1}
+    assert grep_multi(ci, src, ["résumé TIME"]).to_pydict() == {
+        "pattern": ["résumé TIME"] * 2, "doc_id": [0, 1]}
+
+
+def test_stale_casefold_format_rejected(tmp_path, ray_session):
+    """A casefolded index without the utf8_lower fold marker (the old
+    ASCII-fold format) must be refused, not silently served."""
+    import json
+
+    src = _write_docs(str(tmp_path / "s.parquet"), {0: "abc def"})
+    ci = str(tmp_path / "old")
+    build_trigram_index(src, ci, text_col="content", id_col="doc_id",
+                        casefold=True)
+    meta_path = os.path.join(ci, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("fold")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        TrigramIndex(ci)
+
+
+def test_trigram_for_cache_key_covers_columns(tmp_path, ray_session,
+                                              monkeypatch):
+    """trigram_for must not serve an index built over one column pair
+    for a call asking different columns."""
+    from hadoopsearchengine_ray.functions import search
+
+    monkeypatch.setattr(search, "CACHE_ROOT", str(tmp_path / "cache"))
+    src = str(tmp_path / "two.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha body", "beta body"], pa.string()),
+        "alt": pa.array(["gamma side", "delta side"], pa.string()),
+    }), src)
+    d1 = search.trigram_for(src, text_col="text")
+    d2 = search.trigram_for(src, text_col="alt")
+    assert d1 != d2
+    assert grep_substring(d2, src, "delta side")["doc_id"].to_pylist() \
+        == [1]
+    assert grep_substring(d1, src, "alpha body")["doc_id"].to_pylist() \
+        == [0]
