@@ -168,6 +168,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_table(index_for(f"{sf}/documents.parquet"), PHRASE)
 
+    def q_near_pairs(sf):
+        # ordered NEAR predicate from in-index positions: exact count
+        # of (pos_a, pos_b) pairs with 1 <= pos_b - pos_a <= 4
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.positional import near_table
+
+        return near_table(index_for(f"{sf}/documents.parquet"),
+                          "spark", "merge", slop=4, ordered=True)
+
+    def q_near_unordered(sf):
+        # unordered NEAR: 1 <= |pos_b - pos_a| <= 3
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.positional import near_table
+
+        return near_table(index_for(f"{sf}/documents.parquet"),
+                          "window", "merge", slop=3, ordered=False)
+
     def q_prox(sf):
         # BM25 top-50 candidates re-ranked by (matched desc, min covering
         # window asc, bm25 desc, doc_id) — positions FROM the index
@@ -2026,6 +2043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
         "phrase_match": q_phrase,
+        "near_pairs": q_near_pairs,
+        "near_unordered": q_near_unordered,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
         "bm25f_fields": q_bm25f,
@@ -3251,6 +3270,25 @@ def oracle_sql() -> dict[str, str]:
             FROM toko a JOIN toko b
               ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
             WHERE a.t = '{PHRASE[0]}' AND b.t = '{PHRASE[1]}'
+            GROUP BY a.doc_id
+        """,
+        # NEAR predicates: pair counts over the ordered token stream —
+        # rn deltas equal index position deltas (both number the KEPT
+        # token sequence), so the window arithmetic matches exactly
+        "near_pairs": f"""
+            WITH {TOK_ORDERED_CTE}
+            SELECT a.doc_id, count(*) AS n_pairs
+            FROM toko a JOIN toko b
+              ON a.doc_id = b.doc_id AND b.rn - a.rn BETWEEN 1 AND 4
+            WHERE a.t = 'spark' AND b.t = 'merge'
+            GROUP BY a.doc_id
+        """,
+        "near_unordered": f"""
+            WITH {TOK_ORDERED_CTE}
+            SELECT a.doc_id, count(*) AS n_pairs
+            FROM toko a JOIN toko b
+              ON a.doc_id = b.doc_id AND abs(b.rn - a.rn) BETWEEN 1 AND 3
+            WHERE a.t = 'window' AND b.t = 'merge'
             GROUP BY a.doc_id
         """,
         "prox_topk": f"""

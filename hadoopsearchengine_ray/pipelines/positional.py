@@ -172,6 +172,66 @@ def phrase_counts(reader: IndexReader, phrase: list[str]):
     return docs[starts], cnt.astype(np.int64)
 
 
+def near_counts(reader: IndexReader, term_a: str, term_b: str,
+                slop: int = 3, ordered: bool = False):
+    """(doc_ids, n_pairs): docs where ``term_b`` occurs within ``slop``
+    token positions of ``term_a``, with the exact count of qualifying
+    (pos_a, pos_b) pairs — ``1 <= pos_b - pos_a <= slop`` when
+    ``ordered``, ``1 <= |pos_b - pos_a| <= slop`` otherwise.  The
+    boolean/counted NEAR predicate of the reference's hit-run proximity
+    scorer (/root/reference/DyableRequest/HitScore.h:139-291), served
+    entirely from in-index positions.
+
+    Same two-stage shape as ``phrase_counts``: the cheap tf-only doc
+    intersection runs first, positions are decoded only for skip blocks
+    holding surviving docs, and the window count is two vectorized
+    ``searchsorted`` probes per side over the packed ``doc<<32|pos``
+    key arrays.  ``ka + slop`` cannot bleed into the next doc's key
+    range (positions are far below 2^32 by index construction), and the
+    unordered lower bound clamps at position 0, so neither probe
+    crosses a doc boundary.  With ``term_a == term_b`` the unordered
+    count sees each pair from both sides — the same convention as the
+    self-join SQL oracle."""
+    e = np.empty(0, np.int64)
+    da, _ = reader.decoded_postings(term_a)
+    db, _ = reader.decoded_postings(term_b)
+    common = np.intersect1d(da.astype(np.int64), db.astype(np.int64))
+    if len(common) == 0:
+        return e, e
+    ka = _phrase_keys(reader, term_a, 0, want=common)
+    kb = _phrase_keys(reader, term_b, 0, want=common)
+    if len(ka) == 0 or len(kb) == 0:
+        return e, e
+    s = np.uint64(slop)
+    cnt = (np.searchsorted(kb, ka + s, side="right")
+           - np.searchsorted(kb, ka, side="right")).astype(np.int64)
+    if not ordered:
+        lo = ka - np.minimum(ka & np.uint64(0xFFFFFFFF), s)
+        cnt += (np.searchsorted(kb, ka, side="left")
+                - np.searchsorted(kb, lo, side="left")).astype(np.int64)
+    docs = (ka >> np.uint64(32)).astype(np.int64)
+    change = np.empty(len(docs), bool)   # ka sorted -> docs grouped
+    change[0] = True
+    np.not_equal(docs[1:], docs[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    sums = np.add.reduceat(cnt, starts)
+    m = sums > 0
+    return docs[starts][m], sums[m].astype(np.int64)
+
+
+def near_table(index_dir: str, term_a: str, term_b: str, slop: int = 3,
+               ordered: bool = False) -> pd.DataFrame:
+    """(doc_id, n_pairs) per doc satisfying the NEAR predicate —
+    driver-facing form of ``near_counts``."""
+    reader = IndexReader(index_dir)
+    docs, cnt = near_counts(reader, term_a, term_b, slop=slop,
+                            ordered=ordered)
+    return pd.DataFrame({
+        "doc_id": pd.array(docs, dtype="int64"),
+        "n_pairs": pd.array(cnt, dtype="int64"),
+    })
+
+
 def phrase_table(index_dir: str, phrase: list[str]) -> pd.DataFrame:
     """(doc_id, n) per doc containing the phrase — driver-facing."""
     reader = IndexReader(index_dir)

@@ -162,3 +162,46 @@ def test_anchor_token_table_matches_shadow(ray_session):
             shadow[(d, term)] = shadow.get((d, term), 0) + 1
     got = {(int(r.doc_id), r.term): int(r.tf) for r in out.itertuples()}
     assert got == shadow
+
+
+def test_near_counts_match_oracle(t1_index_dir, t1_oracle):
+    """NEAR predicate (ordered + unordered, several slops) vs a pure-
+    Python pair count over the oracle's position maps; includes hot x
+    rare, hot x hot, and same-term pairs."""
+    import random
+
+    from hadoopsearchengine_ray.pipelines.positional import near_counts
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(t1_index_dir)
+    idx = t1_oracle
+
+    def brute(a, b, slop, ordered):
+        pa, pb = idx.positions.get(a, {}), idx.positions.get(b, {})
+        out = {}
+        for doc in set(pa) & set(pb):
+            n = sum(1 for x in pa[doc] for y in pb[doc]
+                    if (1 <= y - x <= slop) or
+                       (not ordered and 1 <= x - y <= slop))
+            if n:
+                out[doc] = n
+        return out
+
+    random.seed(11)
+    terms = sorted(idx.postings)
+    hot = [t for t in terms if len(idx.postings[t]) > 0.25 * idx.N][:2]
+    pool = random.sample(terms, 8)
+    pairs = list(zip(pool[0::2], pool[1::2]))
+    pairs += [(hot[0], pool[0]), (hot[0], hot[1]), (hot[0], hot[0])]
+    for a, b in pairs:
+        for slop in (1, 3):
+            for ordered in (False, True):
+                docs, cnt = near_counts(reader, a, b, slop=slop,
+                                        ordered=ordered)
+                assert dict(zip(docs.tolist(), cnt.tolist())) == \
+                    brute(a, b, slop, ordered), (a, b, slop, ordered)
+    # slop=1 ordered degenerates to the 2-term phrase count
+    from hadoopsearchengine_ray.pipelines.positional import phrase_counts
+    d1, c1 = near_counts(reader, hot[0], hot[1], slop=1, ordered=True)
+    d2, c2 = phrase_counts(reader, [hot[0], hot[1]])
+    assert d1.tolist() == d2.tolist() and c1.tolist() == c2.tolist()
