@@ -140,6 +140,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_search_after(sf):
+        # cursor pagination (search_after): page 2 = global ranks 11-20
+        # fetched via the (score, doc_id) cursor of page 1's last row —
+        # stateless deep paging, no offset re-scoring
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        sc = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d1, s1 = sc.score_exact(BM25_TERMS, 10)
+        if len(d1) == 0:
+            return pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                                 "doc_id": pd.array([], dtype="int64")})
+        d2, _ = sc.score_after(BM25_TERMS, 10, float(s1[-1]), int(d1[-1]))
+        return pd.DataFrame({
+            "rank": pd.array(range(11, 11 + len(d2)), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d2], dtype="int64"),
+        })
+
     def q_bm25_pool(sf):
         # the doc-range-partitioned serving tier (pool.py): N range-owner
         # actors each score their slice (range-local MaxScore since
@@ -2042,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stop_excluded_dictionary": q_stop_excluded_dictionary,
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
+        "search_after": q_search_after,
         "phrase_match": q_phrase,
         "near_pairs": q_near_pairs,
         "near_unordered": q_near_unordered,
@@ -2185,6 +2204,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # cursor pagination: page 2 of the same global ordering — the
+        # engine's (score, doc_id) cursor must land exactly on the SQL
+        # ranking's rows 11-20
+        "search_after": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (
+              SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                          AS BIGINT) AS rank, doc_id
+              FROM sc
+            )
+            SELECT rank, doc_id FROM ranked
+            WHERE rank BETWEEN 11 AND 20 ORDER BY rank
         """,
         # the range-pool serving tier must produce the same ranking as
         # the single reader — same oracle as bm25_topk by contract

@@ -454,7 +454,10 @@ class BM25Scorer:
         self._dirty = False
 
     # ---- exact dense TAAT (the shadow path) ---------------------------
-    def score_exact(self, terms: list[str], k: int):
+    def _dense_scores(self, terms: list[str]):
+        """One dense TAAT accumulation pass: (touched docs, their BM25
+        scores).  Shared by ``score_exact`` and ``score_after`` so both
+        pages of a paginated query see bit-identical floats."""
         r = self.rd
         scores, touched = self._scratch()
         parts: list[np.ndarray] = []
@@ -476,7 +479,28 @@ class BM25Scorer:
             touched[d] = True
         docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
         self._finish(docs)
-        return _topk_from_scores(docs, scores[docs], k)
+        return docs, scores[docs]
+
+    def score_exact(self, terms: list[str], k: int):
+        docs, s = self._dense_scores(terms)
+        return _topk_from_scores(docs, s, k)
+
+    def score_after(self, terms: list[str], k: int,
+                    after_score: float, after_doc: int):
+        """Next page: top-k docs strictly AFTER the ``(after_score,
+        after_doc)`` cursor in the global (score desc, doc_id asc)
+        order — Elasticsearch-style ``search_after`` (public API
+        shape), the stateless alternative to offset paging.  The cursor
+        cut runs on the same dense pass ``score_exact`` uses, so page
+        boundaries compare bit-identical floats; per-page cost stays
+        O(postings decoded), independent of page depth.  On the
+        range-partitioned pool the same call runs per doc range and the
+        per-range pages merge exactly (each range's filter is the same
+        global predicate)."""
+        docs, s = self._dense_scores(terms)
+        keep = (s < after_score) | ((s == after_score)
+                                    & (docs > int(after_doc)))
+        return _topk_from_scores(docs[keep], s[keep], k)
 
     # ---- MaxScore with block-max skipping -----------------------------
     def score_maxscore(self, terms: list[str], k: int):

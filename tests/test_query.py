@@ -226,3 +226,35 @@ def test_score_query_composed_matches_bruteforce(t1_index_dir, t1_oracle):
     # a term both required and excluded -> empty
     d, _ = sc.score_query("+return -return import", 10)
     assert len(d) == 0
+
+
+def test_search_after_pages_partition_global_order(t1_index_dir, t1_oracle):
+    """Cursor pages must tile the global (score desc, doc_id) order
+    exactly — no skips, no duplicates — including across score-tie
+    boundaries (the corpus has duplicate-content docs with identical
+    scores) and past the end of the result set."""
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    for q in oracle.make_queries(idx, 40):
+        terms = q["terms"]
+        full_d, full_s = sc.score_exact(terms, 10**9)
+        page, cursor = 0, None
+        got_d, got_s = [], []
+        while True:
+            if cursor is None:
+                d, s = sc.score_exact(terms, 7)
+            else:
+                d, s = sc.score_after(terms, 7, cursor[0], cursor[1])
+            got_d.extend(int(x) for x in d)
+            got_s.extend(float(x) for x in s)
+            page += 1
+            if len(d) < 7 or page > 40:
+                break
+            cursor = (float(s[-1]), int(d[-1]))
+        assert got_d == [int(x) for x in full_d], terms
+        assert np.allclose(got_s, full_s)
+        # past-the-end cursor yields an empty page
+        if len(full_d):
+            d, s = sc.score_after(terms, 7, float(full_s[-1]),
+                                  int(full_d[-1]))
+            assert len(d) == 0
