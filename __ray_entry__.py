@@ -2017,6 +2017,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_topk_hot": q_facet_topk_hot,
         "expanded_topk": q_expanded_topk,
         "bm25_pool_topk": q_bm25_pool,
+        "search_after": q_search_after,
+        "near_pairs": q_near_pairs,
+        "near_unordered": q_near_unordered,
+        "grep_substring": q_grep_substring,
+        "grep_regex": q_grep_regex,
+        "grep_count": q_grep_count,
+        "grep_multi": q_grep_multi,
+        "grep_substring_ci": q_grep_substring_ci,
+        "pmi_bigrams": q_pmi_bigrams,
+        "filtered_knn": q_filtered_knn,
         "mmr_topk": q_mmr,
         "facet_topk": q_facet_topk,
         "lang_id": q_lang_id,
@@ -2034,7 +2044,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash,
         "doc_fingerprints": q_fingerprints,
         "knn_cosine": q_knn,
-        "filtered_knn": q_filtered_knn,
         "ivf_knn": q_ivf_knn,
         "embedding_near_dup": q_emb_near_dup,
         "key_occurrence": q_key_occurrence,
@@ -2060,10 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stop_excluded_dictionary": q_stop_excluded_dictionary,
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
-        "search_after": q_search_after,
         "phrase_match": q_phrase,
-        "near_pairs": q_near_pairs,
-        "near_unordered": q_near_unordered,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
         "bm25f_fields": q_bm25f,
@@ -2076,11 +2082,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered_topk": q_bm25_filtered,
         "bm25_prefix_topk": q_bm25_prefix,
         "autocomplete": q_autocomplete,
-        "grep_substring": q_grep_substring,
-        "grep_regex": q_grep_regex,
-        "grep_count": q_grep_count,
-        "grep_multi": q_grep_multi,
-        "grep_substring_ci": q_grep_substring_ci,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "incremental_dedup": q_incremental_dedup,
@@ -2110,7 +2111,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "stratified_sample": q_stratified_sample,
         "bigram_top100": q_bigrams,
-        "pmi_bigrams": q_pmi_bigrams,
     }
 
 
