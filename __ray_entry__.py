@@ -140,6 +140,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_index_stats(sf):
+        # the checkpoint manifest's recorded metrics, validated against
+        # ground truth: the dictionary stage's row count IS the
+        # distinct-term count, sum(df) the (term, doc) pair count, and
+        # meta's total_tokens the kept-token count — evidence the
+        # per-partition lineage/metrics records are real, not decorative
+        import json as _json
+
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pads
+
+        from hadoopsearchengine_ray.functions.search import index_for
+
+        idx = index_for(f"{sf}/documents.parquet")
+        with open(f"{idx}/manifest.json") as f:
+            man = _json.load(f)
+        with open(f"{idx}/meta.json") as f:
+            meta = _json.load(f)
+        dic = man["stages"]["dictionary"]["metrics"]
+        df_sum = _pc.sum(_pads.dataset(f"{idx}/dictionary")
+                         .to_table(columns=["df"])["df"]).as_py()
+        return pd.DataFrame({
+            "num_docs": pd.array([int(meta["num_docs"])], dtype="int64"),
+            "distinct_terms": pd.array([int(dic["total_rows"])],
+                                       dtype="int64"),
+            "term_doc_pairs": pd.array([int(df_sum)], dtype="int64"),
+            "total_tokens": pd.array([int(meta["total_tokens"])],
+                                     dtype="int64"),
+        })
+
     def q_search_after(sf):
         # cursor pagination (search_after): page 2 = global ranks 11-20
         # fetched via the (score, doc_id) cursor of page 1's last row —
@@ -2017,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_topk_hot": q_facet_topk_hot,
         "expanded_topk": q_expanded_topk,
         "bm25_pool_topk": q_bm25_pool,
+        "index_stats": q_index_stats,
         "search_after": q_search_after,
         "near_pairs": q_near_pairs,
         "near_unordered": q_near_unordered,
@@ -2204,6 +2235,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # manifest metrics vs tokenizer ground truth (exact integers)
+        "index_stats": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                     AS num_docs,
+                   CAST((SELECT count(DISTINCT term) FROM tf) AS BIGINT)
+                     AS distinct_terms,
+                   CAST((SELECT count(*) FROM tf) AS BIGINT)
+                     AS term_doc_pairs,
+                   CAST((SELECT sum(tf) FROM tf) AS BIGINT)
+                     AS total_tokens
         """,
         # cursor pagination: page 2 of the same global ordering — the
         # engine's (score, doc_id) cursor must land exactly on the SQL
