@@ -115,7 +115,8 @@ def run_bench() -> dict:
     # in shm eat the page cache and skew back-to-back scaling runs
     import glob
     for d in glob.glob(f"{out_root}/hse_bench_index_*") + \
-            glob.glob(f"{out_root}/hse_bench_compact_*"):
+            glob.glob(f"{out_root}/hse_bench_compact_*") + \
+            glob.glob(f"{out_root}/hse_bench_trigram_*"):
         shutil.rmtree(d, ignore_errors=True)
     index_dir = f"{out_root}/hse_bench_index_{n_docs}_{ncpu}"
     # best-of-2: single-box builds share page cache / scheduler state and
@@ -236,6 +237,58 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     proximity_rerank_indexed(index_dir, hi_terms, k=10, k_prime=50)
     timings["prox_rerank_1q"] = round(time.perf_counter() - t0, 3)
+
+    # NEAR predicate from in-index positions (round 4): hot x hot is the
+    # worst case (both position streams fully decoded); the warm repeat
+    # shows the per-actor decoded-cache steady state
+    from hadoopsearchengine_ray.pipelines.positional import near_counts
+
+    t0 = time.perf_counter()
+    near_counts(reader, hi_terms[0], hi_terms[1], slop=5)
+    timings["near_hot_cold_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        near_counts(reader, hi_terms[0], hi_terms[1], slop=5)
+        lat.append(time.perf_counter() - t0)
+    timings["near_hot_p50_ms"] = round(
+        float(np.percentile(np.array(lat) * 1e3, 50)), 3)
+
+    # ---- trigram grep index (round 4): build + query latency ----------
+    from hadoopsearchengine_ray.pipelines.grep import (
+        build_trigram_index,
+        grep_multi,
+        grep_regex,
+        grep_substring,
+    )
+
+    grep_src = f"/tmp/hse_bench_grepsrc_{n_docs}.parquet"
+    if not os.path.exists(grep_src):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        _ctbl = pads.dataset(corpus_dir).to_table(columns=["content"])
+        _ctbl = _ctbl.append_column("doc_id", _pa.array(
+            np.arange(_ctbl.num_rows, dtype=np.int64)))
+        _pq.write_table(_ctbl, grep_src)
+    tri_dir = f"{out_root}/hse_bench_trigram_{n_docs}_{ncpu}"
+    shutil.rmtree(tri_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_trigram_index(grep_src, tri_dir, text_col="content",
+                        id_col="doc_id")
+    timings["trigram_build_sec"] = round(time.perf_counter() - t0, 3)
+    grep_substring(tri_dir, grep_src, "return")        # warm planner/df
+    _gpats = sorted(t for t in terms if len(t) >= 4)[:10]
+    for label, fn in (
+            ("grep_substring_ms",
+             lambda: grep_substring(tri_dir, grep_src, "template")),
+            ("grep_regex_ms",
+             lambda: grep_regex(tri_dir, grep_src, "return [a-z]+")),
+            ("grep_multi10_ms",
+             lambda: grep_multi(tri_dir, grep_src, _gpats))):
+        t0 = time.perf_counter()
+        fn()
+        timings[label] = round((time.perf_counter() - t0) * 1e3, 3)
+    shutil.rmtree(tri_dir, ignore_errors=True)
 
     # ---- auxiliary pipelines over $GRAFT_SF_DIR ----------------------
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
