@@ -140,6 +140,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_feedback_topk(sf):
+        # pseudo-relevance feedback: top-5 docs of the original query
+        # pool tf x idf term weights; top-3 new terms join at 0.5x
+        from hadoopsearchengine_ray.functions.search import feedback_topk
+
+        return feedback_topk(f"{sf}/documents.parquet", BM25_TERMS,
+                             k=10, fb_docs=5, fb_terms=3, fb_weight=0.5)
+
     def q_index_stats(sf):
         # the checkpoint manifest's recorded metrics, validated against
         # ground truth: the dictionary stage's row count IS the
@@ -2048,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanded_topk": q_expanded_topk,
         "bm25_pool_topk": q_bm25_pool,
         "index_stats": q_index_stats,
+        "feedback_topk": q_feedback_topk,
         "search_after": q_search_after,
         "near_pairs": q_near_pairs,
         "near_unordered": q_near_unordered,
@@ -2228,6 +2237,70 @@ def oracle_sql() -> dict[str, str]:
                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
               FROM tf
               JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # pseudo-relevance feedback: feedback set = original query's
+        # BM25 top-5 (same sc CTE as bm25_topk); expansion weight =
+        # sum(tf over feedback docs) * ln(idf), same IEEE op order as
+        # the engine's tf x idf kernel; final pass is the weighted
+        # BM25 score_expanded uses (originals 1.0, feedback 0.5)
+        "feedback_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc1 AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            fb AS (
+              SELECT doc_id FROM sc1
+              QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 5
+            ),
+            expw AS (
+              SELECT t.term,
+                     sum(t.tf) * ln((stats.n - df.df + 0.5)
+                                    / (df.df + 0.5) + 1.0) AS w
+              FROM tf t JOIN fb USING (doc_id)
+              JOIN df USING (term), stats
+              WHERE t.term NOT IN (SELECT term FROM q)
+              GROUP BY t.term, df.df, stats.n
+            ),
+            fbterms AS (
+              SELECT term FROM expw
+              QUALIFY row_number() OVER (ORDER BY w DESC, term) <= 3
+            ),
+            w AS (
+              SELECT term, 1.0 AS wt FROM q
+              UNION ALL
+              SELECT term, 0.5 FROM fbterms
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( w.wt * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN w USING (term)
               JOIN df USING (term)
               JOIN dl USING (doc_id), stats
               GROUP BY tf.doc_id

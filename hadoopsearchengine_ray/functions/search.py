@@ -304,6 +304,64 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     return out
 
 
+def feedback_topk(parquet_path: str, terms: list[str], k: int = 10,
+                  fb_docs: int = 5, fb_terms: int = 3,
+                  fb_weight: float = 0.5,
+                  text_col: str = "text") -> pd.DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style expansion, Rocchio
+    1971 — public): the original query's BM25 top-``fb_docs`` form the
+    feedback set; their pooled tf x idf term weights pick the
+    ``fb_terms`` strongest terms not already in the query (ties by
+    term asc); the query rescans with originals at 1.0 and feedback
+    terms at ``fb_weight`` via the ``score_expanded`` weighted pass.
+    The reference's nearest analog is its keyword-set association
+    serving (SURVEY M9/A10); this adds the query-time feedback loop.
+
+    Shape: pass 1 is a normal in-memory scorer call; the feedback docs
+    fetch via ONE doc_id-pruned row-group read (``fb_docs`` rows);
+    term stats come from the in-memory dictionary; pass 2 is one
+    weighted dense scan.  Returns (rank, doc_id)."""
+    import pyarrow.dataset as pads
+
+    from ..pipelines.query import BM25Scorer, IndexReader
+    from ..tokenizer import tokenize_py
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    rdr = IndexReader(index_dir)
+    scorer = BM25Scorer(index_dir, reader=rdr)
+    qterms = sorted(set(terms))
+    empty = pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                          "doc_id": pd.array([], dtype="int64")})
+    d1, _ = scorer.score_exact(qterms, fb_docs)
+    if len(d1) == 0:
+        return empty
+    fb = pads.dataset(parquet_path).to_table(
+        columns=["doc_id", text_col],
+        filter=pads.field("doc_id").isin([int(x) for x in d1]))
+    toks = [tok for txt in fb[text_col].to_pylist()
+            for tok in tokenize_py(txt or "")]
+    exp: list[str] = []
+    if toks:
+        uniq, tfs = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        w = np.empty(len(uniq), np.float64)
+        for i, t in enumerate(uniq):
+            ent = rdr.lookup(str(t))
+            # same op order as the SQL oracle: sum(tf) * ln(idf)
+            w[i] = tfs[i] * rdr.idf(ent[1]) if ent else 0.0
+        qset = set(qterms)
+        order = sorted(range(len(uniq)), key=lambda i: (-w[i], uniq[i]))
+        exp = [str(uniq[i]) for i in order
+               if str(uniq[i]) not in qset and w[i] > 0.0][:fb_terms]
+    assoc = {qterms[0]: exp} if exp else {}
+    d, _ = scorer.score_expanded(qterms, k, assoc, discount=fb_weight,
+                                 per_term=len(exp))
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+        "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+    })
+
+
 def more_like_this(parquet_path: str, doc_id: int, m: int = 5,
                    k: int = 10, text_col: str = "text") -> pd.DataFrame:
     """Related-document retrieval: extract the source doc's top-``m``

@@ -258,3 +258,59 @@ def test_search_after_pages_partition_global_order(t1_index_dir, t1_oracle):
             d, s = sc.score_after(terms, 7, float(full_s[-1]),
                                   int(full_d[-1]))
             assert len(d) == 0
+
+
+def test_feedback_topk_matches_bruteforce(tmp_path, ray_session,
+                                          monkeypatch):
+    """Rocchio PRF end-to-end vs a pure-Python recompute over the
+    oracle: same feedback set, same tf x idf expansion pick (ties by
+    term), same weighted rescoring — and the expansion must actually
+    re-rank (non-trivial fixture)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray import corpus as hcorpus
+    from hadoopsearchengine_ray.functions import search
+    from hadoopsearchengine_ray.oracle import OracleIndex, tokenize_py
+    from hadoopsearchengine_ray.oracle import B, K1
+
+    monkeypatch.setattr(search, "CACHE_ROOT", str(tmp_path / "cache"))
+    n = 200
+    tbl = hcorpus.gen_rows(np.arange(n))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": tbl["content"],
+    }), src)
+    texts = {i: tbl["content"][i].as_py() for i in range(n)}
+    idx = OracleIndex(sorted(texts.items()))
+
+    qterms = sorted(idx.postings)[3:5]
+    FB_DOCS, FB_TERMS, FB_W, K = 5, 3, 0.5, 10
+    out = search.feedback_topk(src, qterms, k=K, fb_docs=FB_DOCS,
+                               fb_terms=FB_TERMS, fb_weight=FB_W)
+
+    # brute force
+    fb_ids = [d for d, _ in idx.bm25_topk(qterms, FB_DOCS)]
+    pooled = collections.Counter(
+        t for d in fb_ids for t in tokenize_py(texts[d]))
+    cand = sorted(((-(c * idx.idf(t)), t) for t, c in pooled.items()
+                   if t not in set(qterms) and idx.idf(t) > 0))
+    exp = [t for _, t in cand[:FB_TERMS]]
+    weights = {t: 1.0 for t in qterms} | {t: FB_W for t in exp}
+    scores: dict[int, float] = {}
+    for t in sorted(weights):
+        for doc, tf in idx.postings.get(t, []):
+            dl = idx.doclen[doc]
+            s = weights[t] * idx.idf(t) * (tf * (K1 + 1.0)) \
+                / (tf + K1 * (1.0 - B + B * dl / idx.avgdl))
+            scores[doc] = scores.get(doc, 0.0) + s
+    want = [d for d, _ in sorted(scores.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:K]]
+    assert out["doc_id"].tolist() == want
+    assert out["rank"].tolist() == list(range(1, len(want) + 1))
+    # the feedback must have re-ranked relative to the plain query
+    plain = [d for d, _ in idx.bm25_topk(qterms, K)]
+    assert exp and want != plain
