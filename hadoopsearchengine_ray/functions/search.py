@@ -77,9 +77,14 @@ def trigram_for(parquet_path: str, text_col: str = "text",
 
     # key carries EVERY build parameter (an index built over one
     # column pair must never be served for another) plus a format
-    # version (v2 = utf8_lower casefold; bumping evicts stale caches)
-    tag = f"tri:v2:{text_col}:{id_col}:{int(casefold)}:"
-    key = hashlib.sha256((tag + parquet_path).encode()).hexdigest()[:16]
+    # version (v2 = utf8_lower casefold; bumping evicts stale caches).
+    # json framing, not ':' joins — column names containing the
+    # separator must not collide (['a:b','c'] vs ['a','b:c'])
+    import json as _json
+
+    tag = _json.dumps(["tri", "v2", text_col, id_col, bool(casefold),
+                       parquet_path])
+    key = hashlib.sha256(tag.encode()).hexdigest()[:16]
     idx_dir = os.path.join(CACHE_ROOT, key)
     done = os.path.join(idx_dir, "_DONE")
     fp = lineage_fingerprint([parquet_path])

@@ -191,8 +191,11 @@ def near_counts(reader: IndexReader, term_a: str, term_b: str,
     unordered lower bound clamps at position 0, so neither probe
     crosses a doc boundary.  With ``term_a == term_b`` the unordered
     count sees each pair from both sides — the same convention as the
-    self-join SQL oracle."""
+    self-join SQL oracle.  ``slop < 1`` returns empty (SQL ``BETWEEN 1
+    AND slop`` semantics) rather than wrapping the uint64 window."""
     e = np.empty(0, np.int64)
+    if slop < 1:
+        return e, e
     da, _ = reader.decoded_postings(term_a)
     db, _ = reader.decoded_postings(term_b)
     common = np.intersect1d(da.astype(np.int64), db.astype(np.int64))

@@ -340,3 +340,23 @@ def test_trigram_for_cache_key_covers_columns(tmp_path, ray_session,
         == [1]
     assert grep_substring(d1, src, "alpha body")["doc_id"].to_pylist() \
         == [0]
+
+
+def test_trigram_for_tag_separator_safe(tmp_path, ray_session,
+                                        monkeypatch):
+    """Column names containing the old ':' separator must not collide
+    to one cache key (['a:b','c'] vs ['a','b:c'])."""
+    from hadoopsearchengine_ray.functions import search
+
+    monkeypatch.setattr(search, "CACHE_ROOT", str(tmp_path / "cache"))
+    src = str(tmp_path / "colon.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "c": pa.array([9], pa.int64()),
+        "a:b": pa.array(["left column text"], pa.string()),
+        "a": pa.array(["right column text"], pa.string()),
+        "b:c": pa.array([3], pa.int64()),
+    }), src)
+    d1 = search.trigram_for(src, text_col="a:b", id_col="c")
+    d2 = search.trigram_for(src, text_col="a", id_col="b:c")
+    assert d1 != d2

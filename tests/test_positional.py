@@ -205,3 +205,18 @@ def test_near_counts_match_oracle(t1_index_dir, t1_oracle):
     d1, c1 = near_counts(reader, hot[0], hot[1], slop=1, ordered=True)
     d2, c2 = phrase_counts(reader, [hot[0], hot[1]])
     assert d1.tolist() == d2.tolist() and c1.tolist() == c2.tolist()
+
+
+def test_near_counts_slop_bounds(t1_index_dir, t1_oracle):
+    """slop < 1 returns empty (SQL BETWEEN 1 AND slop), never a
+    wrapped uint64 window."""
+    from hadoopsearchengine_ray.pipelines.positional import near_counts
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(t1_index_dir)
+    idx = t1_oracle
+    hot = [t for t in sorted(idx.postings)
+           if len(idx.postings[t]) > 0.25 * idx.N][:2]
+    for slop in (0, -2):
+        d, c = near_counts(reader, hot[0], hot[1], slop=slop)
+        assert len(d) == 0 and len(c) == 0
