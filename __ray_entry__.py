@@ -490,6 +490,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ["spark scan", "merge batch",
                            "zz absent"]).to_pandas()
 
+    def q_grep_lines(sf):
+        # grep presentation layer: (doc_id, line_no, line) per matching
+        # LINE (documents text is single-line, so line_no = 1 and line
+        # = text; the multi-line semantics are pytest-covered on the
+        # synthetic code corpus)
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_lines
+
+        src = f"{sf}/documents.parquet"
+        return grep_lines(trigram_for(src), src, "merge batch").to_pandas()
+
     def q_grep_substring_ci(sf):
         # case-insensitive grep from a casefolded trigram index:
         # lower(text)-contains-lower(pattern) semantics; the UPPERCASE
@@ -2064,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_regex": q_grep_regex,
         "grep_count": q_grep_count,
         "grep_multi": q_grep_multi,
+        "grep_lines": q_grep_lines,
         "grep_substring_ci": q_grep_substring_ci,
         "pmi_bigrams": q_pmi_bigrams,
         "filtered_knn": q_filtered_knn,
@@ -2777,6 +2789,19 @@ def oracle_sql() -> dict[str, str]:
                                ('zz absent')) p(pattern)
             WHERE contains(d.text, p.pattern)
             ORDER BY p.pattern, d.doc_id
+        """,
+        # line-level grep: every matching LINE with its 1-based number
+        "grep_lines": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS line_no
+              FROM documents
+            )
+            SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line
+            FROM lines WHERE contains(line, 'merge batch')
+            ORDER BY doc_id, line_no
         """,
         # case-insensitive grep (casefolded index)
         "grep_substring_ci": """

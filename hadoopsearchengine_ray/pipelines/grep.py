@@ -683,6 +683,54 @@ def grep_multi(index_dir: str, corpus_path: str,
                                     (id_col, "ascending")])
 
 
+def grep_lines(index_dir: str, corpus_path: str,
+               pattern: str) -> pa.Table:
+    """(doc_id, line_no, line) for every LINE containing ``pattern`` —
+    the grep presentation layer (1-based line numbers, lines split on
+    '\\n').  Candidates come from the trigram planner exactly as in
+    ``grep_substring`` (a line containing the pattern implies the doc
+    contains it, so the doc-level candidate superset is sound); the
+    verify stage explodes candidate docs into lines with one
+    vectorized split + offset arithmetic and matches per line.
+    Case-sensitivity follows the index build."""
+    import pyarrow.compute as pc
+
+    idx = TrigramIndex(index_dir)
+    id_col, text_col = idx.meta["id_col"], idx.meta["text_col"]
+    cand = idx.candidates_literal(pattern)
+    matcher = _literal_matcher(idx, pattern)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "line_no": pa.array([], pa.int64()),
+                      "line": pa.array([], pa.string())})
+
+    def _result(tbl: pa.Table) -> pa.Table:
+        text = pc.fill_null(tbl[text_col], "").combine_chunks()
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base, counts = offs[0], np.diff(offs)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        flat = lines.values.slice(base, total)   # offset-safe list view
+        ids = tbl[id_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(ids, counts)
+        line_no = np.arange(total) - np.repeat(offs[:-1] - base, counts) + 1
+        mask = matcher(flat)
+        m = mask.to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(doc_rep[m], pa.int64()),
+            "line_no": pa.array(line_no[m], pa.int64()),
+            "line": flat.filter(mask),
+        })
+
+    return _dispatch_verify(corpus_path, cand, _result, id_col, text_col,
+                            empty, [(id_col, "ascending"),
+                                    ("line_no", "ascending")])
+
+
 def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
     """Doc ids whose text matches ``pattern`` (RE2 search semantics —
     the same engine DuckDB's ``regexp_matches`` uses), sorted ascending.

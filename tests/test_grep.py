@@ -360,3 +360,39 @@ def test_trigram_for_tag_separator_safe(tmp_path, ray_session,
     d1 = search.trigram_for(src, text_col="a:b", id_col="c")
     d2 = search.trigram_for(src, text_col="a", id_col="b:c")
     assert d1 != d2
+
+
+def test_grep_lines_matches_bruteforce(grep_corpus, grep_index,
+                                       monkeypatch):
+    """Line-level grep vs a pure-Python line scan over the multi-line
+    corpus, on both the driver-fetch and the streaming dispatch."""
+    from hadoopsearchengine_ray.pipelines.grep import grep_lines
+
+    path, texts = grep_corpus
+    for pat in ("return", "for (", "zzz_never_there"):
+        want = [(d, i + 1, ln)
+                for d in sorted(texts)
+                for i, ln in enumerate(texts[d].split("\n"))
+                if pat in ln]
+        got = grep_lines(grep_index, path, pat)
+        rows = list(zip(got["doc_id"].to_pylist(),
+                        got["line_no"].to_pylist(),
+                        got["line"].to_pylist()))
+        assert rows == want, pat
+        assert any(n > 1 for _, n, _ in rows) or not rows  # multi-line
+    base = grep_lines(grep_index, path, "return")
+    monkeypatch.setattr(grep, "DRIVER_FETCH_CAP", 0)
+    assert grep_lines(grep_index, path, "return").equals(base)
+
+
+def test_grep_lines_casefold(tmp_path, ray_session):
+    src = _write_docs(str(tmp_path / "ml.parquet"), {
+        0: "Merge BATCH\nnothing\nMERGE batch again",
+        1: "plain text"})
+    ci = str(tmp_path / "ci")
+    build_trigram_index(src, ci, text_col="content", id_col="doc_id",
+                        casefold=True)
+    from hadoopsearchengine_ray.pipelines.grep import grep_lines
+    got = grep_lines(ci, src, "merge batch")
+    assert list(zip(got["doc_id"].to_pylist(),
+                    got["line_no"].to_pylist())) == [(0, 1), (0, 3)]
