@@ -140,6 +140,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_fuzzy_topk(sf):
+        # fuzzy retrieval: 'merg' / 'windoq' expand to every dictionary
+        # term within Levenshtein distance 1, scored as disjunctive BM25
+        from hadoopsearchengine_ray.functions.search import fuzzy_topk
+
+        return fuzzy_topk(f"{sf}/documents.parquet",
+                          ["merg", "windoq"], k=10)
+
     def q_feedback_topk(sf):
         # pseudo-relevance feedback: top-5 docs of the original query
         # pool tf x idf term weights; top-3 new terms join at 0.5x
@@ -2067,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expanded_topk": q_expanded_topk,
         "bm25_pool_topk": q_bm25_pool,
         "index_stats": q_index_stats,
+        "fuzzy_topk": q_fuzzy_topk,
         "feedback_topk": q_feedback_topk,
         "search_after": q_search_after,
         "near_pairs": q_near_pairs,
@@ -2249,6 +2258,40 @@ def oracle_sql() -> dict[str, str]:
                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
               FROM tf
               JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # fuzzy retrieval: the expansion set is EVERY indexed term at
+        # Levenshtein distance <= 1 from a query term (DuckDB's
+        # levenshtein is the same plain edit distance the engine's
+        # SymSpell filter computes), scored as disjunctive BM25
+        "fuzzy_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(w) AS (VALUES ('merg'), ('windoq')),
+            fz AS (
+              SELECT DISTINCT df.term FROM df, q
+              WHERE levenshtein(df.term, q.w) <= 1
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN fz USING (term)
               JOIN df USING (term)
               JOIN dl USING (doc_id), stats
               GROUP BY tf.doc_id

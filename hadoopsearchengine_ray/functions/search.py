@@ -309,6 +309,36 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     return out
 
 
+def fuzzy_topk(parquet_path: str, terms: list[str], k: int = 10,
+               text_col: str = "text") -> pd.DataFrame:
+    """Fuzzy retrieval: each query term expands to EVERY dictionary
+    term within Levenshtein distance 1 (Lucene FuzzyQuery rewrite
+    shape, the serving-time form of the reference's CSpellCheck
+    permutation lookup — /root/reference/FileStorage.h:798-1150);
+    the union scores as a disjunctive BM25, each expanded term with
+    its own idf.  Expansion is exact (SymSpell 1-deletion candidate
+    guarantee + plain-Levenshtein filter, the same metric as DuckDB's
+    ``levenshtein()``), so the SQL oracle reproduces the expansion set
+    verbatim.  Returns (rank, doc_id)."""
+    from ..pipelines.query import BM25Scorer
+    from .spellcheck import SpellIndex
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    spell = SpellIndex.from_index_dir(index_dir)
+    expanded: set[str] = set()
+    for t in sorted(set(terms)):
+        expanded.update(spell.within_distance(t, 1))
+    empty = pd.DataFrame({"rank": pd.array([], dtype="int64"),
+                          "doc_id": pd.array([], dtype="int64")})
+    if not expanded:
+        return empty
+    d, _ = BM25Scorer(index_dir).score_exact(sorted(expanded), k)
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+        "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+    })
+
+
 def feedback_topk(parquet_path: str, terms: list[str], k: int = 10,
                   fb_docs: int = 5, fb_terms: int = 3,
                   fb_weight: float = 0.5,

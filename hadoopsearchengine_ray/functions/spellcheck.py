@@ -73,6 +73,24 @@ class SpellIndex:
         scored.sort()
         return [c for _, _, c in scored[:max_suggestions]]
 
+    def within_distance(self, word: str, max_distance: int = 1) -> list[str]:
+        """ALL dictionary terms with plain Levenshtein distance <=
+        ``max_distance`` from ``word`` (including ``word`` itself when
+        indexed), sorted ascending — the fuzzy-query expansion set.
+        Complete for ``max_distance=1`` by the SymSpell 1-deletion
+        guarantee (both deletion sets include the identity); the
+        1-deletion index only gives PARTIAL distance-2 recall, so
+        fuzzy search keeps the bound at 1."""
+        if max_distance > 1:
+            raise ValueError("within_distance is complete only for "
+                             "max_distance=1 over a 1-deletion index")
+        cands: set[str] = set()
+        for d in _deletions(word):
+            cands.update(self.delindex.get(d, ()))
+        return sorted(
+            c for c in cands
+            if _edit_distance_le(word, c, max_distance) <= max_distance)
+
     def correct_query(self, terms: list[str]) -> list[str]:
         """Replace unknown terms by their best suggestion (or keep as-is
         when nothing is near — the empty-result contract stays reachable)."""

@@ -367,3 +367,29 @@ def test_store_for_invalidates_on_rewrite(tmp_path, ray_session):
     d2 = store_for(path)
     assert d2 == d1
     assert DocStore(d2).fetch([0]).to_pylist()[0]["text"] == "rewritten zero!!"
+
+
+def test_within_distance_complete(t1_index_dir, t1_oracle):
+    """within_distance(w, 1) must return EXACTLY the dictionary terms
+    at plain Levenshtein distance <= 1 — brute-forced over the whole
+    vocabulary for in-vocab words, 1-edit misspellings, and misses."""
+    from hadoopsearchengine_ray.functions.spellcheck import (
+        SpellIndex,
+        _edit_distance_le,
+    )
+
+    idx, _ = t1_oracle
+    vocab = sorted(idx.postings)
+    sp = SpellIndex.from_index_dir(t1_index_dir)
+    probes = vocab[0:20:4]                       # in-vocab
+    probes += [w[:-1] for w in vocab[1:21:4] if len(w) > 2]   # deletion
+    probes += [w + "q" for w in vocab[2:22:4]]   # insertion
+    probes += ["x" + w[1:] for w in vocab[3:23:4]]  # substitution
+    probes += ["zzzzzzz"]                        # no match
+    for w in probes:
+        want = sorted(t for t in vocab
+                      if _edit_distance_le(w, t, 1) <= 1)
+        assert sp.within_distance(w, 1) == want, w
+    import pytest
+    with pytest.raises(ValueError):
+        sp.within_distance("abc", 2)
