@@ -232,6 +232,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return phrase_table(index_for(f"{sf}/documents.parquet"), PHRASE)
 
+    def q_phrase3(sf):
+        # 3-slot phrase: one positional-key intersection per slot (the
+        # k-term generalization the 2-term driver query doesn't cover)
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.positional import phrase_table
+
+        return phrase_table(index_for(f"{sf}/documents.parquet"),
+                            ["slow", "hash", "batch"])
+
     def q_near_pairs(sf):
         # ordered NEAR predicate from in-index positions: exact count
         # of (pos_a, pos_b) pairs with 1 <= pos_b - pos_a <= 4
@@ -2131,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
         "phrase_match": q_phrase,
+        "phrase3_match": q_phrase3,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
         "bm25f_fields": q_bm25f,
@@ -3507,6 +3517,16 @@ def oracle_sql() -> dict[str, str]:
             FROM toko a JOIN toko b
               ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
             WHERE a.t = '{PHRASE[0]}' AND b.t = '{PHRASE[1]}'
+            GROUP BY a.doc_id
+        """,
+        "phrase3_match": f"""
+            WITH {TOK_ORDERED_CTE}
+            SELECT a.doc_id, count(*) AS n
+            FROM toko a JOIN toko b
+              ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            JOIN toko c
+              ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+            WHERE a.t = 'slow' AND b.t = 'hash' AND c.t = 'batch'
             GROUP BY a.doc_id
         """,
         # NEAR predicates: pair counts over the ordered token stream —
