@@ -15,6 +15,10 @@ Subcommands:
 - ``query``  score ad-hoc queries against a built index and print top-k
 - ``compact`` fold an index + its deltas + tombstones into a fresh
              standalone index (no re-tokenize; resumable)
+- ``search`` parsed query strings (``"merge^2 +window -dup s*"``)
+             against a built index
+- ``grep``   exact-substring / regex / line-level code search backed
+             by the trigram index (built on first use)
 
 Ray session ownership: this CLI initialises Ray itself (guarded) because
 it IS a job entry point; library code never does.  ``RAY_ADDRESS`` is
@@ -100,6 +104,73 @@ def _cmd_compact(a: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_search(a: argparse.Namespace) -> int:
+    from .pipelines.query import BM25Scorer
+
+    _init_ray()
+    sc = BM25Scorer(a.index)
+    for q in a.queries:
+        ids, scores = sc.score_query(q, a.k)
+        print(json.dumps({"query": q,
+                          "hits": [{"doc_id": int(d), "score": round(float(s), 6)}
+                                   for d, s in zip(ids, scores)]}))
+    return 0
+
+
+def _cmd_grep(a: argparse.Namespace) -> int:
+    from .pipelines.grep import (
+        build_trigram_index,
+        grep_count,
+        grep_lines,
+        grep_regex,
+        grep_substring,
+    )
+
+    _init_ray()
+    import pyarrow.dataset as pads
+
+    schema = pads.dataset(a.corpus).schema
+    corpus_path, text_col, id_col = a.corpus, a.text_col, a.id_col
+    if text_col not in schema.names and "content" in schema.names:
+        text_col = "content"      # the canonical corpus column name
+    if text_col not in schema.names:
+        print(f"error: text column {a.text_col!r} not in corpus schema "
+              f"{schema.names}", file=sys.stderr)
+        return 2
+    if id_col not in schema.names:
+        # raw (repo, path, commit, lang, content) corpus: materialize a
+        # (doc_id, text) view with the SAME dense ids the index build
+        # assigns (rank over the sorted natural key), so grep doc_ids
+        # agree with BM25 doc_ids over the same corpus
+        import ray.data as rd
+
+        from .stages.ingest import zip_with_index
+
+        view = os.path.join(a.index, "corpus_view")
+        done = os.path.join(view, "_DONE")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(view, ignore_errors=True)
+            keys = [k for k in ("repo", "path", "commit")
+                    if k in schema.names]
+            ds = rd.read_parquet(corpus_path, columns=keys + [text_col])
+            zip_with_index(ds, sort_keys=keys or None,
+                           id_column=id_col) \
+                .select_columns([id_col, text_col]).write_parquet(view)
+            open(done, "w").close()
+        corpus_path = view
+    if not os.path.exists(os.path.join(a.index, "meta.json")):
+        build_trigram_index(corpus_path, a.index, text_col=text_col,
+                            id_col=id_col, casefold=a.ignore_case)
+    fn = {"substring": grep_substring, "regex": grep_regex,
+          "count": grep_count, "lines": grep_lines}[a.mode]
+    tbl = fn(a.index, corpus_path, a.pattern)
+    for row in tbl.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m hadoopsearchengine_ray",
                                 description=(__doc__ or "").split("\n\n")[0])
@@ -139,6 +210,29 @@ def main(argv: list[str] | None = None) -> int:
                         "shuffle); rebuild = token-level rerun of "
                         "stages 2-7; auto = merge with loud fallback")
     c.set_defaults(fn=_cmd_compact)
+
+    s = sub.add_parser("search", help="parsed query strings "
+                                      "(weighted/required/excluded/wildcard)")
+    s.add_argument("--index", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("queries", nargs="+", metavar="QUERY",
+                   help="e.g. 'merge^2 +window -dup s*'")
+    s.set_defaults(fn=_cmd_search)
+
+    gr = sub.add_parser("grep", help="trigram-indexed code search")
+    gr.add_argument("--corpus", required=True,
+                    help="corpus parquet (text/id columns)")
+    gr.add_argument("--index", required=True,
+                    help="trigram index dir (built here on first use)")
+    gr.add_argument("--mode", choices=["substring", "regex", "count",
+                                       "lines"], default="substring")
+    gr.add_argument("--text-col", default="text")
+    gr.add_argument("--id-col", default="doc_id")
+    gr.add_argument("-i", "--ignore-case", action="store_true",
+                    help="build/serve the casefolded variant "
+                         "(substring modes only)")
+    gr.add_argument("pattern")
+    gr.set_defaults(fn=_cmd_grep)
 
     a = p.parse_args(argv)
     try:
