@@ -518,6 +518,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         src = f"{sf}/documents.parquet"
         return grep_lines(trigram_for(src), src, "merge batch").to_pandas()
 
+    def q_grep_delta(sf):
+        # incremental grep ingestion: half-corpus base build + delta
+        # append must serve exactly what a full build serves (the
+        # oracle is the same contains scan as grep_substring)
+        import shutil
+        import tempfile
+
+        import pyarrow.dataset as _pads
+
+        from hadoopsearchengine_ray.pipelines.grep import (
+            add_to_trigram_index,
+            build_trigram_index,
+            grep_substring,
+        )
+
+        src = f"{sf}/documents.parquet"
+        cut = _pads.dataset(src).count_rows() // 2
+        idx = tempfile.mkdtemp(prefix="hse_grep_delta_")
+        try:
+            build_trigram_index(
+                rd.read_parquet(src, columns=["doc_id", "text"])
+                .filter(expr=f"doc_id < {cut}"), idx)
+            add_to_trigram_index(
+                rd.read_parquet(src, columns=["doc_id", "text"])
+                .filter(expr=f"doc_id >= {cut}"), idx)
+            return grep_substring(idx, src, "merge batch").to_pandas()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
     def q_grep_substring_ci(sf):
         # case-insensitive grep from a casefolded trigram index:
         # lower(text)-contains-lower(pattern) semantics; the UPPERCASE
@@ -2094,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_count": q_grep_count,
         "grep_multi": q_grep_multi,
         "grep_lines": q_grep_lines,
+        "grep_delta": q_grep_delta,
         "grep_substring_ci": q_grep_substring_ci,
         "pmi_bigrams": q_pmi_bigrams,
         "filtered_knn": q_filtered_knn,
@@ -2842,6 +2872,12 @@ def oracle_sql() -> dict[str, str]:
                                ('zz absent')) p(pattern)
             WHERE contains(d.text, p.pattern)
             ORDER BY p.pattern, d.doc_id
+        """,
+        # incremental grep: base+delta index == full build by contract
+        "grep_delta": """
+            SELECT doc_id FROM documents
+            WHERE contains(text, 'merge batch')
+            ORDER BY doc_id
         """,
         # line-level grep: every matching LINE with its 1-based number
         "grep_lines": """

@@ -228,6 +228,65 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
     return index_dir
 
 
+def add_to_trigram_index(corpus, index_dir: str) -> str:
+    """Incrementally index NEW docs into an existing trigram index —
+    the grep analog of the main index's delta path (pipelines/delta.py).
+
+    The posting layout is per-(bucket, gram) SEGMENTS and the reader
+    already np.unique-merges a gram's segments, so ingestion is pure
+    append: the same extract→sort→encode pipeline runs over the new
+    docs only and its output parquet files land in the existing
+    ``postings/bucket=*`` dirs (Ray write_parquet appends fresh
+    files).  The global df table is then re-aggregated from segment
+    rows — bounded by the 2^24 gram space, independent of corpus size.
+    Caller contract: new doc ids must not collide with indexed ones
+    (same as delta indexes).  Build params (columns, casefold) come
+    from the index's own meta."""
+    import shutil
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if isinstance(corpus, str):
+        ds = rd.read_parquet(corpus,
+                             columns=[meta["id_col"], meta["text_col"]])
+    else:
+        ds = corpus.select_columns([meta["id_col"], meta["text_col"]])
+    rows = ds.map_batches(
+        _trigram_rows_fn(meta["text_col"], meta["id_col"],
+                         meta["num_buckets"],
+                         casefold=bool(meta.get("casefold", False))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    post_dir = os.path.join(index_dir, "postings")
+    (rows.sort(["bucket", "gram", "doc_id"])
+     .map_batches(_encode_block, batch_format="pyarrow",
+                  zero_copy_batch=True)
+     .write_parquet(post_dir, partition_cols=["bucket"]))
+    # a token-less ORIGINAL build parked a typed empty file at the
+    # postings root (_ensure_typed); with real hive-partitioned
+    # segments now present its inline bucket column would clash with
+    # the partition field — drop it (re-park if still nothing real)
+    stale = os.path.join(post_dir, "empty.parquet")
+    if os.path.exists(stale):
+        os.remove(stale)
+    _ensure_typed(post_dir, pa.schema([
+        ("gram", pa.int32()), ("df", pa.int64()),
+        ("doc_blob", pa.binary()), ("bucket", pa.int32())]))
+
+    df_dir = os.path.join(index_dir, "df")
+    tmp = df_dir + ".new"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(post_dir, columns=["gram", "df"])
+     .groupby("gram").sum("df")
+     .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+                  batch_format="pyarrow")
+     .write_parquet(tmp))
+    _ensure_typed(tmp, pa.schema([("gram", pa.int32()),
+                                  ("df", pa.int64())]))
+    shutil.rmtree(df_dir, ignore_errors=True)
+    os.replace(tmp, df_dir)
+    return index_dir
+
+
 # ---------------------------------------------------------------------------
 # regex -> required-trigram CNF
 

@@ -396,3 +396,53 @@ def test_grep_lines_casefold(tmp_path, ray_session):
     got = grep_lines(ci, src, "merge batch")
     assert list(zip(got["doc_id"].to_pylist(),
                     got["line_no"].to_pylist())) == [(0, 1), (0, 3)]
+
+
+def test_trigram_delta_parity(grep_corpus, tmp_path, ray_session):
+    """Half-then-delta incremental build serves identically to a full
+    build (segments spanning base+delta merge in the reader, df table
+    re-aggregated), and a delta onto an EMPTY base works."""
+    from hadoopsearchengine_ray.pipelines.grep import (
+        TrigramIndex,
+        add_to_trigram_index,
+    )
+
+    path, texts = grep_corpus
+    full_tbl = pq.read_table(path)
+    half = full_tbl.num_rows // 2
+    base_src = str(tmp_path / "base.parquet")
+    delta_src = str(tmp_path / "delta.parquet")
+    pq.write_table(full_tbl.slice(0, half), base_src)
+    pq.write_table(full_tbl.slice(half), delta_src)
+    idx = str(tmp_path / "inc")
+    build_trigram_index(base_src, idx, text_col="content",
+                        id_col="doc_id")
+    add_to_trigram_index(delta_src, idx)
+    full_idx = str(tmp_path / "full")
+    build_trigram_index(path, full_idx, text_col="content",
+                        id_col="doc_id")
+    for pat in ("return", "def ", "import os", "zzz_never_there"):
+        want = sorted(d for d, s in texts.items() if pat in s)
+        assert grep_substring(idx, path, pat)["doc_id"].to_pylist() \
+            == want, pat
+        # planner state parity: same candidate sets as the full build
+        inc, full = TrigramIndex(idx), TrigramIndex(full_idx)
+        ci = inc.candidates_literal(pat)
+        cf = full.candidates_literal(pat)
+        assert (ci is None) == (cf is None)
+        if ci is not None:
+            assert sorted(ci.tolist()) == sorted(cf.tolist()), pat
+    assert grep_regex(idx, path, "return [a-z]+").equals(
+        grep_regex(full_idx, path, "return [a-z]+"))
+    # delta onto an empty base
+    empty_src = str(tmp_path / "none.parquet")
+    pq.write_table(full_tbl.slice(0, 0), empty_src)
+    e_idx = str(tmp_path / "embase")
+    build_trigram_index(empty_src, e_idx, text_col="content",
+                        id_col="doc_id")
+    add_to_trigram_index(delta_src, e_idx)
+    pat = "return"
+    want = sorted(d for d, s in texts.items()
+                  if d >= half and pat in s)
+    assert grep_substring(e_idx, delta_src, pat)["doc_id"].to_pylist() \
+        == want
