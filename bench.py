@@ -271,7 +271,7 @@ def run_bench() -> dict:
 
     # keyed by n_docs AND invalidated when the corpus cache is newer
     # (generator/seed changes rewrite the corpus _DONE marker)
-    grep_src = f"/tmp/hse_bench_grepsrc_{n_docs}.parquet"
+    grep_src = f"/tmp/hse_bench_grepsrc_{n_docs}_rg.parquet"
     corpus_marker = os.path.join(corpus_dir, "_DONE")
     if (not os.path.exists(grep_src)
             or os.path.getmtime(grep_src) < os.path.getmtime(corpus_marker)):
@@ -280,7 +280,11 @@ def run_bench() -> dict:
         _ctbl = pads.dataset(corpus_dir).to_table(columns=["content"])
         _ctbl = _ctbl.append_column("doc_id", _pa.array(
             np.arange(_ctbl.num_rows, dtype=np.int64)))
-        _pq.write_table(_ctbl, grep_src)
+        # many row groups: Ray splits parquet reads at row-group
+        # granularity, so a single-row-group file would serialize the
+        # whole streaming verify scan onto one task (measured 14 s vs
+        # ~2 s for the same 10-pattern batch)
+        _pq.write_table(_ctbl, grep_src, row_group_size=4096)
     tri_dir = f"{out_root}/hse_bench_trigram_{n_docs}_{ncpu}"
     shutil.rmtree(tri_dir, ignore_errors=True)
     t0 = time.perf_counter()

@@ -55,9 +55,15 @@ def blocks_for_bytes(total_bytes: int | None, target_bytes: int = 256 << 20,
 
 
 def dir_bytes(path: str) -> int:
-    """Total on-disk bytes under a directory (stage-output sizing)."""
+    """Total on-disk bytes under a directory — or of a plain file
+    (single-parquet corpora size the same way)."""
     import os
 
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
