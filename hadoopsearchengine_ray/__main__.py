@@ -126,8 +126,18 @@ def _cmd_grep(a: argparse.Namespace) -> int:
         grep_substring,
     )
 
+    if a.mode == "regex" and a.ignore_case:
+        print("error: --mode regex cannot use a casefolded index; put "
+              "(?i) in the pattern instead (planning then degrades to "
+              "a full scan, matching stays correct)", file=sys.stderr)
+        return 2
+
     _init_ray()
+    import shutil
+
     import pyarrow.dataset as pads
+
+    from .state.manifest import lineage_fingerprint
 
     schema = pads.dataset(a.corpus).schema
     corpus_path, text_col, id_col = a.corpus, a.text_col, a.id_col
@@ -137,6 +147,30 @@ def _cmd_grep(a: argparse.Namespace) -> int:
         print(f"error: text column {a.text_col!r} not in corpus schema "
               f"{schema.names}", file=sys.stderr)
         return 2
+
+    # reuse the index only when BOTH its build params match the asked
+    # flags AND its recorded corpus lineage is current — a stale or
+    # differently-built index would silently prune true matches
+    fp = lineage_fingerprint([a.corpus])
+    meta_path = os.path.join(a.index, "meta.json")
+    lin_path = os.path.join(a.index, "_LINEAGE")
+    fresh = False
+    if os.path.exists(meta_path) and os.path.exists(lin_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        with open(lin_path) as f:
+            have_fp = f.read()
+        fresh = (have_fp == fp
+                 and meta.get("text_col") == text_col
+                 and meta.get("id_col") == id_col
+                 and bool(meta.get("casefold")) == bool(a.ignore_case))
+    if not fresh:
+        if os.path.exists(meta_path):
+            print(f"[grep] index at {a.index} is stale or was built "
+                  "with different parameters; rebuilding",
+                  file=sys.stderr)
+        shutil.rmtree(a.index, ignore_errors=True)
+
     if id_col not in schema.names:
         # raw (repo, path, commit, lang, content) corpus: materialize a
         # (doc_id, text) view with the SAME dense ids the index build
@@ -147,22 +181,19 @@ def _cmd_grep(a: argparse.Namespace) -> int:
         from .stages.ingest import zip_with_index
 
         view = os.path.join(a.index, "corpus_view")
-        done = os.path.join(view, "_DONE")
-        if not os.path.exists(done):
-            import shutil
-
-            shutil.rmtree(view, ignore_errors=True)
+        if not fresh:
             keys = [k for k in ("repo", "path", "commit")
                     if k in schema.names]
             ds = rd.read_parquet(corpus_path, columns=keys + [text_col])
             zip_with_index(ds, sort_keys=keys or None,
                            id_column=id_col) \
                 .select_columns([id_col, text_col]).write_parquet(view)
-            open(done, "w").close()
         corpus_path = view
-    if not os.path.exists(os.path.join(a.index, "meta.json")):
+    if not fresh:
         build_trigram_index(corpus_path, a.index, text_col=text_col,
                             id_col=id_col, casefold=a.ignore_case)
+        with open(lin_path, "w") as f:
+            f.write(fp)
     fn = {"substring": grep_substring, "regex": grep_regex,
           "count": grep_count, "lines": grep_lines}[a.mode]
     tbl = fn(a.index, corpus_path, a.pattern)

@@ -57,14 +57,21 @@ class SpellIndex:
             columns=["term", "cf"])
         return cls(tbl.column("term").to_pylist(), tbl.column("cf").to_pylist())
 
+    def _candidates(self, word: str) -> set[str]:
+        """Dictionary terms sharing a 1-deletion variant with ``word``
+        — the SymSpell candidate pool ``suggest`` and
+        ``within_distance`` both filter."""
+        cands: set[str] = set()
+        for d in _deletions(word):
+            cands.update(self.delindex.get(d, ()))
+        return cands
+
     def suggest(self, word: str, max_suggestions: int = 5,
                 max_distance: int = 2) -> list[str]:
         """Nearest dictionary terms: exact -> distance-ranked candidates."""
         if word in self.cf:
             return [word]
-        cands: set[str] = set()
-        for d in _deletions(word):
-            cands.update(self.delindex.get(d, ()))
+        cands = self._candidates(word)
         scored = []
         for c in cands:
             dist = _edit_distance_le(word, c, max_distance)
@@ -84,9 +91,7 @@ class SpellIndex:
         if max_distance > 1:
             raise ValueError("within_distance is complete only for "
                              "max_distance=1 over a 1-deletion index")
-        cands: set[str] = set()
-        for d in _deletions(word):
-            cands.update(self.delindex.get(d, ()))
+        cands = self._candidates(word)
         return sorted(
             c for c in cands
             if _edit_distance_le(word, c, max_distance) <= max_distance)

@@ -181,6 +181,61 @@ def _encode_block(batch: pa.Table) -> pa.Table:
     })
 
 
+_POST_SCHEMA = pa.schema([
+    ("gram", pa.int32()), ("df", pa.int64()),
+    ("doc_blob", pa.binary()), ("bucket", pa.int32())])
+_DF_SCHEMA = pa.schema([("gram", pa.int32()), ("df", pa.int64())])
+_INGEST_MARKER = "_INGEST_INPROGRESS"
+
+
+def _ingest_postings(corpus, index_dir: str, text_col: str, id_col: str,
+                     num_buckets: int, casefold: bool) -> str:
+    """Extract → range-sort → encode → write posting segments for
+    ``corpus`` into ``index_dir/postings`` (the ONE pipeline both the
+    full build and the delta append run, so they cannot diverge)."""
+    if isinstance(corpus, str):
+        ds = rd.read_parquet(corpus, columns=[id_col, text_col])
+    else:
+        ds = corpus.select_columns([id_col, text_col])
+    rows = ds.map_batches(_trigram_rows_fn(text_col, id_col, num_buckets,
+                                           casefold=casefold),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    post_dir = os.path.join(index_dir, "postings")
+    (rows.sort(["bucket", "gram", "doc_id"])
+     .map_batches(_encode_block, batch_format="pyarrow",
+                  zero_copy_batch=True)
+     .write_parquet(post_dir, partition_cols=["bucket"]))
+    # a token-less earlier build parked a typed empty file at the
+    # postings root (_ensure_typed); with real hive-partitioned
+    # segments present its inline bucket column would clash with the
+    # partition field — drop it (re-park if still nothing real)
+    stale = os.path.join(post_dir, "empty.parquet")
+    if os.path.exists(stale):
+        os.remove(stale)
+    _ensure_typed(post_dir, _POST_SCHEMA)
+    return post_dir
+
+
+def _rebuild_df(index_dir: str) -> None:
+    """Re-aggregate the global per-gram df table from segment rows —
+    bounded by the 2^24 gram space — and publish it atomically (tmp
+    dir + os.replace), so a reader never sees a half-written table."""
+    import shutil
+
+    post_dir = os.path.join(index_dir, "postings")
+    df_dir = os.path.join(index_dir, "df")
+    tmp = df_dir + ".new"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (rd.read_parquet(post_dir, columns=["gram", "df"])
+     .groupby("gram").sum("df")
+     .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+                  batch_format="pyarrow")
+     .write_parquet(tmp))
+    _ensure_typed(tmp, _DF_SCHEMA)
+    shutil.rmtree(df_dir, ignore_errors=True)
+    os.replace(tmp, df_dir)
+
+
 def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
                         id_col: str = "doc_id",
                         num_buckets: int = NUM_BUCKETS,
@@ -194,33 +249,9 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
     served from the index are case-insensitive (``contains(lower(text),
     lower(pattern))`` semantics, the same kernel at build, plan and
     verify time)."""
-    if isinstance(corpus, str):
-        ds = rd.read_parquet(corpus, columns=[id_col, text_col])
-    else:
-        ds = corpus.select_columns([id_col, text_col])
-    rows = ds.map_batches(_trigram_rows_fn(text_col, id_col, num_buckets,
-                                           casefold=casefold),
-                          batch_format="pyarrow", zero_copy_batch=True)
-    encoded = (rows.sort(["bucket", "gram", "doc_id"])
-               .map_batches(_encode_block, batch_format="pyarrow",
-                            zero_copy_batch=True))
-    post_dir = os.path.join(index_dir, "postings")
-    encoded.write_parquet(post_dir, partition_cols=["bucket"])
-    _ensure_typed(post_dir, pa.schema([
-        ("gram", pa.int32()), ("df", pa.int64()),
-        ("doc_blob", pa.binary()), ("bucket", pa.int32())]))
-
-    # global df per gram: bounded by the 2^24 gram space, one small
-    # aggregate over the segment rows (postings blobs never reread)
-    df_dir = os.path.join(index_dir, "df")
-    (rd.read_parquet(post_dir, columns=["gram", "df"])
-     .groupby("gram").sum("df")
-     .map_batches(lambda t: t.rename_columns(["gram", "df"]),
-                  batch_format="pyarrow")
-     .write_parquet(df_dir))
-    _ensure_typed(df_dir, pa.schema([("gram", pa.int32()),
-                                     ("df", pa.int64())]))
-
+    _ingest_postings(corpus, index_dir, text_col, id_col, num_buckets,
+                     casefold)
+    _rebuild_df(index_dir)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"text_col": text_col, "id_col": id_col,
                    "num_buckets": num_buckets, "casefold": casefold,
@@ -234,56 +265,30 @@ def add_to_trigram_index(corpus, index_dir: str) -> str:
 
     The posting layout is per-(bucket, gram) SEGMENTS and the reader
     already np.unique-merges a gram's segments, so ingestion is pure
-    append: the same extract→sort→encode pipeline runs over the new
-    docs only and its output parquet files land in the existing
-    ``postings/bucket=*`` dirs (Ray write_parquet appends fresh
-    files).  The global df table is then re-aggregated from segment
-    rows — bounded by the 2^24 gram space, independent of corpus size.
-    Caller contract: new doc ids must not collide with indexed ones
-    (same as delta indexes).  Build params (columns, casefold) come
-    from the index's own meta."""
-    import shutil
-
+    append: the shared ``_ingest_postings`` pipeline runs over the new
+    docs only and its output files land in the existing
+    ``postings/bucket=*`` dirs; the df table is then re-aggregated and
+    swapped atomically.  A ``_INGEST_INPROGRESS`` marker brackets the
+    whole operation: a crash mid-ingest leaves the marker and every
+    later ``TrigramIndex`` open REFUSES loudly instead of serving a
+    df table that predates the appended segments (a gram present only
+    in delta docs would read df=0 and silently drop all its matches).
+    Recovery is simply re-running the SAME delta: duplicate segments
+    are harmless (the reader uniques doc ids per gram; df counts are
+    planner-ordering hints, not results).  Caller contract: new doc
+    ids must not collide with indexed ones (same as delta indexes).
+    Build params (columns, casefold) come from the index's own meta."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    if isinstance(corpus, str):
-        ds = rd.read_parquet(corpus,
-                             columns=[meta["id_col"], meta["text_col"]])
-    else:
-        ds = corpus.select_columns([meta["id_col"], meta["text_col"]])
-    rows = ds.map_batches(
-        _trigram_rows_fn(meta["text_col"], meta["id_col"],
-                         meta["num_buckets"],
-                         casefold=bool(meta.get("casefold", False))),
-        batch_format="pyarrow", zero_copy_batch=True)
-    post_dir = os.path.join(index_dir, "postings")
-    (rows.sort(["bucket", "gram", "doc_id"])
-     .map_batches(_encode_block, batch_format="pyarrow",
-                  zero_copy_batch=True)
-     .write_parquet(post_dir, partition_cols=["bucket"]))
-    # a token-less ORIGINAL build parked a typed empty file at the
-    # postings root (_ensure_typed); with real hive-partitioned
-    # segments now present its inline bucket column would clash with
-    # the partition field — drop it (re-park if still nothing real)
-    stale = os.path.join(post_dir, "empty.parquet")
-    if os.path.exists(stale):
-        os.remove(stale)
-    _ensure_typed(post_dir, pa.schema([
-        ("gram", pa.int32()), ("df", pa.int64()),
-        ("doc_blob", pa.binary()), ("bucket", pa.int32())]))
-
-    df_dir = os.path.join(index_dir, "df")
-    tmp = df_dir + ".new"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (rd.read_parquet(post_dir, columns=["gram", "df"])
-     .groupby("gram").sum("df")
-     .map_batches(lambda t: t.rename_columns(["gram", "df"]),
-                  batch_format="pyarrow")
-     .write_parquet(tmp))
-    _ensure_typed(tmp, pa.schema([("gram", pa.int32()),
-                                  ("df", pa.int64())]))
-    shutil.rmtree(df_dir, ignore_errors=True)
-    os.replace(tmp, df_dir)
+    marker = os.path.join(index_dir, _INGEST_MARKER)
+    with open(marker, "w") as f:
+        f.write("delta ingest started; re-run add_to_trigram_index "
+                "with the same delta to recover\n")
+    _ingest_postings(corpus, index_dir, meta["text_col"], meta["id_col"],
+                     meta["num_buckets"],
+                     bool(meta.get("casefold", False)))
+    _rebuild_df(index_dir)
+    os.remove(marker)
     return index_dir
 
 
@@ -394,6 +399,12 @@ class TrigramIndex:
         import pyarrow.dataset as pads
 
         self.dir = index_dir
+        if os.path.exists(os.path.join(index_dir, _INGEST_MARKER)):
+            raise ValueError(
+                f"trigram index at {index_dir} has a half-finished delta "
+                "ingest (its df table predates appended segments, which "
+                "would silently drop delta-only matches); re-run "
+                "add_to_trigram_index with the same delta to recover")
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.casefold = bool(self.meta.get("casefold", False))
@@ -603,12 +614,16 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
     # bytes-derived block count: a single-file corpus with one fat row
     # group would otherwise become ONE read task and serialize the
     # whole verify scan (measured 14 s -> ~3 s on a 10-pattern batch);
-    # override_num_blocks splits it at row-group granularity
+    # override_num_blocks splits it at row-group granularity.  Only
+    # when the local size probe works — a remote (s3/hdfs) path sizes
+    # as 0 and must keep Ray's own read sizing, not a 16-block floor
     from .._block import blocks_for_bytes, dir_bytes
 
+    nbytes = dir_bytes(corpus_path)
+    split = ({"override_num_blocks": blocks_for_bytes(
+                  nbytes, target_bytes=64 << 20)} if nbytes > 0 else {})
     out = (rd.read_parquet(corpus_path, columns=[id_col, text_col],
-                           override_num_blocks=blocks_for_bytes(
-                               dir_bytes(corpus_path), target_bytes=64 << 20))
+                           **split)
            .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
            .to_arrow_refs())
     tables = [t for t in ray.get(out) if t.num_rows]

@@ -1,5 +1,6 @@
 """Trigram substring/regex index (pipelines/grep.py) vs brute force."""
 
+import json
 import os
 import re
 
@@ -446,3 +447,76 @@ def test_trigram_delta_parity(grep_corpus, tmp_path, ray_session):
                   if d >= half and pat in s)
     assert grep_substring(e_idx, delta_src, pat)["doc_id"].to_pylist() \
         == want
+
+
+def test_delta_ingest_marker_and_retry(grep_corpus, tmp_path,
+                                       ray_session):
+    """A half-finished delta ingest must be refused loudly (stale df
+    would silently drop delta-only matches), and re-running the SAME
+    delta converges (duplicate segments are harmless)."""
+    from hadoopsearchengine_ray.pipelines.grep import (
+        _INGEST_MARKER,
+        TrigramIndex,
+        add_to_trigram_index,
+    )
+
+    path, texts = grep_corpus
+    full_tbl = pq.read_table(path)
+    half = full_tbl.num_rows // 2
+    base_src = str(tmp_path / "b.parquet")
+    delta_src = str(tmp_path / "d.parquet")
+    pq.write_table(full_tbl.slice(0, half), base_src)
+    pq.write_table(full_tbl.slice(half), delta_src)
+    idx = str(tmp_path / "inc")
+    build_trigram_index(base_src, idx, text_col="content",
+                        id_col="doc_id")
+    # simulate a crash mid-ingest: marker present -> loud refusal
+    marker = os.path.join(idx, _INGEST_MARKER)
+    open(marker, "w").close()
+    with pytest.raises(ValueError, match="half-finished"):
+        TrigramIndex(idx)
+    with pytest.raises(ValueError, match="half-finished"):
+        grep_substring(idx, path, "return")
+    os.remove(marker)
+    # apply the delta TWICE (retry-after-crash): results stay exact
+    add_to_trigram_index(delta_src, idx)
+    add_to_trigram_index(delta_src, idx)
+    for pat in ("return", "def "):
+        want = sorted(d for d, s in texts.items() if pat in s)
+        assert grep_substring(idx, path, pat)["doc_id"].to_pylist() \
+            == want, pat
+    assert not os.path.exists(marker)
+
+
+def test_cli_grep_reuse_and_lineage(tmp_path, ray_session, capsys):
+    """CLI grep must not serve an index built with different params
+    (-i mismatch) or over a rewritten corpus; regex -i errors upfront."""
+    from hadoopsearchengine_ray.__main__ import main
+
+    src = _write_docs(str(tmp_path / "c.parquet"),
+                      {0: "Merge BATCH now", 1: "merge batch now"},
+                      col="text")
+    idx = str(tmp_path / "cli_idx")
+
+    assert main(["grep", "--corpus", src, "--index", idx,
+                 "merge batch"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [1]
+    # same index dir, now case-insensitive: must rebuild, not reuse
+    assert main(["grep", "--corpus", src, "--index", idx, "-i",
+                 "merge batch"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    # corpus rewritten in place: lineage forces a rebuild
+    _write_docs(src, {0: "nothing here", 1: "merge batch still",
+                      2: "merge batch too"}, col="text")
+    assert main(["grep", "--corpus", src, "--index", idx, "-i",
+                 "merge batch"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    # regex cannot ride a casefolded index
+    assert main(["grep", "--corpus", src, "--index", idx, "-i",
+                 "--mode", "regex", "merge.*"]) == 2
