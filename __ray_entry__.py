@@ -547,6 +547,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         finally:
             shutil.rmtree(idx, ignore_errors=True)
 
+    def q_grep_after_delete(sf):
+        # tombstoned docs must vanish from grep results (the grep
+        # analog of bm25_after_delete): delete doc_id % 7 == 0, then
+        # search — oracle adds the same predicate
+        import shutil
+        import tempfile
+
+        import pyarrow.dataset as _pads
+
+        from hadoopsearchengine_ray.pipelines.grep import (
+            build_trigram_index,
+            delete_from_trigram_index,
+            grep_substring,
+        )
+
+        src = f"{sf}/documents.parquet"
+        n = _pads.dataset(src).count_rows()
+        idx = tempfile.mkdtemp(prefix="hse_grep_del_")
+        try:
+            build_trigram_index(src, idx)
+            delete_from_trigram_index(idx, list(range(0, n, 7)))
+            return grep_substring(idx, src, "merge batch").to_pandas()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
     def q_grep_substring_ci(sf):
         # case-insensitive grep from a casefolded trigram index:
         # lower(text)-contains-lower(pattern) semantics; the UPPERCASE
@@ -2124,6 +2149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_multi": q_grep_multi,
         "grep_lines": q_grep_lines,
         "grep_delta": q_grep_delta,
+        "grep_after_delete": q_grep_after_delete,
         "grep_substring_ci": q_grep_substring_ci,
         "pmi_bigrams": q_pmi_bigrams,
         "filtered_knn": q_filtered_knn,
@@ -2877,6 +2903,12 @@ def oracle_sql() -> dict[str, str]:
         "grep_delta": """
             SELECT doc_id FROM documents
             WHERE contains(text, 'merge batch')
+            ORDER BY doc_id
+        """,
+        # grep after tombstone deletion: deleted docs never surface
+        "grep_after_delete": """
+            SELECT doc_id FROM documents
+            WHERE contains(text, 'merge batch') AND doc_id % 7 != 0
             ORDER BY doc_id
         """,
         # line-level grep: every matching LINE with its 1-based number

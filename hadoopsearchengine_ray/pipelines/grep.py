@@ -259,6 +259,29 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
     return index_dir
 
 
+def delete_from_trigram_index(index_dir: str,
+                              doc_ids: "list[int]") -> int:
+    """Tombstone docs out of a trigram index (the grep analog of the
+    main index's ``delete_documents``, pipelines/delta.py).  Posting
+    segments are immutable; the SORTED tombstone set is persisted in
+    ``tombstones.json`` and subtracted from every candidate set at
+    plan time, so deleted docs never reach the verify stage.  Appends
+    accumulate (delete-then-delete); a fresh ``build_trigram_index``
+    over the surviving corpus drops them (compaction).  Returns the
+    total tombstone count."""
+    path = os.path.join(index_dir, "tombstones.json")
+    have: list[int] = []
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+    merged = sorted(set(have) | {int(d) for d in doc_ids})
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f)
+    os.replace(tmp, path)
+    return len(merged)
+
+
 def add_to_trigram_index(corpus, index_dir: str) -> str:
     """Incrementally index NEW docs into an existing trigram index —
     the grep analog of the main index's delta path (pipelines/delta.py).
@@ -407,6 +430,13 @@ class TrigramIndex:
                 "add_to_trigram_index with the same delta to recover")
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        tpath = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tpath):
+            with open(tpath) as f:
+                self.tombstones = np.asarray(sorted(json.load(f)),
+                                             dtype=np.int64)
+        else:
+            self.tombstones = np.empty(0, np.int64)
         self.casefold = bool(self.meta.get("casefold", False))
         if self.casefold and self.meta.get("fold") != "utf8_lower":
             raise ValueError(
@@ -562,14 +592,33 @@ class TrigramIndex:
 # serving: candidates -> verified matches
 
 
+def _drop_sorted(tbl: pa.Table, id_col: str,
+                 drop_ids: np.ndarray) -> pa.Table:
+    """Rows of ``tbl`` whose ``id_col`` is NOT in the SORTED
+    ``drop_ids`` (tombstone subtraction on a result table)."""
+    if tbl.num_rows == 0 or len(drop_ids) == 0:
+        return tbl
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    at = np.searchsorted(drop_ids, ids)
+    hit = (at < len(drop_ids)) & (drop_ids[np.minimum(at, len(drop_ids)
+                                                      - 1)] == ids)
+    return tbl.filter(pa.array(~hit))
+
+
 def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
                      result_fn, id_col: str, text_col: str,
-                     empty: pa.Table, sort_keys) -> pa.Table:
+                     empty: pa.Table, sort_keys,
+                     drop_ids: np.ndarray | None = None) -> pa.Table:
     """Shared candidates -> verified-matches dispatch behind every grep
     entry point.  ``result_fn`` verifies one pruned/streamed row block
     (a ``pa.Table`` with the id + text columns) and returns result
     rows; ``cand`` is the planner's candidate doc-id superset (None =
-    the pattern yielded no trigram to prune by).  Size-dispatched:
+    the pattern yielded no trigram to prune by).  ``drop_ids``
+    (SORTED): tombstoned docs — subtracted from ``cand`` so deleted
+    docs are never even read, and filtered from the result as well so
+    the no-trigram full-scan path honors deletions too.
+    Size-dispatched:
 
     - ``cand`` empty: nothing to do.
     - small ``cand``: one pruned driver-side fetch (row-group stats on
@@ -581,8 +630,20 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
     """
     import pyarrow.dataset as pads
 
+    if drop_ids is not None and len(drop_ids) == 0:
+        drop_ids = None
+    if drop_ids is not None and cand is not None and len(cand):
+        at = np.searchsorted(drop_ids, cand)
+        dead = (at < len(drop_ids)) & (drop_ids[np.minimum(
+            at, len(drop_ids) - 1)] == cand)
+        cand = cand[~dead]
     if cand is not None and len(cand) == 0:
         return empty
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        if drop_ids is not None:
+            tbl = _drop_sorted(tbl, id_col, drop_ids)
+        return tbl.sort_by(sort_keys)
 
     if cand is not None and len(cand) <= DRIVER_FETCH_CAP:
         tbl = pads.dataset(corpus_path).to_table(
@@ -590,7 +651,7 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
             filter=pads.field(id_col).isin([int(d) for d in cand]))
         if tbl.num_rows == 0:
             return empty
-        return result_fn(tbl).sort_by(sort_keys)
+        return _finish(result_fn(tbl))
 
     if cand is None:
         print(f"[grep] pattern yields no required trigram: full "
@@ -629,12 +690,12 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
     tables = [t for t in ray.get(out) if t.num_rows]
     if not tables:
         return empty
-    return pa.concat_tables(tables).sort_by(sort_keys)
+    return _finish(pa.concat_tables(tables))
 
 
 def _verified_matches(corpus_path: str, cand: np.ndarray | None,
                       matcher, id_col: str, text_col: str,
-                      counter=None) -> pa.Table:
+                      counter=None, drop_ids=None) -> pa.Table:
     """Docs whose text satisfies ``matcher`` (an Arrow-native predicate
     ``ChunkedArray -> BooleanArray``), restricted to ``cand`` when the
     planner produced one.  With ``counter`` (``ChunkedArray ->
@@ -658,7 +719,8 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
     empty = _result(pa.table({id_col: pa.array([], pa.int64()),
                               text_col: pa.array([], pa.string())}))
     return _dispatch_verify(corpus_path, cand, _result, id_col, text_col,
-                            empty, [(id_col, "ascending")])
+                            empty, [(id_col, "ascending")],
+                            drop_ids=drop_ids)
 
 
 def _literal_matcher(idx: "TrigramIndex", pattern: str):
@@ -686,7 +748,8 @@ def grep_substring(index_dir: str, corpus_path: str,
     cand = idx.candidates_literal(pattern)
     return _verified_matches(
         corpus_path, cand, _literal_matcher(idx, pattern),
-        idx.meta["id_col"], idx.meta["text_col"])
+        idx.meta["id_col"], idx.meta["text_col"],
+        drop_ids=idx.tombstones)
 
 
 def grep_count(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
@@ -706,7 +769,8 @@ def grep_count(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
         counter = lambda col: pc.count_substring(col, pattern)  # noqa: E731
     return _verified_matches(
         corpus_path, cand, None,
-        idx.meta["id_col"], idx.meta["text_col"], counter=counter)
+        idx.meta["id_col"], idx.meta["text_col"], counter=counter,
+        drop_ids=idx.tombstones)
 
 
 def grep_multi(index_dir: str, corpus_path: str,
@@ -762,7 +826,8 @@ def grep_multi(index_dir: str, corpus_path: str,
              if not full_scan else None)
     return _dispatch_verify(corpus_path, union, _verify, id_col, text_col,
                             empty, [("pattern", "ascending"),
-                                    (id_col, "ascending")])
+                                    (id_col, "ascending")],
+                            drop_ids=idx.tombstones)
 
 
 def grep_lines(index_dir: str, corpus_path: str,
@@ -810,7 +875,8 @@ def grep_lines(index_dir: str, corpus_path: str,
 
     return _dispatch_verify(corpus_path, cand, _result, id_col, text_col,
                             empty, [(id_col, "ascending"),
-                                    ("line_no", "ascending")])
+                                    ("line_no", "ascending")],
+                            drop_ids=idx.tombstones)
 
 
 def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
@@ -831,4 +897,5 @@ def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
     return _verified_matches(
         corpus_path, cand,
         lambda col: pc.match_substring_regex(col, pattern),
-        idx.meta["id_col"], idx.meta["text_col"])
+        idx.meta["id_col"], idx.meta["text_col"],
+        drop_ids=idx.tombstones)

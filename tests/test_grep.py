@@ -520,3 +520,46 @@ def test_cli_grep_reuse_and_lineage(tmp_path, ray_session, capsys):
     # regex cannot ride a casefolded index
     assert main(["grep", "--corpus", src, "--index", idx, "-i",
                  "--mode", "regex", "merge.*"]) == 2
+
+
+def test_grep_tombstones(grep_corpus, tmp_path, ray_session,
+                         monkeypatch):
+    """Tombstoned docs vanish from every grep mode on every dispatch
+    path, including the no-trigram full-scan fallback; deletes
+    accumulate; a fresh rebuild clears them."""
+    from hadoopsearchengine_ray.pipelines.grep import (
+        delete_from_trigram_index,
+        grep_lines,
+    )
+
+    path, texts = grep_corpus
+    idx = str(tmp_path / "ts")
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    dead = sorted(d for d in texts if d % 7 == 0)
+    assert delete_from_trigram_index(idx, dead) == len(dead)
+    for pat in ("return", "x)"):   # pruned path AND 2-byte full scan
+        want = sorted(d for d, s in texts.items()
+                      if pat in s and d % 7 != 0)
+        assert grep_substring(idx, path, pat)["doc_id"].to_pylist() \
+            == want, pat
+    for tbl in (grep_count(idx, path, "return"),
+                grep_multi(idx, path, ["return", "def "]),
+                grep_lines(idx, path, "return"),
+                grep_regex(idx, path, "return [a-z]+")):
+        assert all(d % 7 != 0 for d in tbl["doc_id"].to_pylist())
+    # streaming dispatch honors them too
+    monkeypatch.setattr(grep, "DRIVER_FETCH_CAP", 0)
+    got = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert got == sorted(d for d, s in texts.items()
+                         if "return" in s and d % 7 != 0)
+    monkeypatch.undo()
+    # deletes accumulate
+    delete_from_trigram_index(idx, [d for d in texts if d % 7 == 1])
+    got = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert got and all(d % 7 not in (0, 1) for d in got)
+    # rebuild = compaction: tombstones cleared with the fresh index
+    import shutil
+    shutil.rmtree(idx)
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    assert grep_substring(idx, path, "return")["doc_id"].to_pylist() \
+        == sorted(d for d, s in texts.items() if "return" in s)
