@@ -309,6 +309,28 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     return out
 
 
+_SPELL_CACHE: dict[str, tuple[str, object]] = {}
+
+
+def _spell_for(index_dir: str):
+    """Build-or-reuse the SymSpell deletion index for ``index_dir``,
+    keyed by the dictionary's lineage (size+mtime of its files) so a
+    rebuilt index evicts the cached structure.  The deletion index is
+    vocabulary-bounded driver state — the same regime as the scorer's
+    dictionary broadcast; a >2M-term corpus would shard it per term
+    range (documented trade-off, stages/dictionary.py)."""
+    from ..state.manifest import lineage_fingerprint
+    from .spellcheck import SpellIndex
+
+    fp = lineage_fingerprint([os.path.join(index_dir, "dictionary")])
+    hit = _SPELL_CACHE.get(index_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    sp = SpellIndex.from_index_dir(index_dir)
+    _SPELL_CACHE[index_dir] = (fp, sp)
+    return sp
+
+
 def fuzzy_topk(parquet_path: str, terms: list[str], k: int = 10,
                text_col: str = "text") -> pd.DataFrame:
     """Fuzzy retrieval: each query term expands to EVERY dictionary
@@ -320,11 +342,8 @@ def fuzzy_topk(parquet_path: str, terms: list[str], k: int = 10,
     guarantee + plain-Levenshtein filter, the same metric as DuckDB's
     ``levenshtein()``), so the SQL oracle reproduces the expansion set
     verbatim.  Returns (rank, doc_id)."""
-    from ..pipelines.query import BM25Scorer
-    from .spellcheck import SpellIndex
-
     index_dir = index_for(parquet_path, text_col=text_col)
-    spell = SpellIndex.from_index_dir(index_dir)
+    spell = _spell_for(index_dir)
     expanded: set[str] = set()
     for t in sorted(set(terms)):
         expanded.update(spell.within_distance(t, 1))

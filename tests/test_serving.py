@@ -393,3 +393,33 @@ def test_within_distance_complete(t1_index_dir, t1_oracle):
     import pytest
     with pytest.raises(ValueError):
         sp.within_distance("abc", 2)
+
+
+def test_spell_cache_lineage(tmp_path, ray_session, monkeypatch):
+    """_spell_for reuses the deletion index while the dictionary is
+    unchanged and rebuilds when the index is rebuilt in place."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions import search
+
+    monkeypatch.setattr(search, "CACHE_ROOT", str(tmp_path / "cache"))
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha merge window", "beta merge spark"]),
+    }), src)
+    idx = search.index_for(src)
+    s1 = search._spell_for(idx)
+    assert search._spell_for(idx) is s1          # cache hit
+    assert "merge" in s1.within_distance("merg", 1)
+    # rewrite the corpus -> index_for rebuilds -> spell must follow
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["gamma scan window", "delta scan spark"]),
+    }), src)
+    idx2 = search.index_for(src)
+    s2 = search._spell_for(idx2)
+    assert s2 is not s1
+    assert s2.within_distance("merg", 1) == []
+    assert "scan" in s2.within_distance("scam", 1)
