@@ -148,6 +148,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fuzzy_topk(f"{sf}/documents.parquet",
                           ["merg", "windoq"], k=10)
 
+    def q_hybrid_rrf(sf):
+        # hybrid retrieval: BM25 lexical leg + exact-cosine vector leg
+        # fused by Reciprocal Rank Fusion (Cormack et al. 2009, public)
+        # — the modern lexical+vector serving shape; vec_id and doc_id
+        # share the dense row-id space.  rrf = 1/(60+r_lex) + 1/(60+
+        # r_vec) over each leg's top-50, same IEEE op order as the SQL
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        K0, LEG, K = 60, 50, 10
+        d, _ = BM25Scorer(index_for(f"{sf}/documents.parquet")) \
+            .score_exact(BM25_TERMS, LEG)
+        lex = {int(x): i + 1 for i, x in enumerate(d)}
+        import pyarrow.dataset as _pads
+
+        qv = _pads.dataset(f"{sf}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"],
+            filter=_pads.field("vec_id") == 0)["embedding"].to_pylist()[0]
+        out = similarity.knn_cosine(_emb(sf),
+                                    np.asarray([qv], np.float64), k=LEG)
+        vec = {int(v): int(r) for r, v in zip(out["rank"], out["vec_id"])}
+        fused = []
+        for i in sorted(set(lex) | set(vec)):
+            s = 0.0
+            if i in lex:
+                s = s + 1.0 / (K0 + lex[i])
+            if i in vec:
+                s = s + 1.0 / (K0 + vec[i])
+            fused.append((-s, i))
+        fused.sort()
+        top = fused[:K]
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+            "doc_id": pd.array([i for _, i in top], dtype="int64"),
+        })
+
     def q_feedback_topk(sf):
         # pseudo-relevance feedback: top-5 docs of the original query
         # pool tf x idf term weights; top-3 new terms join at 0.5x
@@ -2139,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pool_topk": q_bm25_pool,
         "index_stats": q_index_stats,
         "fuzzy_topk": q_fuzzy_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "feedback_topk": q_feedback_topk,
         "search_after": q_search_after,
         "near_pairs": q_near_pairs,
@@ -2365,6 +2402,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # hybrid retrieval: lexical + vector legs fused by RRF; ranks
+        # from the same BM25 CTE and list_cosine_similarity orderings
+        # the bm25_topk / knn_cosine oracles already prove
+        "hybrid_rrf": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            lex AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                          AS BIGINT) AS r
+              FROM sc
+              QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 50
+            ),
+            qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT e.vec_id AS doc_id,
+                     list_cosine_similarity(e.embedding, qv.v) AS sim
+              FROM embeddings e, qv
+            ),
+            vec AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                          AS BIGINT) AS r
+              FROM sims
+              QUALIFY row_number() OVER (ORDER BY sim DESC, doc_id) <= 50
+            ),
+            fused AS (
+              SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                     COALESCE(1.0 / (60 + l.r), 0)
+                       + COALESCE(1.0 / (60 + v.r), 0) AS rrf
+              FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS BIGINT) AS rank, doc_id
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         # pseudo-relevance feedback: feedback set = original query's
         # BM25 top-5 (same sc CTE as bm25_topk); expansion weight =
