@@ -61,6 +61,16 @@ class _RangeScorer:
         d, s = self.scorer.score_query(qstr, k)
         return d + self.lo, s
 
+    def score_after(self, terms: list[str], k: int,
+                    after_score: float, after_doc: int):
+        """Cursor page over this range: the GLOBAL (score, doc_id)
+        cursor translates into the local id space (global = local +
+        lo is monotone, so the same cut applies) and the owner's
+        dense floats are the ones the cursor was minted from."""
+        d, s = self.scorer.score_after(terms, k, after_score,
+                                       int(after_doc) - self.lo)
+        return d + self.lo, s
+
 
 class RangePartitionedPool:
     """N range-owner actors + exact driver-side top-k merge."""
@@ -98,6 +108,18 @@ class RangePartitionedPool:
         exact-merge argument as ``score`` (every doc scored by exactly
         one owner with global stats)."""
         parts = ray.get([a.score_query.remote(qstr, k)
+                         for a in self.actors])
+        return self._merge(parts, k)
+
+    def score_after(self, terms: list[str], k: int,
+                    after_score: float, after_doc: int):
+        """Cursor pagination through the range tier: every owner
+        applies the same global (score, doc_id) cut, so the per-range
+        pages merge exactly — stateless deep paging on the serving
+        pool."""
+        parts = ray.get([a.score_after.remote(terms, k,
+                                              float(after_score),
+                                              int(after_doc))
                          for a in self.actors])
         return self._merge(parts, k)
 

@@ -86,3 +86,41 @@ def test_pool_score_query_matches_single_reader(t1_index_dir, t1_oracle):
             assert np.allclose(s1, s2), qstr
     finally:
         pool.shutdown()
+
+
+def test_pool_search_after_pages(t1_index_dir, t1_oracle):
+    """Cursor pages through the range tier tile the pool's own global
+    ranking and equal the single-reader pages exactly."""
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    idx, _ = t1_oracle
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    sc = BM25Scorer(t1_index_dir)
+    try:
+        from hadoopsearchengine_ray import oracle as omod
+        for q in omod.make_queries(idx, 15):
+            terms = q["terms"]
+            full_d, full_s = sc.score_exact(terms, 10**9)
+            got_d, cursor, page = [], None, 0
+            while True:
+                if cursor is None:
+                    d, s = pool.score(terms, 7)
+                else:
+                    d, s = pool.score_after(terms, 7, cursor[0],
+                                            cursor[1])
+                # pool pages == single-reader pages, rank and score
+                if cursor is None:
+                    d1, s1 = sc.score_exact(terms, 7)
+                else:
+                    d1, s1 = sc.score_after(terms, 7, cursor[0],
+                                            cursor[1])
+                assert list(d) == list(d1), terms
+                assert np.allclose(s, s1)
+                got_d.extend(int(x) for x in d)
+                page += 1
+                if len(d) < 7 or page > 30:
+                    break
+                cursor = (float(s[-1]), int(d[-1]))
+            assert got_d == [int(x) for x in full_d], terms
+    finally:
+        pool.shutdown()
