@@ -71,6 +71,26 @@ class _RangeScorer:
                                        int(after_doc) - self.lo)
         return d + self.lo, s
 
+    def phrase_counts(self, phrase: list[str]):
+        """Exact-phrase counts over this range: positions decode only
+        from the skip blocks intersecting it (range-local ids), and a
+        doc's occurrences live wholly inside one range, so per-range
+        results concatenate exactly."""
+        from .positional import phrase_counts
+
+        d, c = phrase_counts(self.scorer.rd, phrase)
+        return d + self.lo, c
+
+    def near_counts(self, term_a: str, term_b: str, slop: int,
+                    ordered: bool):
+        """NEAR pair counts over this range (same exactness argument
+        as ``phrase_counts``)."""
+        from .positional import near_counts
+
+        d, c = near_counts(self.scorer.rd, term_a, term_b, slop=slop,
+                           ordered=ordered)
+        return d + self.lo, c
+
 
 class RangePartitionedPool:
     """N range-owner actors + exact driver-side top-k merge."""
@@ -122,6 +142,31 @@ class RangePartitionedPool:
                                               int(after_doc))
                          for a in self.actors])
         return self._merge(parts, k)
+
+    def phrase_counts(self, phrase: list[str]):
+        """Exact-phrase (doc_id, count) through the range tier: ranges
+        partition the doc space, so per-range results concatenate into
+        the globally doc-sorted answer — no merge logic needed."""
+        parts = ray.get([a.phrase_counts.remote(phrase)
+                         for a in self.actors])
+        return self._concat_counts(parts)
+
+    def near_counts(self, term_a: str, term_b: str, slop: int = 3,
+                    ordered: bool = False):
+        """NEAR predicate through the range tier (same concatenation
+        argument as ``phrase_counts``)."""
+        parts = ray.get([a.near_counts.remote(term_a, term_b, slop,
+                                              ordered)
+                         for a in self.actors])
+        return self._concat_counts(parts)
+
+    @staticmethod
+    def _concat_counts(parts):
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return (np.concatenate([p[0] for p in live]).astype(np.int64),
+                np.concatenate([p[1] for p in live]).astype(np.int64))
 
     def replay(self, queries: list[dict]) -> list[tuple[np.ndarray, np.ndarray]]:
         """Replay a query set: ONE batched RPC per actor, merged per

@@ -89,6 +89,13 @@ def _phrase_keys(reader: IndexReader, term: str, slot: int,
             keys = keys[np.searchsorted(keys, np.uint64(slot)):]
             keys = keys - np.uint64(slot)
         return keys
+    # skip_docs hold GLOBAL doc ids while a range reader's ``want`` (and
+    # its emitted keys) are LOCAL — translate at the block boundary so
+    # block selection probes the right blocks and keys stay local
+    doc_lo = int(getattr(reader, "doc_lo", 0) or 0)
+    want_g = (want + doc_lo).astype(np.uint64) if (
+        want is not None and doc_lo) else (
+        want.astype(np.uint64) if want is not None else None)
     out = []
     for r in rows:
         if "pos_blob" not in r or r["pos_blob"] is None:
@@ -98,8 +105,8 @@ def _phrase_keys(reader: IndexReader, term: str, slot: int,
         sd = np.asarray(r["skip_docs"], dtype=np.uint64)
         if len(sd) == 0:
             continue
-        if want is not None:
-            blk = np.unique(np.searchsorted(sd, want.astype(np.uint64)))
+        if want_g is not None:
+            blk = np.unique(np.searchsorted(sd, want_g))
             blk = blk[blk < len(sd)]
         else:
             blk = np.arange(len(sd))
@@ -115,10 +122,13 @@ def _phrase_keys(reader: IndexReader, term: str, slot: int,
                 if pos_parts else np.empty(0, np.uint64))
         d64 = d.astype(np.int64)
         tfi = tf.astype(np.int64)
-        if want is not None:
-            mask = np.isin(d64, want, assume_unique=True)
+        if want_g is not None:
+            mask = np.isin(d64, want_g.astype(np.int64),
+                           assume_unique=True)
             flat = flat[np.repeat(mask, tfi)]
             d64, tfi = d64[mask], tfi[mask]
+        if doc_lo:
+            d64 = d64 - doc_lo       # emit LOCAL keys (reader id space)
         out.append(np.repeat(d64.astype(np.uint64) << np.uint64(32), tfi)
                    | flat.astype(np.uint64))
     if not out:

@@ -35,7 +35,13 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 import ray.data as rd
 
-from ..codec import decode_blocks, decode_positions, decode_postings
+from ..codec import (
+    SKIP_BLOCK,
+    decode_blocks,
+    decode_positions,
+    decode_positions_blocks,
+    decode_postings,
+)
 
 
 def _rows_from_table(tbl: pa.Table) -> list[dict]:
@@ -271,11 +277,13 @@ class IndexReader:
         ``row_offsets`` (len df+1) slices flat_positions per posting doc.
         Requires a positional index (build_index with_positions=True) —
         the reference's in-index positions (CompileHitList.h:304-315)
-        served without re-tokenizing documents."""
-        if self.is_range:
-            raise NotImplementedError(
-                "positional decode on a range reader is not supported; "
-                "phrase/proximity serve from the full reader")
+        served without re-tokenizing documents.
+
+        Range readers decode ONLY the skip blocks intersecting
+        [doc_lo, doc_hi) — position blobs included — and return LOCAL
+        doc ids, the same contract as ``decoded_postings``; a doc's
+        occurrences live entirely inside one range, so per-range
+        phrase/NEAR results are exact and merge by concatenation."""
         hit = self._dec_pos_cache.get(term)
         if hit is not None:
             return hit
@@ -288,12 +296,43 @@ class IndexReader:
                 "index has no positional postings; rebuild with "
                 "with_positions=True")
         docs, tfs, flats = [], [], []
-        for r in rows:
-            d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
-            flat, _ = decode_positions(r["pos_blob"], f)
-            docs.append(d)
-            tfs.append(f)
-            flats.append(flat)
+        if not self.is_range:
+            for r in rows:
+                d, f = decode_postings(r["doc_blob"], r["tf_blob"], r["df"])
+                flat, _ = decode_positions(r["pos_blob"], f)
+                docs.append(d)
+                tfs.append(f)
+                flats.append(flat)
+        else:
+            lo, hi = np.uint64(self.doc_lo), np.uint64(self.doc_hi)
+            for r in rows:
+                sd = np.asarray(r["skip_docs"], dtype=np.uint64)
+                if len(sd) == 0 or sd[-1] < lo:
+                    continue
+                b0 = int(np.searchsorted(sd, lo))
+                b1 = int(np.searchsorted(sd, hi - np.uint64(1)))
+                blk = np.arange(b0, min(b1 + 1, len(sd)))
+                if len(blk) == 0:
+                    continue
+                df = int(r["df"])
+                d, f = decode_blocks(
+                    r["doc_blob"], r["tf_blob"], df, blk,
+                    sd, r["skip_doc_off"], r["skip_tf_off"])
+                sizes = np.minimum(SKIP_BLOCK,
+                                   df - blk.astype(np.int64) * SKIP_BLOCK)
+                tf_splits = np.split(f, np.cumsum(sizes)[:-1])
+                pos_parts = decode_positions_blocks(
+                    r["pos_blob"], blk, r["skip_pos_off"], tf_splits)
+                flat = (np.concatenate([p[0] for p in pos_parts])
+                        if pos_parts else np.empty(0, np.uint64))
+                keep = (d >= lo) & (d < hi)
+                if keep.any():
+                    docs.append(d[keep] - lo)
+                    tfs.append(f[keep])
+                    flats.append(flat[np.repeat(keep, f.astype(np.int64))])
+            if not docs:
+                e = np.empty(0, np.uint64)
+                return e, e, e, np.zeros(1, np.int64)
         tf_all = np.concatenate(tfs)
         row_offsets = np.concatenate(([0], np.cumsum(tf_all))).astype(np.int64)
         out = (np.concatenate(docs), tf_all, np.concatenate(flats),

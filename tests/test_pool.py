@@ -124,3 +124,42 @@ def test_pool_search_after_pages(t1_index_dir, t1_oracle):
             assert got_d == [int(x) for x in full_d], terms
     finally:
         pool.shutdown()
+
+
+def test_pool_phrase_and_near_match_single_reader(t1_index_dir,
+                                                  t1_oracle):
+    """Range-local positional decode: pool phrase/NEAR results equal
+    the single reader's on real phrases, hot terms, and empty cases."""
+    from hadoopsearchengine_ray import corpus, oracle as omod
+    from hadoopsearchengine_ray.pipelines.positional import (
+        near_counts,
+        phrase_counts,
+    )
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    idx, _ = t1_oracle
+    reader = IndexReader(t1_index_dir)
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    try:
+        tbl = corpus.gen_rows(np.arange(3))
+        hot = [t for t in sorted(idx.postings)
+               if len(idx.postings[t]) > 0.25 * idx.N][:2]
+        phrases = [omod.tokenize_py(tbl["content"][i].as_py())[j:j + n]
+                   for i in range(3) for j, n in ((0, 2), (4, 3))]
+        phrases += [hot, ["zzznotaterm", "also"]]
+        for ph in phrases:
+            d1, c1 = phrase_counts(reader, list(ph))
+            d2, c2 = pool.phrase_counts(list(ph))
+            assert d1.tolist() == d2.tolist(), ph
+            assert c1.tolist() == c2.tolist(), ph
+        pairs = [(hot[0], hot[1]), (hot[0], hot[0]),
+                 (phrases[0][0], hot[0])]
+        for a, b in pairs:
+            for ordered in (False, True):
+                d1, c1 = near_counts(reader, a, b, slop=4,
+                                     ordered=ordered)
+                d2, c2 = pool.near_counts(a, b, slop=4, ordered=ordered)
+                assert d1.tolist() == d2.tolist(), (a, b, ordered)
+                assert c1.tolist() == c2.tolist(), (a, b, ordered)
+    finally:
+        pool.shutdown()
