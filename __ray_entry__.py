@@ -277,6 +277,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return phrase_table(index_for(f"{sf}/documents.parquet"),
                             ["slow", "hash", "batch"])
 
+    def q_phrase_pool(sf):
+        # exact-phrase counts served by the range-partitioned pool
+        # (range-local positional decode) — same oracle as phrase_match
+        # because per-range results concatenate exactly
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.pool import (
+            RangePartitionedPool,
+        )
+
+        pool = RangePartitionedPool(index_for(f"{sf}/documents.parquet"),
+                                    num_ranges=4)
+        try:
+            d, c = pool.phrase_counts(PHRASE)
+        finally:
+            pool.shutdown()
+        return pd.DataFrame({
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+            "n": pd.array([int(x) for x in c], dtype="int64"),
+        })
+
     def q_near_pairs(sf):
         # ordered NEAR predicate from in-index positions: exact count
         # of (pos_a, pos_b) pairs with 1 <= pos_b - pos_a <= 4
@@ -2234,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25,
         "phrase_match": q_phrase,
         "phrase3_match": q_phrase3,
+        "phrase_pool": q_phrase_pool,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
         "bm25f_fields": q_bm25f,
@@ -3672,6 +3693,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         "phrase_match": f"""
+            WITH {TOK_ORDERED_CTE}
+            SELECT a.doc_id, count(*) AS n
+            FROM toko a JOIN toko b
+              ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            WHERE a.t = '{PHRASE[0]}' AND b.t = '{PHRASE[1]}'
+            GROUP BY a.doc_id
+        """,
+        # pool-served phrase: same result contract as phrase_match
+        "phrase_pool": f"""
             WITH {TOK_ORDERED_CTE}
             SELECT a.doc_id, count(*) AS n
             FROM toko a JOIN toko b
