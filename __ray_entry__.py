@@ -153,11 +153,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fused by Reciprocal Rank Fusion (Cormack et al. 2009, public)
         # — the modern lexical+vector serving shape; vec_id and doc_id
         # share the dense row-id space.  rrf = 1/(60+r_lex) + 1/(60+
-        # r_vec) over each leg's top-50, same IEEE op order as the SQL
+        # r_vec) over each leg's top-10 (the depth whose Python-vs-SQL
+        # rank parity the bm25_topk / knn_cosine oracles prove; deeper
+        # legs would ride unproven ULP-sensitive orderings), same IEEE
+        # op order as the SQL
         from hadoopsearchengine_ray.functions.search import index_for
         from hadoopsearchengine_ray.pipelines.query import BM25Scorer
 
-        K0, LEG, K = 60, 50, 10
+        K0, LEG, K = 60, 10, 10
         d, _ = BM25Scorer(index_for(f"{sf}/documents.parquet")) \
             .score_exact(BM25_TERMS, LEG)
         lex = {int(x): i + 1 for i, x in enumerate(d)}
@@ -2454,7 +2457,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY s DESC, doc_id)
                           AS BIGINT) AS r
               FROM sc
-              QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 50
+              QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 10
             ),
             qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
             sims AS (
@@ -2467,7 +2470,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
                           AS BIGINT) AS r
               FROM sims
-              QUALIFY row_number() OVER (ORDER BY sim DESC, doc_id) <= 50
+              QUALIFY row_number() OVER (ORDER BY sim DESC, doc_id) <= 10
             ),
             fused AS (
               SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,

@@ -279,6 +279,32 @@ def decode_positions_blocks(pos_blob: bytes, blocks: np.ndarray,
     return out
 
 
+def decode_posting_row_blocks(row, blocks: np.ndarray,
+                              with_positions: bool = False):
+    """Decode selected block ordinals of ONE posting row dict (the
+    parquet row shape: df / doc_blob / tf_blob / skip_* [+ pos_blob]).
+
+    Returns ``(doc_ids, tfs)`` — plus ``flat_positions`` (tf-aligned,
+    concatenated over the selected blocks) when ``with_positions`` —
+    so the subtle skip-block slicing (block-end searchsorted
+    semantics, SKIP_BLOCK tail sizing, tf-aligned position splits)
+    lives in exactly one place for every block-sliced reader."""
+    df = int(row["df"])
+    sd = np.asarray(row["skip_docs"], dtype=np.uint64)
+    d, tf = decode_blocks(row["doc_blob"], row["tf_blob"], df, blocks,
+                          sd, row["skip_doc_off"], row["skip_tf_off"])
+    if not with_positions:
+        return d, tf
+    sizes = np.minimum(SKIP_BLOCK,
+                       df - blocks.astype(np.int64) * SKIP_BLOCK)
+    tf_splits = np.split(tf, np.cumsum(sizes)[:-1])
+    pos_parts = decode_positions_blocks(row["pos_blob"], blocks,
+                                        row["skip_pos_off"], tf_splits)
+    flat = (np.concatenate([p[0] for p in pos_parts])
+            if pos_parts else np.empty(0, np.uint64))
+    return d, tf, flat
+
+
 def decode_blocks(doc_blob: bytes, tf_blob: bytes, df: int, blocks: np.ndarray,
                   skip_docs, skip_doc_off, skip_tf_off):
     """Decode only the given block ordinals of one posting list.

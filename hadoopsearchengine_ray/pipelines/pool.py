@@ -62,13 +62,19 @@ class _RangeScorer:
         return d + self.lo, s
 
     def score_after(self, terms: list[str], k: int,
-                    after_score: float, after_doc: int):
-        """Cursor page over this range: the GLOBAL (score, doc_id)
-        cursor translates into the local id space (global = local +
-        lo is monotone, so the same cut applies) and the owner's
-        dense floats are the ones the cursor was minted from."""
-        d, s = self.scorer.score_after(terms, k, after_score,
-                                       int(after_doc) - self.lo)
+                    after_score: float | None, after_doc: int):
+        """Cursor page over this range.  ``after_score=None`` is the
+        FIRST page and runs the same dense pass later cuts compare
+        against — MaxScore floats (``score``) differ from dense floats
+        in the last ULP for multi-term docs, so a cursor minted from a
+        MaxScore page would duplicate/drop boundary docs.  The GLOBAL
+        cursor doc translates into the local id space (global = local
+        + lo is monotone, so the same cut applies)."""
+        if after_score is None:
+            d, s = self.scorer.score_exact(terms, k)
+        else:
+            d, s = self.scorer.score_after(terms, k, after_score,
+                                           int(after_doc) - self.lo)
         return d + self.lo, s
 
     def phrase_counts(self, phrase: list[str]):
@@ -132,15 +138,21 @@ class RangePartitionedPool:
         return self._merge(parts, k)
 
     def score_after(self, terms: list[str], k: int,
-                    after_score: float, after_doc: int):
+                    after_score: float | None = None,
+                    after_doc: int = -1):
         """Cursor pagination through the range tier: every owner
         applies the same global (score, doc_id) cut, so the per-range
         pages merge exactly — stateless deep paging on the serving
-        pool."""
-        parts = ray.get([a.score_after.remote(terms, k,
-                                              float(after_score),
-                                              int(after_doc))
-                         for a in self.actors])
+        pool.  Mint cursors ONLY from pages of THIS method: page 1 is
+        ``score_after(terms, k)`` (no cursor), which runs the dense
+        pass the cut compares against.  ``score``'s MaxScore floats
+        can differ in the last ULP for docs matching 3+ terms, and a
+        cursor from them would duplicate or drop the boundary doc."""
+        parts = ray.get([a.score_after.remote(
+            terms, k,
+            None if after_score is None else float(after_score),
+            int(after_doc))
+            for a in self.actors])
         return self._merge(parts, k)
 
     def phrase_counts(self, phrase: list[str]):

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..codec import SKIP_BLOCK, decode_blocks, decode_positions_blocks
+from ..codec import decode_posting_row_blocks
 from .query import BM25Scorer, IndexReader
 
 
@@ -89,44 +89,32 @@ def _phrase_keys(reader: IndexReader, term: str, slot: int,
             keys = keys[np.searchsorted(keys, np.uint64(slot)):]
             keys = keys - np.uint64(slot)
         return keys
-    # skip_docs hold GLOBAL doc ids while a range reader's ``want`` (and
-    # its emitted keys) are LOCAL — translate at the block boundary so
-    # block selection probes the right blocks and keys stay local
+    # this branch is only reachable with a concrete ``want`` (the
+    # want-is-None case returned above).  skip_docs hold GLOBAL doc ids
+    # while a range reader's ``want`` (and its emitted keys) are LOCAL —
+    # translate at the block boundary so block selection probes the
+    # right blocks and keys stay local
     doc_lo = int(getattr(reader, "doc_lo", 0) or 0)
-    want_g = (want + doc_lo).astype(np.uint64) if (
-        want is not None and doc_lo) else (
-        want.astype(np.uint64) if want is not None else None)
+    want_g = (want + doc_lo).astype(np.uint64)
     out = []
     for r in rows:
         if "pos_blob" not in r or r["pos_blob"] is None:
             raise ValueError("index has no positional postings; rebuild "
                              "with with_positions=True")
-        df = int(r["df"])
         sd = np.asarray(r["skip_docs"], dtype=np.uint64)
         if len(sd) == 0:
             continue
-        if want_g is not None:
-            blk = np.unique(np.searchsorted(sd, want_g))
-            blk = blk[blk < len(sd)]
-        else:
-            blk = np.arange(len(sd))
+        blk = np.unique(np.searchsorted(sd, want_g))
+        blk = blk[blk < len(sd)]
         if len(blk) == 0:
             continue
-        d, tf = decode_blocks(r["doc_blob"], r["tf_blob"], df, blk, sd,
-                              r["skip_doc_off"], r["skip_tf_off"])
-        sizes = np.minimum(SKIP_BLOCK, df - blk.astype(np.int64) * SKIP_BLOCK)
-        tf_splits = np.split(tf, np.cumsum(sizes)[:-1])
-        pos_parts = decode_positions_blocks(r["pos_blob"], blk,
-                                            r["skip_pos_off"], tf_splits)
-        flat = (np.concatenate([p[0] for p in pos_parts])
-                if pos_parts else np.empty(0, np.uint64))
+        d, tf, flat = decode_posting_row_blocks(r, blk,
+                                                with_positions=True)
         d64 = d.astype(np.int64)
         tfi = tf.astype(np.int64)
-        if want_g is not None:
-            mask = np.isin(d64, want_g.astype(np.int64),
-                           assume_unique=True)
-            flat = flat[np.repeat(mask, tfi)]
-            d64, tfi = d64[mask], tfi[mask]
+        mask = np.isin(d64, want_g.astype(np.int64), assume_unique=True)
+        flat = flat[np.repeat(mask, tfi)]
+        d64, tfi = d64[mask], tfi[mask]
         if doc_lo:
             d64 = d64 - doc_lo       # emit LOCAL keys (reader id space)
         out.append(np.repeat(d64.astype(np.uint64) << np.uint64(32), tfi)

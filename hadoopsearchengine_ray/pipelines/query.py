@@ -36,10 +36,9 @@ import pyarrow.dataset as pads
 import ray.data as rd
 
 from ..codec import (
-    SKIP_BLOCK,
     decode_blocks,
     decode_positions,
-    decode_positions_blocks,
+    decode_posting_row_blocks,
     decode_postings,
 )
 
@@ -314,17 +313,8 @@ class IndexReader:
                 blk = np.arange(b0, min(b1 + 1, len(sd)))
                 if len(blk) == 0:
                     continue
-                df = int(r["df"])
-                d, f = decode_blocks(
-                    r["doc_blob"], r["tf_blob"], df, blk,
-                    sd, r["skip_doc_off"], r["skip_tf_off"])
-                sizes = np.minimum(SKIP_BLOCK,
-                                   df - blk.astype(np.int64) * SKIP_BLOCK)
-                tf_splits = np.split(f, np.cumsum(sizes)[:-1])
-                pos_parts = decode_positions_blocks(
-                    r["pos_blob"], blk, r["skip_pos_off"], tf_splits)
-                flat = (np.concatenate([p[0] for p in pos_parts])
-                        if pos_parts else np.empty(0, np.uint64))
+                d, f, flat = decode_posting_row_blocks(
+                    r, blk, with_positions=True)
                 keep = (d >= lo) & (d < hi)
                 if keep.any():
                     docs.append(d[keep] - lo)

@@ -90,38 +90,44 @@ def test_pool_score_query_matches_single_reader(t1_index_dir, t1_oracle):
 
 def test_pool_search_after_pages(t1_index_dir, t1_oracle):
     """Cursor pages through the range tier tile the pool's own global
-    ranking and equal the single-reader pages exactly."""
+    ranking and equal the single-reader pages exactly.  Cursors are
+    minted from score_after's dense page 1 — NOT pool.score, whose
+    MaxScore floats can differ in the last ULP for multi-term docs
+    (review-reproduced: a MaxScore-minted cursor duplicated boundary
+    docs) — and hot-term triples are included as the adversarial
+    case."""
+    from hadoopsearchengine_ray import oracle as omod
     from hadoopsearchengine_ray.pipelines.query import BM25Scorer
 
     idx, _ = t1_oracle
     pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
     sc = BM25Scorer(t1_index_dir)
+    hot = [t for t in sorted(idx.postings)
+           if len(idx.postings[t]) > 0.25 * idx.N][:3]
     try:
-        from hadoopsearchengine_ray import oracle as omod
-        for q in omod.make_queries(idx, 15):
-            terms = q["terms"]
-            full_d, full_s = sc.score_exact(terms, 10**9)
-            got_d, cursor, page = [], None, 0
-            while True:
-                if cursor is None:
-                    d, s = pool.score(terms, 7)
-                else:
-                    d, s = pool.score_after(terms, 7, cursor[0],
-                                            cursor[1])
-                # pool pages == single-reader pages, rank and score
-                if cursor is None:
-                    d1, s1 = sc.score_exact(terms, 7)
-                else:
-                    d1, s1 = sc.score_after(terms, 7, cursor[0],
-                                            cursor[1])
-                assert list(d) == list(d1), terms
-                assert np.allclose(s, s1)
-                got_d.extend(int(x) for x in d)
-                page += 1
-                if len(d) < 7 or page > 30:
-                    break
-                cursor = (float(s[-1]), int(d[-1]))
-            assert got_d == [int(x) for x in full_d], terms
+        queries = [q["terms"] for q in omod.make_queries(idx, 15)]
+        queries.append(hot)                 # 3 hot terms: max overlap
+        for terms in queries:
+            for size in (7, 3):
+                full_d, _ = sc.score_exact(terms, 10**9)
+                n_pages = -(-max(1, len(full_d)) // size) + 1
+                got_d, cursor = [], None
+                for _page in range(n_pages):
+                    if cursor is None:
+                        d, s = pool.score_after(terms, size)
+                        d1, s1 = sc.score_exact(terms, size)
+                    else:
+                        d, s = pool.score_after(terms, size,
+                                                cursor[0], cursor[1])
+                        d1, s1 = sc.score_after(terms, size,
+                                                cursor[0], cursor[1])
+                    assert list(d) == list(d1), terms
+                    assert np.allclose(s, s1)
+                    got_d.extend(int(x) for x in d)
+                    if len(d) < size:
+                        break
+                    cursor = (float(s[-1]), int(d[-1]))
+                assert got_d == [int(x) for x in full_d], (terms, size)
     finally:
         pool.shutdown()
 
