@@ -202,6 +202,23 @@ def _cmd_grep(a: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_grep_ingest(a: argparse.Namespace) -> int:
+    from .pipelines.grep import add_to_trigram_index
+
+    _init_ray()
+    add_to_trigram_index(a.corpus, a.index)
+    print(json.dumps({"index": a.index, "ingested": a.corpus}))
+    return 0
+
+
+def _cmd_grep_delete(a: argparse.Namespace) -> int:
+    from .pipelines.grep import delete_from_trigram_index
+
+    total = delete_from_trigram_index(a.index, a.ids)
+    print(json.dumps({"index": a.index, "tombstones": total}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m hadoopsearchengine_ray",
                                 description=(__doc__ or "").split("\n\n")[0])
@@ -264,6 +281,20 @@ def main(argv: list[str] | None = None) -> int:
                          "(substring modes only)")
     gr.add_argument("pattern")
     gr.set_defaults(fn=_cmd_grep)
+
+    gi = sub.add_parser("grep-ingest", help="append NEW docs to an "
+                        "existing trigram index (delta; ids must not "
+                        "collide with indexed ones)")
+    gi.add_argument("--corpus", required=True,
+                    help="parquet of the NEW docs (index's own columns)")
+    gi.add_argument("--index", required=True)
+    gi.set_defaults(fn=_cmd_grep_ingest)
+
+    gd = sub.add_parser("grep-delete", help="tombstone doc ids out of "
+                        "a trigram index (rebuild compacts)")
+    gd.add_argument("--index", required=True)
+    gd.add_argument("ids", nargs="+", type=int, metavar="DOC_ID")
+    gd.set_defaults(fn=_cmd_grep_delete)
 
     a = p.parse_args(argv)
     try:
