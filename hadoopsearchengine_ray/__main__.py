@@ -169,6 +169,18 @@ def _cmd_grep(a: argparse.Namespace) -> int:
             print(f"[grep] index at {a.index} is stale or was built "
                   "with different parameters; rebuilding",
                   file=sys.stderr)
+        # a rebuild must NOT resurrect docs the user explicitly
+        # grep-deleted: tombstones are user intent, not index state —
+        # carry them across (a content-identical corpus rewrite keeps
+        # the same doc ids, so the ids stay meaningful; ids absent
+        # from the new corpus are harmless no-ops in the subtraction)
+        keep_tomb: list[int] = []
+        tomb_path = os.path.join(a.index, "tombstones.json")
+        if os.path.exists(tomb_path):
+            with open(tomb_path) as f:
+                keep_tomb = json.load(f)
+            print(f"[grep] preserving {len(keep_tomb)} tombstones "
+                  "across the rebuild", file=sys.stderr)
         shutil.rmtree(a.index, ignore_errors=True)
 
     if id_col not in schema.names:
@@ -192,6 +204,10 @@ def _cmd_grep(a: argparse.Namespace) -> int:
     if not fresh:
         build_trigram_index(corpus_path, a.index, text_col=text_col,
                             id_col=id_col, casefold=a.ignore_case)
+        if keep_tomb:
+            from .pipelines.grep import delete_from_trigram_index
+
+            delete_from_trigram_index(a.index, keep_tomb)
         with open(lin_path, "w") as f:
             f.write(fp)
     fn = {"substring": grep_substring, "regex": grep_regex,
@@ -204,10 +220,32 @@ def _cmd_grep(a: argparse.Namespace) -> int:
 
 def _cmd_grep_ingest(a: argparse.Namespace) -> int:
     from .pipelines.grep import add_to_trigram_index
+    from .state.manifest import lineage_fingerprint
 
     _init_ray()
     add_to_trigram_index(a.corpus, a.index)
-    print(json.dumps({"index": a.index, "ingested": a.corpus}))
+    # without a refreshed _LINEAGE the next CLI `grep` (whose --corpus
+    # is necessarily a different path/content than the pre-ingest one)
+    # would fail the freshness check and rebuild, orphaning the delta
+    # postings just written: --full-corpus names the COMBINED corpus
+    # (base + this delta) the user will grep next, and its fingerprint
+    # becomes the index's lineage
+    if a.full_corpus:
+        with open(os.path.join(a.index, "_LINEAGE"), "w") as f:
+            f.write(lineage_fingerprint([a.full_corpus]))
+    else:
+        # stale lineage is worse than none: drop it so the next CLI
+        # grep rebuilds loudly instead of the fingerprint mismatch
+        # looking like corpus tampering (library calls are unaffected)
+        lin = os.path.join(a.index, "_LINEAGE")
+        if os.path.exists(lin):
+            os.remove(lin)
+            print("[grep-ingest] no --full-corpus given: cleared "
+                  "_LINEAGE; the next CLI grep will rebuild unless "
+                  "you pass the combined corpus via --full-corpus "
+                  "here", file=sys.stderr)
+    print(json.dumps({"index": a.index, "ingested": a.corpus,
+                      "lineage": a.full_corpus}))
     return 0
 
 
@@ -288,6 +326,11 @@ def main(argv: list[str] | None = None) -> int:
     gi.add_argument("--corpus", required=True,
                     help="parquet of the NEW docs (index's own columns)")
     gi.add_argument("--index", required=True)
+    gi.add_argument("--full-corpus", default=None,
+                    help="parquet of the COMBINED corpus (base + delta) "
+                         "future `grep --corpus` calls will pass; its "
+                         "lineage keeps the delta-ingested index fresh "
+                         "for the CLI instead of forcing a rebuild")
     gi.set_defaults(fn=_cmd_grep_ingest)
 
     gd = sub.add_parser("grep-delete", help="tombstone doc ids out of "

@@ -265,8 +265,9 @@ class AnnPool:
     """Pinned ANN serving pool: N list-owner actors + the same
     _top_candidates/_exact_rerank merge as AnnIndex.query — rank-
     identical to the per-query-Dataset path (asserted in
-    tests/test_ann.py and the ann_index driver query), at in-memory
-    latency (no per-query Ray Dataset job)."""
+    tests/test_operators.py::test_ann_pool_rank_identical_to_dataset_path
+    / test_ann_pool_with_empty_ivf_lists and the ann_index driver query), at
+    in-memory latency (no per-query Ray Dataset job)."""
 
     def __init__(self, index_dir: str, num_owners: int = 4):
         with open(os.path.join(index_dir, "meta.json")) as f:

@@ -186,6 +186,7 @@ _POST_SCHEMA = pa.schema([
     ("doc_blob", pa.binary()), ("bucket", pa.int32())])
 _DF_SCHEMA = pa.schema([("gram", pa.int32()), ("df", pa.int64())])
 _INGEST_MARKER = "_INGEST_INPROGRESS"
+_DF_MARKER = "_DF_INPROGRESS"
 
 
 def _ingest_postings(corpus, index_dir: str, text_col: str, id_col: str,
@@ -218,22 +219,44 @@ def _ingest_postings(corpus, index_dir: str, text_col: str, id_col: str,
 
 def _rebuild_df(index_dir: str) -> None:
     """Re-aggregate the global per-gram df table from segment rows —
-    bounded by the 2^24 gram space — and publish it atomically (tmp
-    dir + os.replace), so a reader never sees a half-written table."""
+    bounded by the 2^24 gram space — and publish it near-atomically:
+    the new table is staged at ``df.new``, the old dir is renamed
+    aside, the new one renamed in, the old one deleted — so a reader
+    races two atomic renames, not an rmtree+replace.  The remaining
+    crash window (between the two renames) is bracketed by a
+    ``_DF_INPROGRESS`` marker: a later ``TrigramIndex`` open refuses
+    LOUDLY and names the recovery (``rebuild_trigram_df``, idempotent)
+    instead of failing on an opaque missing-dataset error."""
     import shutil
 
     post_dir = os.path.join(index_dir, "postings")
     df_dir = os.path.join(index_dir, "df")
     tmp = df_dir + ".new"
+    old = df_dir + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     (rd.read_parquet(post_dir, columns=["gram", "df"])
      .groupby("gram").sum("df")
      .map_batches(lambda t: t.rename_columns(["gram", "df"]),
                   batch_format="pyarrow")
      .write_parquet(tmp))
     _ensure_typed(tmp, _DF_SCHEMA)
-    shutil.rmtree(df_dir, ignore_errors=True)
+    marker = os.path.join(index_dir, _DF_MARKER)
+    with open(marker, "w") as f:
+        f.write("df publish in progress; run rebuild_trigram_df() "
+                "to recover\n")
+    if os.path.exists(df_dir):
+        os.replace(df_dir, old)
     os.replace(tmp, df_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+
+
+def rebuild_trigram_df(index_dir: str) -> None:
+    """Idempotent recovery/maintenance entry: re-derive and republish
+    the df table from the posting segments (the segments are the
+    source of truth; df is a planner-ordering hint)."""
+    _rebuild_df(index_dir)
 
 
 def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
@@ -428,6 +451,11 @@ class TrigramIndex:
                 "ingest (its df table predates appended segments, which "
                 "would silently drop delta-only matches); re-run "
                 "add_to_trigram_index with the same delta to recover")
+        if os.path.exists(os.path.join(index_dir, _DF_MARKER)):
+            raise ValueError(
+                f"trigram index at {index_dir} has a half-published df "
+                "table (crash between the publish renames); run "
+                "rebuild_trigram_df() to recover — segments are intact")
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         tpath = os.path.join(index_dir, "tombstones.json")

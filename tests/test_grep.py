@@ -597,3 +597,88 @@ def test_cli_grep_lifecycle(tmp_path, ray_session, capsys):
     assert out["tombstones"] == 2
     assert grep_substring(idx, union, "merge")["doc_id"].to_pylist() \
         == [0]
+
+
+def test_cli_rebuild_preserves_tombstones(tmp_path, ray_session,
+                                          capsys):
+    """A stale-lineage CLI rebuild must NOT resurrect grep-deleted
+    docs: tombstones are user intent and carry across the rebuild."""
+    from hadoopsearchengine_ray.__main__ import main
+
+    src = _write_docs(str(tmp_path / "c.parquet"),
+                      {0: "alpha merge", 1: "merge beta",
+                       2: "merge gamma"}, col="text")
+    idx = str(tmp_path / "keep")
+    assert main(["grep", "--corpus", src, "--index", idx, "merge"]) == 0
+    capsys.readouterr()
+    assert main(["grep-delete", "--index", idx, "1"]) == 0
+    capsys.readouterr()
+    # content-identical rewrite: same bytes, fresh mtime -> lineage
+    # mismatch -> rebuild path
+    data = open(src, "rb").read()
+    with open(src, "wb") as f:
+        f.write(data)
+    os.utime(src, (0, 0))
+    assert main(["grep", "--corpus", src, "--index", idx, "merge"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [0, 2]   # 1 stays deleted
+
+
+def test_cli_grep_ingest_refreshes_lineage(tmp_path, ray_session,
+                                           capsys):
+    """grep-ingest --full-corpus makes the delta-ingested index
+    reachable through the CLI: the next grep over the combined corpus
+    reuses the index (no rebuild) and serves delta docs."""
+    from hadoopsearchengine_ray.__main__ import main
+
+    src = _write_docs(str(tmp_path / "b.parquet"),
+                      {0: "alpha merge", 1: "merge beta"}, col="text")
+    delta = _write_docs(str(tmp_path / "d.parquet"),
+                        {2: "gamma merge"}, col="text")
+    union = str(tmp_path / "u.parquet")
+    pq.write_table(pa.concat_tables([pq.read_table(src),
+                                     pq.read_table(delta)]), union)
+    idx = str(tmp_path / "lin")
+    assert main(["grep", "--corpus", src, "--index", idx, "merge"]) == 0
+    capsys.readouterr()
+    assert main(["grep-ingest", "--corpus", delta, "--index", idx,
+                 "--full-corpus", union]) == 0
+    capsys.readouterr()
+    post_dir = os.path.join(idx, "postings")
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(post_dir))
+    assert main(["grep", "--corpus", union, "--index", idx,
+                 "merge"]) == 0
+    cap = capsys.readouterr()
+    rows = [json.loads(x) for x in cap.out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    assert "rebuilding" not in cap.err
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(post_dir))
+    assert n_files_after == n_files_before   # reused, not rebuilt
+
+
+def test_df_publish_marker_recovery(grep_corpus, tmp_path,
+                                    ray_session):
+    """A crash between the df publish renames leaves the _DF_INPROGRESS
+    marker; opening the index refuses loudly and rebuild_trigram_df
+    recovers from the (intact) posting segments."""
+    import shutil
+
+    from hadoopsearchengine_ray.pipelines.grep import (
+        _DF_MARKER,
+        rebuild_trigram_df,
+    )
+
+    path, texts = grep_corpus
+    idx = str(tmp_path / "dfcrash")
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    # simulate the crash window: old df renamed aside, marker present
+    os.replace(os.path.join(idx, "df"), os.path.join(idx, "df.old"))
+    with open(os.path.join(idx, _DF_MARKER), "w") as f:
+        f.write("crash\n")
+    with pytest.raises(ValueError, match="rebuild_trigram_df"):
+        TrigramIndex(idx)
+    rebuild_trigram_df(idx)
+    want = sorted(d for d, s in texts.items() if "return" in s)
+    assert grep_substring(idx, path, "return")["doc_id"].to_pylist() \
+        == want
