@@ -248,16 +248,20 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     """Grouped retrieval: the BM25 top-``k`` docs PER FACET VALUE for a
     disjunctive term query (the 'best hits in every category' panel).
 
-    Shape: the exact scorer ranks every matched doc once (work ~ sum of
-    the query terms' dfs — the same bounded regime as facet_counts),
-    then SIZE-DISPATCHES (round-4, closing the r3 driver-materialization
-    mark): matched sets up to ``driver_merge_threshold`` take the small
-    path (pruned (doc_id, facet) scan to the driver + one vectorized
-    sort/groupby-head); above it — a stopword-scale term — the matched
-    (doc_id, score) pairs are BROADCAST once and each batch of the
-    (doc_id, facet) scan emits only its LOCAL per-facet top-k (top-k per
-    facet distributes over batch union), so the driver sees
-    facets x k x blocks rows, never the matched set.  Both paths are
+    Shape: SIZE-DISPATCHED on the matched-set UPPER BOUND (sum of the
+    query terms' dictionary dfs — known before any scoring, so the
+    dispatch itself costs nothing).  At or below
+    ``driver_merge_threshold`` the small path runs: one driver-side
+    exact score + a pruned (doc_id, facet) scan attach + one vectorized
+    sort/groupby-head.  Above it — a stopword-scale term — scoring
+    itself is DISTRIBUTED (round-5, closing the r4 driver-side
+    ``score_exact(terms, 1 << 62)`` mark): the doc-range-partitioned
+    pool's owners each score THEIR slice with the range-local dense
+    pass (bit-identical per-doc scores: global df/avgdl, same
+    accumulation order), attach the facet column via a
+    doc-id-range-pruned parquet read, and emit only their per-facet
+    top-k heads — the driver merges facets × k × ranges rows and never
+    holds a matched (doc_id, score) array.  Both paths are
     oracle-identical (same final sort, asserted by the facet_topk /
     facet_topk_hot driver queries).  Returns (facet, rank, doc_id) with
     rank per facet by (score DESC, doc_id) — the bm25_topk tie-break."""
@@ -266,38 +270,47 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
 
     index_dir = index_for(parquet_path, text_col=text_col)
     scorer = BM25Scorer(index_dir)
-    docs, scores = scorer.score_exact(terms, 1 << 62)   # all matched, sorted
-    order = np.argsort(docs)
-    docs_s = np.asarray(docs, np.int64)[order]
-    scores_s = np.asarray(scores, np.float64)[order]
-    m_ref = ray.put((docs_s, scores_s))
-    small = len(docs_s) <= driver_merge_threshold
+    df_bound = 0
+    for t in sorted(set(terms)):
+        ent = scorer.rd.lookup(t)
+        if ent:
+            df_bound += int(ent[1])
+    small = df_bound <= driver_merge_threshold
 
-    def _attach(batch: pa.Table):
-        dd, ss = ray.get(m_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(dd):
-            pos = np.searchsorted(dd, ids)
-            pos[pos == len(dd)] = 0
-            hit = dd[pos] == ids
-        else:
-            hit = np.zeros(len(ids), bool)
-        sub = batch.filter(pa.array(hit)).to_pandas()
-        sub["score"] = ss[np.searchsorted(dd, ids[hit])] if hit.any() \
-            else np.empty(0, np.float64)
-        if small:
+    if small:
+        docs, scores = scorer.score_exact(terms, 1 << 62)  # all matched
+        order = np.argsort(docs)
+        docs_s = np.asarray(docs, np.int64)[order]
+        scores_s = np.asarray(scores, np.float64)[order]
+        m_ref = ray.put((docs_s, scores_s))
+
+        def _attach(batch: pa.Table):
+            dd, ss = ray.get(m_ref)
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(dd):
+                pos = np.searchsorted(dd, ids)
+                pos[pos == len(dd)] = 0
+                hit = dd[pos] == ids
+            else:
+                hit = np.zeros(len(ids), bool)
+            sub = batch.filter(pa.array(hit)).to_pandas()
+            sub["score"] = ss[np.searchsorted(dd, ids[hit])] \
+                if hit.any() else np.empty(0, np.float64)
             return sub
-        # big path: map-side combine — each batch keeps only its local
-        # per-facet heads (global top-k per facet is contained in the
-        # union of local top-ks; ties cut by the same deterministic sort)
-        sub = sub.sort_values([facet_col, "score", "doc_id"],
-                              ascending=[True, False, True])
-        return sub.groupby(facet_col, sort=False, dropna=False).head(k)
 
-    j = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
-         .map_batches(_attach, batch_format="pyarrow",
-                      zero_copy_batch=True)
-         .to_pandas())
+        j = (rd.read_parquet(parquet_path, columns=["doc_id", facet_col])
+             .map_batches(_attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .to_pandas())
+    else:
+        from ..pipelines.pool import RangePartitionedPool
+
+        pool = RangePartitionedPool(index_dir, num_ranges=4)
+        try:
+            j = pool.facet_heads(terms, k, facet_col, parquet_path)
+        finally:
+            pool.shutdown()
     j = j.sort_values([facet_col, "score", "doc_id"],
                       ascending=[True, False, True])
     head = (j.groupby(facet_col, sort=False, dropna=False).head(k)

@@ -40,6 +40,7 @@ class _RangeScorer:
         from .query import BM25Scorer, IndexReader
 
         self.lo = doc_lo
+        self.hi = doc_hi
         self.scorer = BM25Scorer(
             index_dir, reader=IndexReader(index_dir, doc_lo=doc_lo,
                                           doc_hi=doc_hi))
@@ -76,6 +77,49 @@ class _RangeScorer:
             d, s = self.scorer.score_after(terms, k, after_score,
                                            int(after_doc) - self.lo)
         return d + self.lo, s
+
+    def facet_heads(self, terms: list[str], k: int, facet_col: str,
+                    parquet_path: str, id_col: str = "doc_id"):
+        """Per-facet BM25 top-``k`` over THIS doc range: the range-local
+        dense pass scores every matched doc in [lo, hi) (global
+        df/avgdl, same per-doc accumulation order as the full reader →
+        bit-identical scores), the facet column is fetched with a
+        doc-id-range-pruned parquet read, and only facets × k head rows
+        leave the owner.  The global per-facet top-k is contained in
+        the union of per-owner heads (owners partition the doc space),
+        so the driver's facets × k × ranges merge is exact."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        d, s = self.scorer.score_exact(terms, 1 << 62)
+        empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                              facet_col: pd.array([], dtype="object"),
+                              "score": pd.array([], dtype="float64")})
+        if len(d) == 0:
+            return empty
+        gd = (np.asarray(d, np.int64) + self.lo)
+        order = np.argsort(gd)
+        gd_s = gd[order]
+        sc_s = np.asarray(s, np.float64)[order]
+        tbl = pads.dataset(parquet_path).to_table(
+            columns=[id_col, facet_col],
+            filter=((pads.field(id_col) >= int(self.lo))
+                    & (pads.field(id_col) < int(self.hi))))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(gd_s, ids)
+        pos[pos == len(gd_s)] = 0
+        hit = gd_s[np.minimum(pos, len(gd_s) - 1)] == ids \
+            if len(gd_s) else np.zeros(len(ids), bool)
+        sub = tbl.filter(pa.array(hit)).to_pandas()
+        if sub.empty:
+            return empty
+        sub = sub.rename(columns={id_col: "doc_id"})
+        sub["score"] = sc_s[np.searchsorted(gd_s, ids[hit])]
+        sub = sub.sort_values([facet_col, "score", "doc_id"],
+                              ascending=[True, False, True])
+        return sub.groupby(facet_col, sort=False, dropna=False) \
+            .head(k)[["doc_id", facet_col, "score"]]
 
     def phrase_counts(self, phrase: list[str]):
         """Exact-phrase counts over this range: positions decode only
@@ -154,6 +198,26 @@ class RangePartitionedPool:
             int(after_doc))
             for a in self.actors])
         return self._merge(parts, k)
+
+    def facet_heads(self, terms: list[str], k: int, facet_col: str,
+                    parquet_path: str, id_col: str = "doc_id"):
+        """Per-facet top-k candidate rows through the range tier: each
+        owner scores its slice and ships only facets × k head rows —
+        the driver never holds the matched (doc_id, score) set.  The
+        caller finishes with the same deterministic
+        (facet, score DESC, doc_id) sort + head the small path uses."""
+        import pandas as pd
+
+        parts = ray.get([a.facet_heads.remote(terms, k, facet_col,
+                                              parquet_path, id_col)
+                         for a in self.actors])
+        live = [p for p in parts if len(p)]
+        if not live:
+            return parts[0] if parts else pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"),
+                 facet_col: pd.array([], dtype="object"),
+                 "score": pd.array([], dtype="float64")})
+        return pd.concat(live, ignore_index=True)
 
     def phrase_counts(self, phrase: list[str]):
         """Exact-phrase (doc_id, count) through the range tier: ranges

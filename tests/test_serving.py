@@ -423,3 +423,37 @@ def test_spell_cache_lineage(tmp_path, ray_session, monkeypatch):
     assert s2 is not s1
     assert s2.within_distance("merg", 1) == []
     assert "scan" in s2.within_distance("scam", 1)
+
+
+def test_facet_topk_pool_path_matches_small_path(tmp_path, ray_session):
+    """driver_merge_threshold=0 forces the distributed pool path
+    (range-owner scoring + per-owner facet heads); results must be
+    row-identical to the small driver path — including the NULL facet
+    group and cross-range tie-breaks."""
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import facet_topk
+
+    rng = np.random.default_rng(7)
+    n = 120
+    langs = [None, "en", "fr", "de", "pt"]
+    texts = []
+    for i in range(n):
+        words = ["apple"] * int(rng.integers(0, 4)) + \
+                ["pad"] * int(rng.integers(1, 9)) + [f"u{i}"]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    path = str(tmp_path / "facet_pool.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": texts,
+        "lang": pa.array([langs[i % len(langs)] for i in range(n)],
+                         pa.string()),
+    }), path)
+    small = facet_topk(path, ["apple"], facet_col="lang", k=3)
+    big = facet_topk(path, ["apple"], facet_col="lang", k=3,
+                     driver_merge_threshold=0)
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True), big.reset_index(drop=True))
+    # the NULL group survives both paths
+    assert small["lang"].isna().any() and big["lang"].isna().any()
