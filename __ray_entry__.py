@@ -643,6 +643,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grep_substring(trigram_for(src, casefold=True), src,
                               "MERGE Batch").to_pandas()
 
+    def q_grep_scan_spill(sf):
+        # bounded-driver-memory grep: fetch_cap=0 forces the streaming
+        # verify scan and output_path routes the match set straight to
+        # sorted parquet (the driver holds only a (path, n_rows)
+        # manifest — the scale exit for stopword-scale patterns).  The
+        # harness reads the spill back to value-check it; the engine
+        # never concatenated it.
+        import tempfile
+
+        import pyarrow.dataset as pads
+
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_substring
+
+        src = f"{sf}/documents.parquet"
+        out = tempfile.mkdtemp(prefix="hse_grep_spill_")
+        man = grep_substring(trigram_for(src), src, "merge batch",
+                             output_path=out, fetch_cap=0)
+        tbl = pads.dataset(out).to_table().sort_by("doc_id")
+        assert tbl.num_rows == man["n_rows"][0].as_py()
+        return tbl.to_pandas()
+
     def q_facet_counts(sf):
         # faceted search panel: docs matching ANY query term, counted
         # per lang — posting-decoded match set broadcast over a pruned
@@ -2211,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_delta": q_grep_delta,
         "grep_after_delete": q_grep_after_delete,
         "grep_substring_ci": q_grep_substring_ci,
+        "grep_scan_spill": q_grep_scan_spill,
         "pmi_bigrams": q_pmi_bigrams,
         "filtered_knn": q_filtered_knn,
         "mmr_topk": q_mmr,
@@ -3045,6 +3068,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE contains(lower(text), lower('MERGE Batch'))
             ORDER BY doc_id
+        """,
+        # bounded-memory spill mode: same match set as grep_substring —
+        # the engine wrote it to parquet instead of concatenating it
+        "grep_scan_spill": """
+            SELECT doc_id FROM documents
+            WHERE contains(text, 'merge batch') ORDER BY doc_id
         """,
         # faceted counts: distinct docs matching ANY query term, per lang
         "facet_counts": f"""

@@ -250,10 +250,22 @@ def _cmd_grep_ingest(a: argparse.Namespace) -> int:
 
 
 def _cmd_grep_delete(a: argparse.Namespace) -> int:
-    from .pipelines.grep import delete_from_trigram_index
+    from .pipelines.grep import (
+        delete_from_trigram_index,
+        maybe_compact_trigram_index,
+    )
 
     total = delete_from_trigram_index(a.index, a.ids)
-    print(json.dumps({"index": a.index, "tombstones": total}))
+    compacted = False
+    if not a.no_compact:
+        # fold a grown tombstone list back into the segments so the
+        # plan-time subtraction array stays bounded (threshold: both an
+        # absolute floor and a fraction of the indexed doc count)
+        compacted = maybe_compact_trigram_index(
+            a.index, frac=a.compact_frac)
+    print(json.dumps({"index": a.index,
+                      "tombstones": 0 if compacted else total,
+                      "compacted": compacted}))
     return 0
 
 
@@ -334,9 +346,15 @@ def main(argv: list[str] | None = None) -> int:
     gi.set_defaults(fn=_cmd_grep_ingest)
 
     gd = sub.add_parser("grep-delete", help="tombstone doc ids out of "
-                        "a trigram index (rebuild compacts)")
+                        "a trigram index (auto-compacts past a "
+                        "threshold)")
     gd.add_argument("--index", required=True)
     gd.add_argument("ids", nargs="+", type=int, metavar="DOC_ID")
+    gd.add_argument("--no-compact", action="store_true",
+                    help="never fold tombstones into the segments")
+    gd.add_argument("--compact-frac", type=float, default=0.25,
+                    help="compact when tombstones exceed this fraction "
+                         "of indexed docs (and the absolute floor)")
     gd.set_defaults(fn=_cmd_grep_delete)
 
     a = p.parse_args(argv)

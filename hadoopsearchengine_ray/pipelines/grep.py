@@ -187,6 +187,7 @@ _POST_SCHEMA = pa.schema([
 _DF_SCHEMA = pa.schema([("gram", pa.int32()), ("df", pa.int64())])
 _INGEST_MARKER = "_INGEST_INPROGRESS"
 _DF_MARKER = "_DF_INPROGRESS"
+_COMPACT_MARKER = "_COMPACT_INPROGRESS"
 
 
 def _ingest_postings(corpus, index_dir: str, text_col: str, id_col: str,
@@ -278,7 +279,10 @@ def build_trigram_index(corpus, index_dir: str, text_col: str = "text",
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump({"text_col": text_col, "id_col": id_col,
                    "num_buckets": num_buckets, "casefold": casefold,
-                   "fold": "utf8_lower" if casefold else None}, f)
+                   "fold": "utf8_lower" if casefold else None,
+                   # compaction-trigger denominator (approximate after
+                   # deletes; see maybe_compact_trigram_index)
+                   "num_docs": _count_docs(corpus)}, f)
     return index_dir
 
 
@@ -334,8 +338,194 @@ def add_to_trigram_index(corpus, index_dir: str) -> str:
                      meta["num_buckets"],
                      bool(meta.get("casefold", False)))
     _rebuild_df(index_dir)
+    if "num_docs" in meta:
+        meta["num_docs"] = int(meta["num_docs"]) + _count_docs(corpus)
+        _write_meta(index_dir, meta)
     os.remove(marker)
     return index_dir
+
+
+def _count_docs(corpus) -> int:
+    """Row count of a corpus argument — parquet metadata only for a
+    path (no data read), ``Dataset.count()`` otherwise.  Feeds the
+    ``num_docs`` compaction-trigger denominator."""
+    if isinstance(corpus, str):
+        import pyarrow.dataset as pads
+
+        return pads.dataset(corpus).count_rows()
+    return corpus.count()
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+def _decode_segments_fn(drop_ref):
+    """Inverse of ``_encode_block`` as a batch fn: posting segments ->
+    (gram, doc_id, bucket) rows, minus the broadcast tombstone set.
+    Fully vectorized: ONE varint decode over the batch's concatenated
+    blob buffer, per-segment absolute ids restored with a cumsum-base
+    subtraction (no per-segment Python loop)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "gram": pa.array([], pa.int32()),
+        "doc_id": pa.array([], pa.int64()),
+        "bucket": pa.array([], pa.int32()),
+    })
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        blob = batch["doc_blob"].combine_chunks()
+        offs = np.frombuffer(blob.buffers()[1], np.int32)[
+            blob.offset: blob.offset + len(blob) + 1].astype(np.int64)
+        data = np.frombuffer(blob.buffers()[2], np.uint8)[
+            offs[0]: offs[-1]]
+        deltas = decode_varints(data).astype(np.int64)
+        dfs = batch["df"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(deltas) != int(dfs.sum()):
+            raise ValueError("posting segment decode count mismatch")
+        docs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(dfs)[:-1]))
+        base = docs[starts] - deltas[starts]
+        docs = docs - np.repeat(base, dfs)
+        grams = np.repeat(
+            batch["gram"].combine_chunks().cast(pa.int32())
+            .to_numpy(zero_copy_only=False), dfs)
+        buckets = np.repeat(
+            pc.cast(batch["bucket"].combine_chunks(), pa.int32())
+            .to_numpy(zero_copy_only=False), dfs)
+        ts = ray.get(drop_ref)
+        if len(ts):
+            at = np.searchsorted(ts, docs)
+            dead = (at < len(ts)) & (ts[np.minimum(at, len(ts) - 1)]
+                                     == docs)
+            keep = ~dead
+            docs, grams, buckets = docs[keep], grams[keep], buckets[keep]
+        return pa.table({"gram": pa.array(grams, pa.int32()),
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    return _fn
+
+
+def _dedupe_encode(batch: pa.Table) -> pa.Table:
+    """``_encode_block`` with adjacent-duplicate (gram, doc_id) rows
+    dropped first: a recovered delta ingest re-appends its segments, so
+    a compaction rewrite must collapse them (the live reader uniques at
+    decode time; the rewritten single segment would otherwise carry
+    delta-0 entries that break ``assume_unique`` intersections).  The
+    range sort co-locates duplicates, so an adjacent check suffices
+    (a boundary-straddling pair leaves one copy per block — two
+    segments, which the reader merges as before)."""
+    if batch.num_rows == 0:
+        return _encode_block(batch)
+    g = batch["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+    d = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    keep = np.concatenate(([True], (np.diff(g) != 0) | (np.diff(d) != 0)))
+    return _encode_block(batch.filter(pa.array(keep)))
+
+
+def compact_trigram_index(index_dir: str) -> int:
+    """Fold the tombstone set into the posting segments: decode every
+    segment (one vectorized pass per batch), drop tombstoned doc ids,
+    re-sort and re-encode — the SAME one-range-shuffle shape as the
+    build, minus gram extraction — and publish the rewritten postings
+    with the two-rename swap the df publish uses.  Clears
+    ``tombstones.json``.  Returns the number of tombstones folded in
+    (0 = nothing to do).  Crash window is bracketed by a
+    ``_COMPACT_INPROGRESS`` marker; recovery = re-run
+    ``compact_trigram_index`` (it restores the renamed-aside postings
+    first, so the rewrite restarts from intact segments)."""
+    import shutil
+
+    post_dir = os.path.join(index_dir, "postings")
+    old = post_dir + ".old"
+    marker = os.path.join(index_dir, _COMPACT_MARKER)
+    if os.path.exists(old) and not os.path.exists(post_dir):
+        # crashed between the publish renames: the old segments are
+        # the source of truth — put them back and redo the rewrite
+        os.replace(old, post_dir)
+    if os.path.exists(marker):
+        os.remove(marker)
+    ts_path = os.path.join(index_dir, "tombstones.json")
+    if not os.path.exists(ts_path):
+        return 0
+    with open(ts_path) as f:
+        ts = np.asarray(sorted(json.load(f)), dtype=np.int64)
+    if len(ts) == 0:
+        os.remove(ts_path)
+        return 0
+
+    new = post_dir + ".new"
+    shutil.rmtree(new, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    from ray.data.datasource.partitioning import (
+        Partitioning,
+        PartitionStyle,
+    )
+
+    ts_ref = ray.put(ts)
+    part = Partitioning(PartitionStyle.HIVE, field_types={"bucket": int})
+    (rd.read_parquet(post_dir, partitioning=part)
+     .map_batches(_decode_segments_fn(ts_ref), batch_format="pyarrow",
+                  zero_copy_batch=True)
+     .sort(["bucket", "gram", "doc_id"])
+     .map_batches(_dedupe_encode, batch_format="pyarrow",
+                  zero_copy_batch=True)
+     .write_parquet(new, partition_cols=["bucket"]))
+    stale = os.path.join(new, "empty.parquet")
+    if os.path.exists(stale):
+        os.remove(stale)
+    _ensure_typed(new, _POST_SCHEMA)
+
+    with open(marker, "w") as f:
+        f.write("compaction publish in progress; re-run "
+                "compact_trigram_index() to recover\n")
+    os.replace(post_dir, old)
+    os.replace(new, post_dir)
+    _rebuild_df(index_dir)
+    os.remove(ts_path)
+    shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if "num_docs" in meta:
+        # approximate: tombstones are a subset of ever-indexed ids, so
+        # this denominator only feeds the compaction-trigger heuristic
+        meta["num_docs"] = max(0, int(meta["num_docs"]) - len(ts))
+        _write_meta(index_dir, meta)
+    return len(ts)
+
+
+def maybe_compact_trigram_index(index_dir: str, frac: float = 0.25,
+                                min_tombstones: int = 1024) -> bool:
+    """Compact when the tombstone list has grown past both an absolute
+    floor and ``frac`` of the indexed doc count (the grep analog of the
+    main index's ``maybe_compact``, pipelines/delta.py) — keeping the
+    driver-side tombstone JSON bounded instead of growing until a
+    manual rebuild.  Indexes built before ``num_docs`` was recorded
+    fall back to the absolute floor alone."""
+    ts_path = os.path.join(index_dir, "tombstones.json")
+    if not os.path.exists(ts_path):
+        return False
+    with open(ts_path) as f:
+        n_ts = len(json.load(f))
+    if n_ts < min_tombstones:
+        return False
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_docs = meta.get("num_docs")
+    if num_docs and n_ts < frac * int(num_docs):
+        return False
+    compact_trigram_index(index_dir)
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +646,11 @@ class TrigramIndex:
                 f"trigram index at {index_dir} has a half-published df "
                 "table (crash between the publish renames); run "
                 "rebuild_trigram_df() to recover — segments are intact")
+        if os.path.exists(os.path.join(index_dir, _COMPACT_MARKER)):
+            raise ValueError(
+                f"trigram index at {index_dir} has a half-published "
+                "compaction (crash between the postings renames); "
+                "re-run compact_trigram_index() to recover")
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         tpath = os.path.join(index_dir, "tombstones.json")
@@ -637,7 +832,9 @@ def _drop_sorted(tbl: pa.Table, id_col: str,
 def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
                      result_fn, id_col: str, text_col: str,
                      empty: pa.Table, sort_keys,
-                     drop_ids: np.ndarray | None = None) -> pa.Table:
+                     drop_ids: np.ndarray | None = None,
+                     output_path: str | None = None,
+                     fetch_cap: int | None = None) -> pa.Table:
     """Shared candidates -> verified-matches dispatch behind every grep
     entry point.  ``result_fn`` verifies one pruned/streamed row block
     (a ``pa.Table`` with the id + text columns) and returns result
@@ -655,9 +852,21 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
       streaming ``map_batches`` scan filters + verifies per block.
     - ``cand is None``: full streaming scan, LOUD (stderr) — callers
       relying on index pruning should notice the O(corpus) downgrade.
-    """
+
+    ``output_path``: BOUNDED-DRIVER-MEMORY mode — result rows are
+    written as (globally sorted) parquet under this directory instead
+    of being concatenated on the driver, and the return value is a
+    one-row manifest table ``(path, n_rows)``.  This is the scale exit
+    for stopword-scale patterns and ``grep_lines`` on hot patterns,
+    where the match set itself is too big for one process: the
+    streaming scan's verified blocks flow straight to the sink with
+    only the sort exchange between them.  The directory is REPLACED
+    (rmtree + write — Dataset.write_parquet appends otherwise).
+    ``fetch_cap`` overrides ``DRIVER_FETCH_CAP`` (tests/benches force
+    the streaming path with 0)."""
     import pyarrow.dataset as pads
 
+    cap = DRIVER_FETCH_CAP if fetch_cap is None else int(fetch_cap)
     if drop_ids is not None and len(drop_ids) == 0:
         drop_ids = None
     if drop_ids is not None and cand is not None and len(cand):
@@ -665,26 +874,44 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
         dead = (at < len(drop_ids)) & (drop_ids[np.minimum(
             at, len(drop_ids) - 1)] == cand)
         cand = cand[~dead]
+
+    def _manifest(n_rows: int) -> pa.Table:
+        return pa.table({"path": pa.array([output_path], pa.string()),
+                         "n_rows": pa.array([n_rows], pa.int64())})
+
+    def _spill(tbl: pa.Table) -> pa.Table:
+        """Park a driver-side result as the single output file (the
+        small-candidate path under output mode: same manifest shape,
+        no reason to round-trip through a Dataset)."""
+        import pyarrow.parquet as pq
+        import shutil
+
+        shutil.rmtree(output_path, ignore_errors=True)
+        os.makedirs(output_path)
+        pq.write_table(tbl, os.path.join(output_path, "part-0.parquet"))
+        return _manifest(tbl.num_rows)
+
     if cand is not None and len(cand) == 0:
-        return empty
+        return _spill(empty) if output_path is not None else empty
 
     def _finish(tbl: pa.Table) -> pa.Table:
         if drop_ids is not None:
             tbl = _drop_sorted(tbl, id_col, drop_ids)
         return tbl.sort_by(sort_keys)
 
-    if cand is not None and len(cand) <= DRIVER_FETCH_CAP:
+    if cand is not None and len(cand) <= cap:
         tbl = pads.dataset(corpus_path).to_table(
             columns=[id_col, text_col],
             filter=pads.field(id_col).isin([int(d) for d in cand]))
-        if tbl.num_rows == 0:
-            return empty
-        return _finish(result_fn(tbl))
+        out = _finish(result_fn(tbl)) if tbl.num_rows else empty
+        return _spill(out) if output_path is not None else out
 
     if cand is None:
         print(f"[grep] pattern yields no required trigram: full "
               f"streaming scan of {corpus_path}", file=sys.stderr)
     cand_ref = ray.put(np.sort(cand)) if cand is not None else None
+    drop_ref = ray.put(drop_ids) if (output_path is not None
+                                     and drop_ids is not None) else None
 
     def _scan(batch: pa.Table) -> pa.Table:
         t = batch
@@ -698,7 +925,12 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
             t = t.filter(pa.array(mask))
         if t.num_rows == 0:
             return empty
-        return result_fn(t)
+        out = result_fn(t)
+        if drop_ref is not None:
+            # output mode finishes distributed: tombstones subtract
+            # per block (row-local, so it commutes with the scan)
+            out = _drop_sorted(out, id_col, ray.get(drop_ref))
+        return out
 
     # bytes-derived block count: a single-file corpus with one fat row
     # group would otherwise become ONE read task and serialize the
@@ -711,10 +943,19 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
     nbytes = dir_bytes(corpus_path)
     split = ({"override_num_blocks": blocks_for_bytes(
                   nbytes, target_bytes=64 << 20)} if nbytes > 0 else {})
-    out = (rd.read_parquet(corpus_path, columns=[id_col, text_col],
-                           **split)
-           .map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
-           .to_arrow_refs())
+    ds = (rd.read_parquet(corpus_path, columns=[id_col, text_col],
+                          **split)
+          .map_batches(_scan, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    if output_path is not None:
+        import shutil
+
+        shutil.rmtree(output_path, ignore_errors=True)
+        (ds.sort([k for k, _ in sort_keys])
+           .write_parquet(output_path))
+        _ensure_typed(output_path, empty.schema)
+        return _manifest(pads.dataset(output_path).count_rows())
+    out = ds.to_arrow_refs()
     tables = [t for t in ray.get(out) if t.num_rows]
     if not tables:
         return empty
@@ -723,7 +964,8 @@ def _dispatch_verify(corpus_path: str, cand: np.ndarray | None,
 
 def _verified_matches(corpus_path: str, cand: np.ndarray | None,
                       matcher, id_col: str, text_col: str,
-                      counter=None, drop_ids=None) -> pa.Table:
+                      counter=None, drop_ids=None,
+                      output_path=None, fetch_cap=None) -> pa.Table:
     """Docs whose text satisfies ``matcher`` (an Arrow-native predicate
     ``ChunkedArray -> BooleanArray``), restricted to ``cand`` when the
     planner produced one.  With ``counter`` (``ChunkedArray ->
@@ -748,7 +990,8 @@ def _verified_matches(corpus_path: str, cand: np.ndarray | None,
                               text_col: pa.array([], pa.string())}))
     return _dispatch_verify(corpus_path, cand, _result, id_col, text_col,
                             empty, [(id_col, "ascending")],
-                            drop_ids=drop_ids)
+                            drop_ids=drop_ids, output_path=output_path,
+                            fetch_cap=fetch_cap)
 
 
 def _literal_matcher(idx: "TrigramIndex", pattern: str):
@@ -764,23 +1007,30 @@ def _literal_matcher(idx: "TrigramIndex", pattern: str):
     return lambda col: pc.match_substring(col, pattern)
 
 
-def grep_substring(index_dir: str, corpus_path: str,
-                   pattern: str) -> pa.Table:
+def grep_substring(index_dir: str, corpus_path: str, pattern: str,
+                   output_path: str | None = None,
+                   fetch_cap: int | None = None) -> pa.Table:
     """Doc ids whose text contains ``pattern``, sorted ascending.
     Case-sensitivity follows the index build (``casefold=True`` ->
     ``contains(lower(text), lower(pattern))`` semantics).  Patterns
     shorter than 3 bytes fall back to a full streaming scan
-    (documented cost: no trigram can prune them).
+    (documented cost: no trigram can prune them).  With
+    ``output_path`` the match set is written as sorted parquet and a
+    (path, n_rows) manifest is returned instead — bounded driver
+    memory for stopword-scale patterns (see ``_dispatch_verify``).
     Oracle: ``SELECT doc_id FROM documents WHERE contains(text, ?)``."""
     idx = TrigramIndex(index_dir)
     cand = idx.candidates_literal(pattern)
     return _verified_matches(
         corpus_path, cand, _literal_matcher(idx, pattern),
         idx.meta["id_col"], idx.meta["text_col"],
-        drop_ids=idx.tombstones)
+        drop_ids=idx.tombstones, output_path=output_path,
+        fetch_cap=fetch_cap)
 
 
-def grep_count(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
+def grep_count(index_dir: str, corpus_path: str, pattern: str,
+               output_path: str | None = None,
+               fetch_cap: int | None = None) -> pa.Table:
     """(doc_id, n_matches) for docs containing ``pattern``, sorted by
     doc id.  Counts are NON-overlapping occurrences — the same
     convention as SQL's replace-length trick
@@ -798,11 +1048,13 @@ def grep_count(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
     return _verified_matches(
         corpus_path, cand, None,
         idx.meta["id_col"], idx.meta["text_col"], counter=counter,
-        drop_ids=idx.tombstones)
+        drop_ids=idx.tombstones, output_path=output_path,
+        fetch_cap=fetch_cap)
 
 
-def grep_multi(index_dir: str, corpus_path: str,
-               patterns: list[str]) -> pa.Table:
+def grep_multi(index_dir: str, corpus_path: str, patterns: list[str],
+               output_path: str | None = None,
+               fetch_cap: int | None = None) -> pa.Table:
     """(pattern, doc_id) pairs for a BATCH of literal patterns, sorted.
 
     Planning is batched (``candidates_multi``: one df read + one
@@ -828,7 +1080,14 @@ def grep_multi(index_dir: str, corpus_path: str,
     empty = pa.table({"pattern": pa.array([], pa.string()),
                       id_col: pa.array([], pa.int64())})
     if not live:
-        return empty
+        # route through the dispatcher so output mode still gets its
+        # (path, n_rows=0) manifest instead of a bare empty table
+        return _dispatch_verify(corpus_path, np.empty(0, np.int64),
+                                lambda t: empty, id_col, text_col, empty,
+                                [("pattern", "ascending"),
+                                 (id_col, "ascending")],
+                                output_path=output_path,
+                                fetch_cap=fetch_cap)
 
     # folded patterns hoisted once; the casefolded mode lowercases the
     # block's text ONCE for the whole batch of patterns, not per pattern
@@ -855,11 +1114,13 @@ def grep_multi(index_dir: str, corpus_path: str,
     return _dispatch_verify(corpus_path, union, _verify, id_col, text_col,
                             empty, [("pattern", "ascending"),
                                     (id_col, "ascending")],
-                            drop_ids=idx.tombstones)
+                            drop_ids=idx.tombstones,
+                            output_path=output_path, fetch_cap=fetch_cap)
 
 
-def grep_lines(index_dir: str, corpus_path: str,
-               pattern: str) -> pa.Table:
+def grep_lines(index_dir: str, corpus_path: str, pattern: str,
+               output_path: str | None = None,
+               fetch_cap: int | None = None) -> pa.Table:
     """(doc_id, line_no, line) for every LINE containing ``pattern`` —
     the grep presentation layer (1-based line numbers, lines split on
     '\\n').  Candidates come from the trigram planner exactly as in
@@ -904,10 +1165,13 @@ def grep_lines(index_dir: str, corpus_path: str,
     return _dispatch_verify(corpus_path, cand, _result, id_col, text_col,
                             empty, [(id_col, "ascending"),
                                     ("line_no", "ascending")],
-                            drop_ids=idx.tombstones)
+                            drop_ids=idx.tombstones,
+                            output_path=output_path, fetch_cap=fetch_cap)
 
 
-def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
+def grep_regex(index_dir: str, corpus_path: str, pattern: str,
+               output_path: str | None = None,
+               fetch_cap: int | None = None) -> pa.Table:
     """Doc ids whose text matches ``pattern`` (RE2 search semantics —
     the same engine DuckDB's ``regexp_matches`` uses), sorted ascending.
     The pattern must be valid under both Python ``re`` (parsed for the
@@ -926,4 +1190,5 @@ def grep_regex(index_dir: str, corpus_path: str, pattern: str) -> pa.Table:
         corpus_path, cand,
         lambda col: pc.match_substring_regex(col, pattern),
         idx.meta["id_col"], idx.meta["text_col"],
-        drop_ids=idx.tombstones)
+        drop_ids=idx.tombstones, output_path=output_path,
+        fetch_cap=fetch_cap)

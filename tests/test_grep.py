@@ -17,6 +17,7 @@ from hadoopsearchengine_ray.pipelines.grep import (
     _pattern_grams,
     build_trigram_index,
     grep_count,
+    grep_lines,
     grep_multi,
     grep_regex,
     grep_substring,
@@ -682,3 +683,190 @@ def test_df_publish_marker_recovery(grep_corpus, tmp_path,
     want = sorted(d for d, s in texts.items() if "return" in s)
     assert grep_substring(idx, path, "return")["doc_id"].to_pylist() \
         == want
+
+
+def test_output_path_mode_parity(grep_corpus, grep_index, tmp_path):
+    """output_path mode: the match set lands as sorted parquet, the
+    return value is a (path, n_rows) manifest, and the file contents
+    equal the driver-table path — on BOTH dispatch branches (pruned
+    fetch and fetch_cap=0-forced streaming), for substring, lines,
+    multi and count shapes."""
+    import pyarrow.dataset as pads
+
+    path, texts = grep_corpus
+
+    def _roundtrip(fn, *args, **kw):
+        out = str(tmp_path / "out")
+        man = fn(*args, output_path=out, **kw)
+        assert man.column_names == ["path", "n_rows"]
+        assert man["path"][0].as_py() == out
+        tbl = pads.dataset(out).to_table()
+        assert tbl.num_rows == man["n_rows"][0].as_py()
+        return tbl
+
+    for cap in (None, 0):
+        base = grep_substring(grep_index, path, "return", fetch_cap=cap)
+        got = _roundtrip(grep_substring, grep_index, path, "return",
+                         fetch_cap=cap)
+        assert got.select(base.column_names).equals(base)
+
+        base = grep_lines(grep_index, path, "return", fetch_cap=cap)
+        got = _roundtrip(grep_lines, grep_index, path, "return",
+                         fetch_cap=cap)
+        # streaming write sorts by (doc_id, line_no); line is carried
+        assert got.sort_by([("doc_id", "ascending"),
+                            ("line_no", "ascending")]).equals(base)
+
+        base = grep_multi(grep_index, path, ["return", "def ", "zzzq"],
+                          fetch_cap=cap)
+        got = _roundtrip(grep_multi, grep_index, path,
+                         ["return", "def ", "zzzq"], fetch_cap=cap)
+        assert got.sort_by([("pattern", "ascending"),
+                            ("doc_id", "ascending")]).equals(base)
+
+        base = grep_count(grep_index, path, "return", fetch_cap=cap)
+        got = _roundtrip(grep_count, grep_index, path, "return",
+                         fetch_cap=cap)
+        assert got.sort_by([("doc_id", "ascending")]).equals(base)
+
+    # empty result still yields a typed file + zero-row manifest
+    man = grep_substring(grep_index, path, "zzz_never_there",
+                         output_path=str(tmp_path / "out"))
+    assert man["n_rows"][0].as_py() == 0
+    assert pads.dataset(str(tmp_path / "out")).to_table().num_rows == 0
+    # all-provably-empty multi batch keeps the manifest contract too
+    man = grep_multi(grep_index, path, ["zzzq_nope"],
+                     output_path=str(tmp_path / "out"))
+    assert man["n_rows"][0].as_py() == 0
+
+
+def test_output_path_streaming_honors_tombstones(grep_corpus, tmp_path,
+                                                 ray_session):
+    """The streaming writer's per-block tombstone subtraction must
+    match the driver path's post-hoc one."""
+    import pyarrow.dataset as pads
+
+    from hadoopsearchengine_ray.pipelines.grep import (
+        delete_from_trigram_index,
+    )
+
+    path, texts = grep_corpus
+    idx = str(tmp_path / "tri")
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    alive = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert len(alive) >= 3
+    dead = alive[:2]
+    delete_from_trigram_index(idx, dead)
+    base = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert not set(dead) & set(base)
+    man = grep_substring(idx, path, "return",
+                         output_path=str(tmp_path / "o"), fetch_cap=0)
+    got = pads.dataset(str(tmp_path / "o")).to_table()
+    assert got["doc_id"].to_pylist() == base
+    assert man["n_rows"][0].as_py() == len(base)
+
+
+def test_compact_trigram_index(grep_corpus, tmp_path, ray_session):
+    """Compaction folds tombstones into the segments: same results,
+    empty tombstone list, deleted docs gone from the postings
+    themselves (not just plan-time subtracted)."""
+    from hadoopsearchengine_ray.pipelines.grep import (
+        compact_trigram_index,
+        delete_from_trigram_index,
+        maybe_compact_trigram_index,
+    )
+
+    path, texts = grep_corpus
+    idx = str(tmp_path / "tri")
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["num_docs"] == N_DOCS
+
+    alive = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    dead = alive[:3]
+    delete_from_trigram_index(idx, dead)
+    want = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+
+    assert compact_trigram_index(idx) == 3
+    assert not os.path.exists(os.path.join(idx, "tombstones.json"))
+    t = TrigramIndex(idx)
+    assert len(t.tombstones) == 0
+    got = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert got == want
+    # the postings themselves no longer carry the deleted docs
+    import pyarrow.dataset as pads  # noqa: F401
+    for g, docs in t.postings(
+            [int(x) for x in _pattern_grams(b"return")]).items():
+        assert not set(dead) & set(docs.tolist())
+    # regex/multi still healthy on the rewritten index
+    assert grep_regex(idx, path, r"(return|yield) ") \
+        ["doc_id"].to_pylist() == sorted(
+            d for d, s in texts.items()
+            if re.search(r"(return|yield) ", s) and d not in dead)
+    # num_docs denominator shrank by the folded tombstones
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert json.load(f)["num_docs"] == N_DOCS - 3
+    # idempotent: nothing left to fold
+    assert compact_trigram_index(idx) == 0
+    # trigger: below the absolute floor it declines
+    delete_from_trigram_index(idx, alive[3:4])
+    assert not maybe_compact_trigram_index(idx, min_tombstones=10)
+    assert maybe_compact_trigram_index(idx, frac=0.0, min_tombstones=1)
+    assert not os.path.exists(os.path.join(idx, "tombstones.json"))
+
+
+def test_compact_collapses_recovered_delta_dupes(grep_corpus, tmp_path,
+                                                 ray_session):
+    """A delta ingest re-run (the documented crash recovery) leaves
+    duplicate segments; compaction must collapse them to single
+    postings (delta-0 entries would poison assume_unique
+    intersections)."""
+    from hadoopsearchengine_ray.pipelines.grep import (
+        add_to_trigram_index,
+        compact_trigram_index,
+        delete_from_trigram_index,
+    )
+
+    path, texts = grep_corpus
+    import pyarrow.parquet as pq
+    full = pq.read_table(path)
+    base, delta = full.slice(0, 200), full.slice(200)
+    bp, dp = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    pq.write_table(base, bp)
+    pq.write_table(delta, dp)
+    idx = str(tmp_path / "tri")
+    build_trigram_index(bp, idx, text_col="content", id_col="doc_id")
+    add_to_trigram_index(dp, idx)
+    add_to_trigram_index(dp, idx)      # recovery re-run: dup segments
+    delete_from_trigram_index(idx, [0])
+    compact_trigram_index(idx)
+    t = TrigramIndex(idx)
+    posts = t.postings([int(x) for x in _pattern_grams(b"return")])
+    for g, docs in posts.items():
+        assert len(docs) == len(np.unique(docs)), g
+    got = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert got == sorted(d for d, s in texts.items()
+                         if "return" in s and d != 0)
+
+
+def test_compact_marker_recovery(grep_corpus, tmp_path, ray_session):
+    """A crash between the postings renames leaves the marker (and the
+    old dir): opens refuse loudly; re-running compaction recovers."""
+    from hadoopsearchengine_ray.pipelines import grep as g
+
+    path, texts = grep_corpus
+    idx = str(tmp_path / "tri")
+    build_trigram_index(path, idx, text_col="content", id_col="doc_id")
+    g.delete_from_trigram_index(idx, [1, 2])
+    want = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+
+    # simulate the worst crash point: after rename1 (postings gone)
+    post = os.path.join(idx, "postings")
+    os.replace(post, post + ".old")
+    with open(os.path.join(idx, g._COMPACT_MARKER), "w") as f:
+        f.write("crash\n")
+    with pytest.raises(ValueError, match="compact_trigram_index"):
+        TrigramIndex(idx)
+    assert g.compact_trigram_index(idx) == 2
+    got = grep_substring(idx, path, "return")["doc_id"].to_pylist()
+    assert got == want
