@@ -643,6 +643,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grep_substring(trigram_for(src, casefold=True), src,
                               "MERGE Batch").to_pandas()
 
+    def q_grep_regex_ci(sf):
+        # regex over the CASEFOLDED index: regexp_matches(lower(text),
+        # pattern) semantics — lowercase pattern gives grep -i; planned
+        # with the as-written literals' grams against the folded index
+        from hadoopsearchengine_ray.functions.search import trigram_for
+        from hadoopsearchengine_ray.pipelines.grep import grep_regex
+
+        src = f"{sf}/documents.parquet"
+        return grep_regex(trigram_for(src, casefold=True), src,
+                          "spark (scan|merge)").to_pandas()
+
     def q_grep_scan_spill(sf):
         # bounded-driver-memory grep: fetch_cap=0 forces the streaming
         # verify scan and output_path routes the match set straight to
@@ -2233,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_delta": q_grep_delta,
         "grep_after_delete": q_grep_after_delete,
         "grep_substring_ci": q_grep_substring_ci,
+        "grep_regex_ci": q_grep_regex_ci,
         "grep_scan_spill": q_grep_scan_spill,
         "pmi_bigrams": q_pmi_bigrams,
         "filtered_knn": q_filtered_knn,
@@ -3067,6 +3079,13 @@ def oracle_sql() -> dict[str, str]:
         "grep_substring_ci": """
             SELECT doc_id FROM documents
             WHERE contains(lower(text), lower('MERGE Batch'))
+            ORDER BY doc_id
+        """,
+        # case-insensitive regex (casefolded index): DuckDB regexps are
+        # RE2, the same engine the verify stage runs
+        "grep_regex_ci": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text), 'spark (scan|merge)')
             ORDER BY doc_id
         """,
         # bounded-memory spill mode: same match set as grep_substring —

@@ -788,14 +788,23 @@ class TrigramIndex:
     def candidates_regex(self, pattern: str,
                          max_and: int = MAX_AND) -> np.ndarray | None:
         """Superset of docs that can match ``pattern`` (None = no
-        pruning derivable from the regex)."""
+        pruning derivable from the regex).  Required literals are
+        planned AS WRITTEN (never case-folded): on a sensitive index
+        the fold is the identity anyway, and on a casefolded index the
+        served semantics are ``regexp_matches(lower(text), pattern)``
+        — a literal the regex requires must appear verbatim inside
+        ``lower(text)``, whose grams are exactly what the folded index
+        holds, so the unfolded grams are the sound requirement (an
+        uppercase literal correctly yields empty candidates: it can
+        never occur in lowered text)."""
         clauses = regex_required_literals(pattern)
         cand: np.ndarray | None = None
         for alts in clauses:
             sets = []
             opaque = False
             for lit in alts:
-                s = self.candidates_literal(lit, max_and=max_and)
+                s = self._intersect_grams(_pattern_grams(lit.encode()),
+                                          max_and=max_and)
                 if s is None:       # an alternative too short to prune
                     opaque = True
                     break
@@ -1176,19 +1185,28 @@ def grep_regex(index_dir: str, corpus_path: str, pattern: str,
     the same engine DuckDB's ``regexp_matches`` uses), sorted ascending.
     The pattern must be valid under both Python ``re`` (parsed for the
     required-literal analysis only) and RE2 (the match engine).
-    Requires a case-SENSITIVE index: regex case-insensitivity cannot be
-    planned against folded grams soundly for arbitrary patterns."""
+
+    On a CASEFOLDED index the served semantics are
+    ``regexp_matches(lower(text), pattern)`` — write the pattern in
+    lowercase to get grep ``-i`` behavior.  That contract is what makes
+    folded-gram planning sound (see ``candidates_regex``); blanket
+    ``(?i)``-rewriting the pattern instead would be unsound (RE2's
+    case-folding orbit, e.g. ``(?i)s`` matching U+017F, reaches text
+    the ``utf8_lower`` build fold never produced).  A ``(?i)`` the
+    caller writes is honored by the verify stage and planned
+    conservatively (the flagged region is opaque to pruning)."""
     import pyarrow.compute as pc
 
     idx = TrigramIndex(index_dir)
-    if idx.casefold:
-        raise ValueError("grep_regex requires a case-sensitive index "
-                         "(build with casefold=False); regex planning "
-                         "over folded grams is not supported")
     cand = idx.candidates_regex(pattern)
+    if idx.casefold:
+        matcher = lambda col: pc.match_substring_regex(  # noqa: E731
+            pc.utf8_lower(col), pattern)
+    else:
+        matcher = lambda col: pc.match_substring_regex(  # noqa: E731
+            col, pattern)
     return _verified_matches(
-        corpus_path, cand,
-        lambda col: pc.match_substring_regex(col, pattern),
+        corpus_path, cand, matcher,
         idx.meta["id_col"], idx.meta["text_col"],
         drop_ids=idx.tombstones, output_path=output_path,
         fetch_cap=fetch_cap)

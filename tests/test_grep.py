@@ -203,8 +203,8 @@ def test_grep_multi_dispatch_parity(grep_corpus, grep_index, monkeypatch):
 
 def test_casefold_index(tmp_path, ray_session):
     """Casefolded index: lower(text)-contains-lower(pat) semantics,
-    discriminating corpus (mixed case), regex refuses the folded
-    index."""
+    discriminating corpus (mixed case); regex over the folded index
+    serves regexp_matches(lower(text), pattern)."""
     rows = {
         0: "Merge BATCH now",
         1: "merge batch now",
@@ -233,8 +233,13 @@ def test_casefold_index(tmp_path, ray_session):
         .to_pydict() == {"pattern": ["NOTHING", "merge BATCH",
                                      "merge BATCH"],
                          "doc_id": [2, 0, 1]}
-    with pytest.raises(ValueError, match="case-sensitive"):
-        grep_regex(ci, src, "merge (batch|now)")
+    # regex on the folded index: regexp_matches(lower(text), pattern)
+    assert grep_regex(ci, src, "merge (batch|nothing)")["doc_id"] \
+        .to_pylist() == [0, 1, 2]
+    # an uppercase literal can never occur in lowered text: provably
+    # empty at PLAN time (candidates, not just verify)
+    assert len(TrigramIndex(ci).candidates_regex("MERGE batch")) == 0
+    assert grep_regex(ci, src, "MERGE (batch|now)").num_rows == 0
 
 
 def test_multiblock_build_parity(grep_corpus, tmp_path, ray_session):
@@ -870,3 +875,32 @@ def test_compact_marker_recovery(grep_corpus, tmp_path, ray_session):
     assert g.compact_trigram_index(idx) == 2
     got = grep_substring(idx, path, "return")["doc_id"].to_pylist()
     assert got == want
+
+
+def test_casefold_regex_parity(tmp_path, ray_session):
+    """grep_regex on a casefolded index == re.search over lower(text)
+    (lowercase patterns give grep -i behavior), pruned-vs-streaming
+    dispatch identical, non-ASCII case pairs included."""
+    rows = {
+        0: "Merge BATCH now",
+        1: "merge batch later",
+        2: "MERGE nothing",
+        3: "unrelated text",
+        4: "RÉSUMÉ merge Batch",
+    }
+    src = _write_docs(str(tmp_path / "cirx.parquet"), rows)
+    ci = str(tmp_path / "ci")
+    build_trigram_index(src, ci, text_col="content", id_col="doc_id",
+                        casefold=True)
+    import pyarrow.compute as pc
+    lower = {d: pc.utf8_lower(pa.array([s]))[0].as_py()
+             for d, s in rows.items()}
+    for rx in [r"merge (batch|nothing)", r"résumé \w+",
+               r"batch (now|later)", r"zzz(a|b)never"]:
+        want = sorted(d for d, s in lower.items() if re.search(rx, s))
+        assert grep_regex(ci, src, rx)["doc_id"].to_pylist() == want, rx
+        assert grep_regex(ci, src, rx, fetch_cap=0)["doc_id"] \
+            .to_pylist() == want, rx
+    # caller-written (?i) is honored by verify (planned conservatively)
+    assert grep_regex(ci, src, r"(?i)MeRgE BaTcH")["doc_id"] \
+        .to_pylist() == [0, 1, 4]
