@@ -243,6 +243,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d2], dtype="int64"),
         })
 
+    def q_serve_search(sf):
+        # the persistent serving daemon (pipelines/serve.py): warm
+        # pools behind one dict-in/dict-out dispatcher — page 1 + a
+        # cursor page 2 through SearchServer.handle, so the daemon's
+        # request path (not just the pools underneath) is what the
+        # oracle checks.  Rows = global ranks 1..20.
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.serve import SearchServer
+
+        srv = SearchServer(index_for(f"{sf}/documents.parquet"),
+                           num_ranges=4)
+        try:
+            p1 = srv.handle({"op": "search", "terms": BM25_TERMS,
+                             "k": 10})
+            assert p1["ok"], p1
+            hits = p1["hits"]
+            if "next_after" in p1:
+                p2 = srv.handle({"op": "search", "terms": BM25_TERMS,
+                                 "k": 10, "after": p1["next_after"]})
+                assert p2["ok"], p2
+                hits = hits + p2["hits"]
+        finally:
+            srv.close()
+        return pd.DataFrame({
+            "rank": pd.array(range(1, 1 + len(hits)), dtype="int64"),
+            "doc_id": pd.array([h["doc_id"] for h in hits],
+                               dtype="int64"),
+        })
+
     def q_bm25_pool(sf):
         # the doc-range-partitioned serving tier (pool.py): N range-owner
         # actors each score their slice (range-local MaxScore since
@@ -2211,9 +2240,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
     # Ordering = driver-verification priority (the driver samples a
     # PREFIX of this dict): first the queries never yet recorded in a
-    # driver CORRECTNESS file plus everything new/changed this round,
-    # then queries last driver-checked in r01/r02, then the r03-green
-    # set.  Coverage rotates: every query lands in a driver file.
+    # driver CORRECTNESS file (phrase3_match/phrase_pool, landed after
+    # the r4 sample was drawn) plus everything new/changed this round
+    # (serve daemon, casefolded regex, grep spill mode, pool-scored
+    # facet paths), then the r04-checked set.
+        "phrase3_match": q_phrase3,
+        "phrase_pool": q_phrase_pool,
+        "serve_search": q_serve_search,
+        "grep_regex_ci": q_grep_regex_ci,
+        "grep_scan_spill": q_grep_scan_spill,
+        "facet_topk_hot": q_facet_topk_hot,
+        "facet_topk": q_facet_topk,
         "domain_mix": q_domain_mix,
         "ppl_bucket_filter": q_ppl_bucket,
         "search_snippets": q_search_snippets,
@@ -2226,7 +2263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_orders": q_left_join_orders,
         "range_join": q_range_join,
         "expected_reward_topk": q_expected_reward,
-        "facet_topk_hot": q_facet_topk_hot,
         "expanded_topk": q_expanded_topk,
         "bm25_pool_topk": q_bm25_pool,
         "index_stats": q_index_stats,
@@ -2244,12 +2280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_delta": q_grep_delta,
         "grep_after_delete": q_grep_after_delete,
         "grep_substring_ci": q_grep_substring_ci,
-        "grep_regex_ci": q_grep_regex_ci,
-        "grep_scan_spill": q_grep_scan_spill,
         "pmi_bigrams": q_pmi_bigrams,
         "filtered_knn": q_filtered_knn,
         "mmr_topk": q_mmr,
-        "facet_topk": q_facet_topk,
         "lang_id": q_lang_id,
         "keyword_pagerank": q_keyword_pagerank,
         "term_cf_p95": q_cf_p95,
@@ -2291,8 +2324,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25,
         "phrase_match": q_phrase,
-        "phrase3_match": q_phrase3,
-        "phrase_pool": q_phrase_pool,
         "prox_topk": q_prox,
         "bm25_title_topk": q_bm25_title,
         "bm25f_fields": q_bm25f,
@@ -2626,6 +2657,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rank, doc_id FROM ranked
             WHERE rank BETWEEN 11 AND 20 ORDER BY rank
+        """,
+        # the serving daemon: two handle() pages stitched = the SQL
+        # ranking's rows 1-20 (same scoring CTE, deeper window)
+        "serve_search": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (
+              SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                          AS BIGINT) AS rank, doc_id
+              FROM sc
+            )
+            SELECT rank, doc_id FROM ranked
+            WHERE rank <= 20 ORDER BY rank
         """,
         # the range-pool serving tier must produce the same ranking as
         # the single reader — same oracle as bm25_topk by contract

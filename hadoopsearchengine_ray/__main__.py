@@ -34,12 +34,20 @@ import os
 import sys
 
 
+_RAY_OWNED = False
+
+
 def _init_ray() -> None:
+    """Guarded init; remembers whether THIS process started Ray so
+    ``main`` only shuts down a session it owns (an embedding caller's
+    live session — e.g. the test harness — must survive a CLI call)."""
     import ray
 
+    global _RAY_OWNED
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
+        _RAY_OWNED = True
 
 
 def _cmd_gen(a: argparse.Namespace) -> int:
@@ -125,12 +133,6 @@ def _cmd_grep(a: argparse.Namespace) -> int:
         grep_regex,
         grep_substring,
     )
-
-    if a.mode == "regex" and a.ignore_case:
-        print("error: --mode regex cannot use a casefolded index; put "
-              "(?i) in the pattern instead (planning then degrades to "
-              "a full scan, matching stays correct)", file=sys.stderr)
-        return 2
 
     _init_ray()
     import shutil
@@ -269,6 +271,31 @@ def _cmd_grep_delete(a: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_serve(a: argparse.Namespace) -> int:
+    """Long-lived serving daemon (the reference's CGI/NameServer tier,
+    DyableRequest/DyableQuery/DyableQuery.cpp:70-100): pin the range
+    pool (+ optional ANN pool / grep index) ONCE, then answer NDJSON
+    requests on stdin until EOF or {"op": "shutdown"} — the pool
+    latencies the one-shot subcommands pay setup for on every call."""
+    from .pipelines.serve import SearchServer, serve_loop
+
+    _init_ray()
+    server = SearchServer(a.index, corpus_path=a.corpus,
+                          grep_index=a.grep_index,
+                          ann_index=a.ann_index,
+                          num_ranges=a.num_ranges)
+    print(json.dumps({"ready": True,
+                      **{k: v for k, v in server.handle(
+                          {"op": "stats"}).items() if k != "ok"}}),
+          file=sys.stderr, flush=True)
+    try:
+        n = serve_loop(server)
+    finally:
+        server.close()
+    print(json.dumps({"served": n}), file=sys.stderr, flush=True)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m hadoopsearchengine_ray",
                                 description=(__doc__ or "").split("\n\n")[0])
@@ -327,8 +354,10 @@ def main(argv: list[str] | None = None) -> int:
     gr.add_argument("--text-col", default="text")
     gr.add_argument("--id-col", default="doc_id")
     gr.add_argument("-i", "--ignore-case", action="store_true",
-                    help="build/serve the casefolded variant "
-                         "(substring modes only)")
+                    help="build/serve the casefolded variant; with "
+                         "--mode regex the semantics are "
+                         "regexp_matches(lower(text), pattern) — "
+                         "write the pattern in lowercase")
     gr.add_argument("pattern")
     gr.set_defaults(fn=_cmd_grep)
 
@@ -357,14 +386,32 @@ def main(argv: list[str] | None = None) -> int:
                          "of indexed docs (and the absolute floor)")
     gd.set_defaults(fn=_cmd_grep_delete)
 
+    sv = sub.add_parser("serve", help="long-lived NDJSON serving "
+                        "daemon over warm pools (stdin/stdout; ops: "
+                        "search/query/phrase/near/facets/ann/spell/"
+                        "grep/stats/ping/shutdown)")
+    sv.add_argument("--index", required=True,
+                    help="built inverted-index dir (pipelines build)")
+    sv.add_argument("--corpus", default=None,
+                    help="doc parquet — enables facets + grep verify")
+    sv.add_argument("--grep-index", default=None,
+                    help="built trigram index dir — enables grep ops")
+    sv.add_argument("--ann-index", default=None,
+                    help="built ANN index dir — enables ann op")
+    sv.add_argument("--num-ranges", type=int, default=4,
+                    help="doc-range scorer actors in the pool")
+    sv.set_defaults(fn=_cmd_serve)
+
     a = p.parse_args(argv)
     try:
         return a.fn(a)
     finally:
         import ray
 
-        if ray.is_initialized():
+        global _RAY_OWNED
+        if _RAY_OWNED and ray.is_initialized():
             ray.shutdown()
+            _RAY_OWNED = False
 
 
 if __name__ == "__main__":

@@ -496,7 +496,8 @@ def test_delta_ingest_marker_and_retry(grep_corpus, tmp_path,
 
 def test_cli_grep_reuse_and_lineage(tmp_path, ray_session, capsys):
     """CLI grep must not serve an index built with different params
-    (-i mismatch) or over a rewritten corpus; regex -i errors upfront."""
+    (-i mismatch) or over a rewritten corpus; regex -i serves
+    regexp_matches(lower(text), pattern) from the folded index."""
     from hadoopsearchengine_ray.__main__ import main
 
     src = _write_docs(str(tmp_path / "c.parquet"),
@@ -523,9 +524,12 @@ def test_cli_grep_reuse_and_lineage(tmp_path, ray_session, capsys):
     rows = [json.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert [r["doc_id"] for r in rows] == [1, 2]
-    # regex cannot ride a casefolded index
+    # regex on the casefolded index: regexp_matches(lower(text), pat)
     assert main(["grep", "--corpus", src, "--index", idx, "-i",
-                 "--mode", "regex", "merge.*"]) == 2
+                 "--mode", "regex", "merge (batch|gone)"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [1, 2]
 
 
 def test_grep_tombstones(grep_corpus, tmp_path, ray_session,

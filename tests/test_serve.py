@@ -1,0 +1,215 @@
+"""Persistent serving daemon (pipelines/serve.py): warm pools behind
+one dispatcher, NDJSON loop, CLI wiring."""
+
+import io
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hadoopsearchengine_ray.pipelines.serve import SearchServer, serve_loop
+
+
+@pytest.fixture(scope="module")
+def serve_env(tmp_path_factory, ray_session):
+    """documents-style table + main index + trigram index + ANN index,
+    all tiny, plus the ground-truth text map."""
+    from hadoopsearchengine_ray.functions.search import index_for
+    from hadoopsearchengine_ray.pipelines.ann import build_ann_index
+    from hadoopsearchengine_ray.pipelines.grep import build_trigram_index
+
+    d = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(11)
+    n = 90
+    langs = ["en", "fr", None]
+    texts = []
+    for i in range(n):
+        words = (["spark"] * int(rng.integers(0, 3))
+                 + ["merge"] * int(rng.integers(0, 3))
+                 + ["window", "batch", f"u{i}"]
+                 + ["pad"] * int(rng.integers(1, 6)))
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    docs = str(d / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": texts,
+        "lang": pa.array([langs[i % 3] for i in range(n)], pa.string()),
+    }), docs)
+    index_dir = index_for(docs)
+
+    tri = str(d / "tri")
+    build_trigram_index(docs, tri, text_col="text", id_col="doc_id")
+
+    m = rng.standard_normal((n, 32))
+    emb = str(d / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32())),
+    }), emb)
+    ann = str(d / "ann")
+    build_ann_index(emb, ann, num_lists=4, m=8, ksub=16, dim=32)
+
+    server = SearchServer(index_dir, corpus_path=docs, grep_index=tri,
+                          ann_index=ann, num_ranges=3)
+    yield {"server": server, "docs": docs, "index": index_dir,
+           "texts": texts, "emb_matrix": m, "ann": ann}
+    server.close()
+
+
+def test_serve_search_matches_scorer(serve_env):
+    """search/query/cursor ops agree with the cold-path scorers —
+    the daemon adds warmth, not different answers."""
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    srv = serve_env["server"]
+    sc = BM25Scorer(serve_env["index"])
+
+    r = srv.handle({"op": "search", "terms": ["spark", "merge"],
+                    "k": 10, "id": 7})
+    assert r["ok"] and r["id"] == 7
+    d, s = sc.score_exact(["spark", "merge"], 10)
+    assert [h["doc_id"] for h in r["hits"]] == [int(x) for x in d]
+    assert [h["score"] for h in r["hits"]] == [float(x) for x in s]
+
+    # cursor paging: page2 via next_after == ranks k+1..2k of one
+    # deep dense pass
+    p2 = srv.handle({"op": "search", "terms": ["spark", "merge"],
+                     "k": 10, "after": r["next_after"]})
+    deep_d, _ = sc.score_exact(["spark", "merge"], 20)
+    assert [h["doc_id"] for h in p2["hits"]] == \
+        [int(x) for x in deep_d[10:20]]
+
+    rq = srv.handle({"op": "query", "q": "merge^2 +window", "k": 5})
+    qd, qs = sc.score_query("merge^2 +window", 5)
+    assert [h["doc_id"] for h in rq["hits"]] == [int(x) for x in qd]
+
+
+def test_serve_phrase_near_facets_spell(serve_env):
+    srv = serve_env["server"]
+    texts = serve_env["texts"]
+
+    r = srv.handle({"op": "phrase", "terms": ["window", "batch"]})
+    want = sorted(i for i, t in enumerate(texts)
+                  if "window batch" in t)
+    assert [row["doc_id"] for row in r["rows"]] == want
+    assert r["total"] == len(want)
+
+    r = srv.handle({"op": "near", "a": "spark", "b": "merge",
+                    "slop": 2, "limit": 5})
+    assert r["ok"] and len(r["rows"]) <= 5 and r["total"] >= len(r["rows"])
+
+    r = srv.handle({"op": "facets", "terms": ["spark"], "k": 2,
+                    "facet_col": "lang"})
+    assert r["ok"]
+    facets = {row["facet"] for row in r["rows"]}
+    assert None in facets and "en" in facets
+    per = {}
+    for row in r["rows"]:
+        per.setdefault(row["facet"], []).append(row["score"])
+    for scores in per.values():
+        assert len(scores) <= 2 and scores == sorted(scores,
+                                                     reverse=True)
+
+    r = srv.handle({"op": "spell", "term": "windoq"})
+    assert r["ok"] and "window" in r["suggestions"]
+
+
+def test_serve_ann_and_grep(serve_env):
+    from hadoopsearchengine_ray.pipelines.ann import AnnIndex
+
+    srv = serve_env["server"]
+    m = serve_env["emb_matrix"]
+
+    r = srv.handle({"op": "ann", "vectors": m[3].tolist(), "k": 5,
+                    "nprobe": 4})
+    assert r["ok"] and len(r["results"]) == 1
+    base = AnnIndex(serve_env["ann"]).query(m[3:4], k=5, nprobe=4)
+    assert [h["vec_id"] for h in r["results"][0]] == \
+        list(base.sort_values("rank")["vec_id"])
+
+    texts = serve_env["texts"]
+    r = srv.handle({"op": "grep", "pattern": "window batch",
+                    "mode": "docs", "limit": 3})
+    want = sorted(i for i, t in enumerate(texts) if "window batch" in t)
+    assert r["total"] == len(want)
+    assert [row["doc_id"] for row in r["rows"]] == want[:3]
+    r = srv.handle({"op": "grep", "pattern": "window batch",
+                    "mode": "count", "limit": None})
+    assert {row["doc_id"]: row["n_matches"] for row in r["rows"]} == \
+        {i: texts[i].count("window batch") for i in want}
+
+
+def test_serve_errors_do_not_kill(serve_env):
+    srv = serve_env["server"]
+    r = srv.handle({"op": "definitely_not_an_op"})
+    assert not r["ok"] and "unknown op" in r["error"]
+    r = srv.handle({"no_op_at_all": 1})
+    assert not r["ok"]
+    r = srv.handle({"op": "grep", "mode": "docs"})   # missing pattern
+    assert not r["ok"] and "KeyError" in r["error"]
+    # still alive
+    assert srv.handle({"op": "ping"})["ok"]
+    st = srv.handle({"op": "stats"})
+    assert st["ok"] and st["num_docs"] == 90 and st["num_ranges"] == 3
+    assert st["n_requests"] >= 5
+
+
+def test_serve_requires_configured_backends(tmp_path, serve_env):
+    """Ops needing unconfigured state fail per-request, loudly."""
+    srv = SearchServer(serve_env["index"])     # bare: pool only
+    try:
+        assert srv.handle({"op": "search", "terms": ["spark"],
+                           "k": 3})["ok"]
+        r = srv.handle({"op": "ann", "vectors": [0.0] * 32})
+        assert not r["ok"] and "ann_index" in r["error"]
+        r = srv.handle({"op": "grep", "pattern": "x"})
+        assert not r["ok"] and "grep_index" in r["error"]
+        r = srv.handle({"op": "facets", "terms": ["spark"]})
+        assert not r["ok"] and "corpus_path" in r["error"]
+    finally:
+        srv.close()
+
+
+def test_serve_loop_ndjson(serve_env):
+    srv = serve_env["server"]
+    fin = io.StringIO("\n".join([
+        json.dumps({"op": "ping", "id": 1}),
+        "",                                   # blank: skipped
+        "{not json",                          # error response, keep going
+        json.dumps({"op": "search", "terms": ["spark"], "k": 3,
+                    "id": 2}),
+        json.dumps({"op": "shutdown", "id": 3}),
+        json.dumps({"op": "ping", "id": 99}),  # after shutdown: unread
+    ]) + "\n")
+    fout = io.StringIO()
+    served = serve_loop(srv, fin, fout)
+    lines = [json.loads(x) for x in fout.getvalue().splitlines()]
+    assert served == 4 and len(lines) == 4
+    assert lines[0] == {"id": 1, "ok": True, "pong": True}
+    assert not lines[1]["ok"] and "bad json" in lines[1]["error"]
+    assert lines[2]["ok"] and lines[2]["id"] == 2 and lines[2]["hits"]
+    assert lines[3] == {"ok": True, "bye": True, "id": 3}
+
+
+def test_cli_serve_roundtrip(serve_env, monkeypatch, capsys):
+    """The serve subcommand wires argv -> SearchServer -> loop."""
+    import sys
+
+    from hadoopsearchengine_ray.__main__ import main
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(
+        json.dumps({"op": "search", "terms": ["merge"], "k": 3}) + "\n"
+        + json.dumps({"op": "shutdown"}) + "\n"))
+    rc = main(["serve", "--index", serve_env["index"],
+               "--corpus", serve_env["docs"],
+               "--grep-index", serve_env["server"].grep_index,
+               "--num-ranges", "2"])
+    assert rc == 0
+    out = [json.loads(x)
+           for x in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["ok"] and len(out[0]["hits"]) == 3
+    assert out[1] == {"ok": True, "bye": True}
