@@ -172,17 +172,38 @@ def _cmd_grep(a: argparse.Namespace) -> int:
                   "with different parameters; rebuilding",
                   file=sys.stderr)
         # a rebuild must NOT resurrect docs the user explicitly
-        # grep-deleted: tombstones are user intent, not index state —
-        # carry them across (a content-identical corpus rewrite keeps
-        # the same doc ids, so the ids stay meaningful; ids absent
-        # from the new corpus are harmless no-ops in the subtraction)
+        # grep-deleted: tombstones are user intent, not index state.
+        # Carrying them is only SOUND when the corpus provides its own
+        # id column (ids survive any rewrite; ids absent from the new
+        # corpus are harmless no-ops in the subtraction).  Rank-derived
+        # ids (no id_col: zip_with_index over the sorted natural key)
+        # can renumber docs when the corpus changes, so a carried
+        # tombstone could silently suppress a DIFFERENT live doc —
+        # refuse unless the user explicitly discards them.
         keep_tomb: list[int] = []
         tomb_path = os.path.join(a.index, "tombstones.json")
         if os.path.exists(tomb_path):
             with open(tomb_path) as f:
                 keep_tomb = json.load(f)
+        if keep_tomb and id_col not in schema.names:
+            if not a.drop_tombstones:
+                print(f"error: index {a.index} has {len(keep_tomb)} "
+                      "tombstones but the corpus has no stable id "
+                      f"column ({id_col!r}): rebuilding assigns ids by "
+                      "rank, so carried tombstones could hide the "
+                      "wrong documents. Re-run with --drop-tombstones "
+                      "to rebuild without them (then re-issue "
+                      "grep-delete for the surviving ids).",
+                      file=sys.stderr)
+                return 2
+            print(f"[grep] dropping {len(keep_tomb)} tombstones "
+                  "(--drop-tombstones): rank-derived ids do not "
+                  "survive a rebuild", file=sys.stderr)
+            keep_tomb = []
+        elif keep_tomb:
             print(f"[grep] preserving {len(keep_tomb)} tombstones "
-                  "across the rebuild", file=sys.stderr)
+                  "across the rebuild (corpus-stable ids)",
+                  file=sys.stderr)
         shutil.rmtree(a.index, ignore_errors=True)
 
     if id_col not in schema.names:
@@ -255,14 +276,19 @@ def _cmd_grep_delete(a: argparse.Namespace) -> int:
     from .pipelines.grep import (
         delete_from_trigram_index,
         maybe_compact_trigram_index,
+        should_compact_trigram_index,
     )
 
     total = delete_from_trigram_index(a.index, a.ids)
     compacted = False
-    if not a.no_compact:
+    if not a.no_compact and should_compact_trigram_index(
+            a.index, frac=a.compact_frac):
         # fold a grown tombstone list back into the segments so the
         # plan-time subtraction array stays bounded (threshold: both an
-        # absolute floor and a fraction of the indexed doc count)
+        # absolute floor and a fraction of the indexed doc count).
+        # Compaction is a Ray Data job — own the session like every
+        # other Ray-using subcommand instead of letting it auto-init
+        _init_ray()
         compacted = maybe_compact_trigram_index(
             a.index, frac=a.compact_frac)
     print(json.dumps({"index": a.index,
@@ -353,6 +379,10 @@ def main(argv: list[str] | None = None) -> int:
                                        "lines"], default="substring")
     gr.add_argument("--text-col", default="text")
     gr.add_argument("--id-col", default="doc_id")
+    gr.add_argument("--drop-tombstones", action="store_true",
+                    help="allow a rebuild to discard tombstones when "
+                         "the corpus has no stable id column (rank-"
+                         "derived ids do not survive a rebuild)")
     gr.add_argument("-i", "--ignore-case", action="store_true",
                     help="build/serve the casefolded variant; with "
                          "--mode regex the semantics are "

@@ -13,6 +13,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..pipelines.build_index import build_index
 from ..pipelines.query import BM25Scorer
@@ -244,7 +245,9 @@ def facet_counts(parquet_path: str, terms: list[str],
 
 def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
                k: int = 3, text_col: str = "text",
-               driver_merge_threshold: int = 200_000) -> pd.DataFrame:
+               driver_merge_threshold: int = 200_000,
+               num_ranges: int | None = None,
+               pool=None) -> pd.DataFrame:
     """Grouped retrieval: the BM25 top-``k`` docs PER FACET VALUE for a
     disjunctive term query (the 'best hits in every category' panel).
 
@@ -264,20 +267,31 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
     holds a matched (doc_id, score) array.  Both paths are
     oracle-identical (same final sort, asserted by the facet_topk /
     facet_topk_hot driver queries).  Returns (facet, rank, doc_id) with
-    rank per facet by (score DESC, doc_id) — the bm25_topk tie-break."""
+    rank per facet by (score DESC, doc_id) — the bm25_topk tie-break.
+
+    ``pool``: an already-warm ``RangePartitionedPool`` over the same
+    index (e.g. a serving daemon's) — used for the big path instead of
+    constructing and killing a fleet per call; the caller keeps
+    ownership.  ``num_ranges`` sizes a per-call pool when none is
+    passed (default: CPU-derived)."""
+    import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
     index_dir = index_for(parquet_path, text_col=text_col)
-    scorer = BM25Scorer(index_dir)
-    df_bound = 0
-    for t in sorted(set(terms)):
-        ent = scorer.rd.lookup(t)
-        if ent:
-            df_bound += int(ent[1])
+    # dispatch bound = sum of the query terms' dictionary dfs — a
+    # term-pruned read of just the df column, NOT a full IndexReader
+    # (whose __init__ materializes the O(num_docs) doclen array and the
+    # whole dictionary on the driver, exactly what the big path exists
+    # to avoid)
+    d_tbl = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
+        columns=["df"],
+        filter=pads.field("term").isin(sorted(set(terms))))
+    df_bound = int(pc.sum(d_tbl["df"]).as_py() or 0)
     small = df_bound <= driver_merge_threshold
 
     if small:
+        scorer = BM25Scorer(index_dir)
         docs, scores = scorer.score_exact(terms, 1 << 62)  # all matched
         order = np.argsort(docs)
         docs_s = np.asarray(docs, np.int64)[order]
@@ -303,10 +317,17 @@ def facet_topk(parquet_path: str, terms: list[str], facet_col: str = "lang",
              .map_batches(_attach, batch_format="pyarrow",
                           zero_copy_batch=True)
              .to_pandas())
+    elif pool is not None:
+        # caller-owned warm pool (a serving daemon): no per-call fleet
+        j = pool.facet_heads(terms, k, facet_col, parquet_path)
     else:
         from ..pipelines.pool import RangePartitionedPool
 
-        pool = RangePartitionedPool(index_dir, num_ranges=4)
+        if num_ranges is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+            num_ranges = max(2, min(8, ncpu // 4))
+        pool = RangePartitionedPool(index_dir, num_ranges=num_ranges)
         try:
             j = pool.facet_heads(terms, k, facet_col, parquet_path)
         finally:

@@ -504,13 +504,13 @@ def compact_trigram_index(index_dir: str) -> int:
     return len(ts)
 
 
-def maybe_compact_trigram_index(index_dir: str, frac: float = 0.25,
-                                min_tombstones: int = 1024) -> bool:
-    """Compact when the tombstone list has grown past both an absolute
-    floor and ``frac`` of the indexed doc count (the grep analog of the
-    main index's ``maybe_compact``, pipelines/delta.py) — keeping the
-    driver-side tombstone JSON bounded instead of growing until a
-    manual rebuild.  Indexes built before ``num_docs`` was recorded
+def should_compact_trigram_index(index_dir: str, frac: float = 0.25,
+                                 min_tombstones: int = 1024) -> bool:
+    """Ray-free threshold check for ``maybe_compact_trigram_index``:
+    true when the tombstone list has grown past both an absolute floor
+    and ``frac`` of the indexed doc count.  Split out so a caller (the
+    grep-delete CLI) can avoid initializing Ray for a delete that
+    won't compact.  Indexes built before ``num_docs`` was recorded
     fall back to the absolute floor alone."""
     ts_path = os.path.join(index_dir, "tombstones.json")
     if not os.path.exists(ts_path):
@@ -523,6 +523,18 @@ def maybe_compact_trigram_index(index_dir: str, frac: float = 0.25,
         meta = json.load(f)
     num_docs = meta.get("num_docs")
     if num_docs and n_ts < frac * int(num_docs):
+        return False
+    return True
+
+
+def maybe_compact_trigram_index(index_dir: str, frac: float = 0.25,
+                                min_tombstones: int = 1024) -> bool:
+    """Compact when ``should_compact_trigram_index`` says so (the grep
+    analog of the main index's ``maybe_compact``, pipelines/delta.py)
+    — keeping the driver-side tombstone JSON bounded instead of
+    growing until a manual rebuild."""
+    if not should_compact_trigram_index(index_dir, frac=frac,
+                                        min_tombstones=min_tombstones):
         return False
     compact_trigram_index(index_dir)
     return True

@@ -411,8 +411,10 @@ def parse_query(qstr: str) -> dict:
 
 
 def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
-    """Top-k by (-score, doc_id) — deterministic tie-break."""
-    if len(doc_ids) == 0:
+    """Top-k by (-score, doc_id) — deterministic tie-break.  k <= 0 is
+    a well-defined empty page (a serving front may legitimately ask
+    for 0 rows), not an out-of-bounds np.partition."""
+    if len(doc_ids) == 0 or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     k = min(k, len(doc_ids))
     if len(scores) > 2 * k:

@@ -83,18 +83,24 @@ class SearchServer:
         self.grep_index = grep_index
         self.pool = RangePartitionedPool(index_dir,
                                          num_ranges=num_ranges)
-        self.ann = None
-        if ann_index is not None:
-            from .ann import AnnPool
+        try:
+            self.ann = None
+            if ann_index is not None:
+                from .ann import AnnPool
 
-            self.ann = AnnPool(ann_index, num_owners=ann_owners)
-        if grep_index is not None:
-            # fail fast on a broken/half-published grep index (the
-            # open validates markers + meta) instead of on request 1
-            from .grep import TrigramIndex
+                self.ann = AnnPool(ann_index, num_owners=ann_owners)
+            if grep_index is not None:
+                # fail fast on a broken/half-published grep index (the
+                # open validates markers + meta) instead of on request 1
+                from .grep import TrigramIndex
 
-            TrigramIndex(grep_index)
-        self._spell = None          # lazy: one dictionary read
+                TrigramIndex(grep_index)
+        except BaseException:
+            # a failed constructor has no handle for the caller to
+            # close() — reap the already-spawned actors here
+            self.close()
+            raise
+        self.shutdown_requested = False
         self._t0 = time.monotonic()
         self._n_requests = 0
 
@@ -114,7 +120,7 @@ class SearchServer:
                                          after_doc=int(after[1]))
         hits = _hits(d, s)
         out = {"hits": hits}
-        if len(hits) == k:
+        if hits and len(hits) == k:
             out["next_after"] = [hits[-1]["score"], hits[-1]["doc_id"]]
         return out
 
@@ -172,11 +178,12 @@ class SearchServer:
         return {"results": res}
 
     def _op_spell(self, req: dict) -> dict:
-        if self._spell is None:
-            from ..functions.spellcheck import SpellIndex
+        # _spell_for is lineage-keyed: a dictionary rebuilt under a
+        # running daemon evicts the cached SymSpell structure instead
+        # of serving stale suggestions until restart
+        from ..functions.search import _spell_for
 
-            self._spell = SpellIndex.from_index_dir(self.index_dir)
-        return {"suggestions": self._spell.suggest(
+        return {"suggestions": _spell_for(self.index_dir).suggest(
             str(req["term"]), int(req.get("max_suggestions", 5)))}
 
     def _op_grep(self, req: dict) -> dict:
@@ -242,6 +249,13 @@ class SearchServer:
             op = req["op"]
             if op == "ping":
                 return {**base, "ok": True, "pong": True}
+            if op == "shutdown":
+                # handled here (not only in serve_loop) so ANY
+                # transport wrapping handle() can stop the daemon via
+                # the documented protocol; the transport reads
+                # shutdown_requested after each response
+                self.shutdown_requested = True
+                return {**base, "ok": True, "bye": True}
             fn = self._OPS.get(op)
             if fn is None:
                 raise ValueError(f"unknown op {op!r}")
@@ -276,14 +290,8 @@ def serve_loop(server: SearchServer, fin=None, fout=None) -> int:
                   file=fout, flush=True)
             served += 1
             continue
-        if isinstance(req, dict) and req.get("op") == "shutdown":
-            rid = req.get("id")
-            ack = {"ok": True, "bye": True}
-            if rid is not None:
-                ack["id"] = rid
-            print(json.dumps(ack), file=fout, flush=True)
-            served += 1
-            break
         print(json.dumps(server.handle(req)), file=fout, flush=True)
         served += 1
+        if server.shutdown_requested:
+            break
     return served

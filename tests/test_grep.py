@@ -908,3 +908,39 @@ def test_casefold_regex_parity(tmp_path, ray_session):
     # caller-written (?i) is honored by verify (planned conservatively)
     assert grep_regex(ci, src, r"(?i)MeRgE BaTcH")["doc_id"] \
         .to_pylist() == [0, 1, 4]
+
+
+def test_cli_rebuild_refuses_unstable_tombstones(tmp_path, ray_session,
+                                                 capsys):
+    """Rank-derived doc ids (no id column in the corpus) do NOT
+    survive a rebuild — a carried tombstone could hide a different
+    live doc.  The CLI must refuse the rebuild unless the user
+    explicitly discards the tombstones with --drop-tombstones."""
+    from hadoopsearchengine_ray.__main__ import main
+
+    src = str(tmp_path / "raw.parquet")
+    pq.write_table(pa.table({
+        "path": ["a.py", "b.py", "c.py"],
+        "content": ["alpha merge", "merge beta", "merge gamma"],
+    }), src)
+    idx = str(tmp_path / "rawidx")
+    assert main(["grep", "--corpus", src, "--index", idx, "merge"]) == 0
+    capsys.readouterr()
+    assert main(["grep-delete", "--index", idx, "1"]) == 0
+    capsys.readouterr()
+    # corpus rewrite with a NEW doc sorting first: rank ids shift
+    pq.write_table(pa.table({
+        "path": ["0new.py", "a.py", "b.py", "c.py"],
+        "content": ["merge zero", "alpha merge", "merge beta",
+                    "merge gamma"],
+    }), src)
+    assert main(["grep", "--corpus", src, "--index", idx,
+                 "merge"]) == 2
+    err = capsys.readouterr().err
+    assert "--drop-tombstones" in err
+    # explicit discard: rebuild proceeds, ALL current docs match
+    assert main(["grep", "--corpus", src, "--index", idx,
+                 "--drop-tombstones", "merge"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3]

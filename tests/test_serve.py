@@ -213,3 +213,59 @@ def test_cli_serve_roundtrip(serve_env, monkeypatch, capsys):
            for x in capsys.readouterr().out.strip().splitlines()]
     assert out[0]["ok"] and len(out[0]["hits"]) == 3
     assert out[1] == {"ok": True, "bye": True}
+
+
+def test_handle_serves_shutdown_for_any_transport(serve_env):
+    """shutdown is part of the documented protocol, so it must work
+    through handle() itself (an HTTP/socket front wraps handle(), not
+    serve_loop) — the old code only special-cased it in serve_loop."""
+    srv = serve_env["server"]
+    try:
+        r = srv.handle({"op": "shutdown", "id": 42})
+        assert r == {"id": 42, "ok": True, "bye": True}
+        assert srv.shutdown_requested
+        # the flag is advisory for the transport; the dispatcher keeps
+        # answering (close() is the owner's call)
+        assert srv.handle({"op": "ping"})["ok"]
+    finally:
+        srv.shutdown_requested = False
+
+
+def test_search_k0_returns_empty_page(serve_env):
+    """k=0 must be an empty page, not an IndexError minting the cursor
+    (len(hits) == k is true for 0 == 0)."""
+    r = serve_env["server"].handle(
+        {"op": "search", "terms": ["merge"], "k": 0})
+    assert r["ok"] and r["hits"] == [] and "next_after" not in r
+
+
+def test_failed_constructor_reaps_pool_actors(serve_env, tmp_path):
+    """If a later init step raises (bad grep index), the
+    already-spawned range-pool actors must be shut down — the caller
+    has no handle to close()."""
+    import ray
+
+    from hadoopsearchengine_ray.pipelines import pool as pool_mod
+
+    spawned = []
+    orig = pool_mod.RangePartitionedPool
+
+    class Spy(orig):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            spawned.append(self)
+
+    pool_mod.RangePartitionedPool, bak = Spy, orig
+    try:
+        with pytest.raises(Exception):
+            SearchServer(serve_env["index"],
+                         grep_index=str(tmp_path / "not_an_index"))
+    finally:
+        pool_mod.RangePartitionedPool = bak
+    assert len(spawned) == 1
+    # every actor of the failed server was killed: a real remote call
+    # on a dead actor raises RayActorError (on a leaked live actor it
+    # would return an empty page and the test fails)
+    for a in spawned[0].actors:
+        with pytest.raises(ray.exceptions.RayActorError):
+            ray.get(a.score_after.remote(["merge"], 1, None, -1))

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -457,3 +458,70 @@ def test_facet_topk_pool_path_matches_small_path(tmp_path, ray_session):
         small.reset_index(drop=True), big.reset_index(drop=True))
     # the NULL group survives both paths
     assert small["lang"].isna().any() and big["lang"].isna().any()
+
+
+def test_facet_topk_big_path_builds_no_driver_scorer(tmp_path,
+                                                     ray_session,
+                                                     monkeypatch):
+    """The big path exists to keep the driver bounded: it must not
+    construct a driver-side BM25Scorer (whose reader materializes the
+    O(num_docs) doclen array + full dictionary) — the dispatch bound
+    comes from a term-pruned read of the dictionary's df column, and
+    scoring happens inside the range-pool owners."""
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions import search
+
+    path = str(tmp_path / "facet_noscorer.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "text": [f"apple pad u{i}" for i in range(12)],
+        "lang": ["en", "fr"] * 6,
+    }), path)
+    search.facet_topk(path, ["apple"], facet_col="lang", k=2)  # build
+
+    def _boom(*a, **kw):
+        raise AssertionError("driver-side BM25Scorer on the big path")
+
+    monkeypatch.setattr(search, "BM25Scorer", _boom)
+    out = search.facet_topk(path, ["apple"], facet_col="lang", k=2,
+                            driver_merge_threshold=0)
+    assert set(out["lang"]) == {"en", "fr"}
+    with pytest.raises(AssertionError):
+        # the small path still uses the scorer — the patch proves the
+        # big path's independence, not a dead code path
+        search.facet_topk(path, ["apple"], facet_col="lang", k=2)
+
+
+def test_facet_topk_reuses_caller_pool(tmp_path, ray_session):
+    """A warm caller-owned pool (a serving daemon's) is used as-is:
+    same answer, and the pool stays alive afterwards."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from hadoopsearchengine_ray.functions.search import (
+        facet_topk,
+        index_for,
+    )
+    from hadoopsearchengine_ray.pipelines.pool import (
+        RangePartitionedPool,
+    )
+
+    path = str(tmp_path / "facet_pool_reuse.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": [f"apple pad u{i}" for i in range(10)],
+        "lang": ["en", "fr"] * 5,
+    }), path)
+    cold = facet_topk(path, ["apple"], facet_col="lang", k=2)
+    pool = RangePartitionedPool(index_for(path), num_ranges=2)
+    try:
+        warm = facet_topk(path, ["apple"], facet_col="lang", k=2,
+                          driver_merge_threshold=0, pool=pool)
+        pd.testing.assert_frame_equal(cold.reset_index(drop=True),
+                                      warm.reset_index(drop=True))
+        # pool not shut down by the call
+        d, _ = pool.score_after(["apple"], 1)
+        assert len(d) == 1
+    finally:
+        pool.shutdown()
