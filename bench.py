@@ -213,6 +213,26 @@ def run_bench() -> dict:
     # plain scorers below ignore tombstones, but leave the index pristine
     os.remove(os.path.join(index_dir, "tombstones.json"))
 
+    # ---- persistent serving daemon (round 5) --------------------------
+    # SearchServer pins the range pool once; requests go through the
+    # same dict-in/dict-out dispatcher the NDJSON loop (and any HTTP
+    # front) uses — this is the per-request latency a daemon user gets,
+    # vs paying Ray init + pool construction per one-shot CLI call.
+    from hadoopsearchengine_ray.pipelines.serve import SearchServer
+
+    _srv = SearchServer(index_dir, num_ranges=max(2, ncpu // 8))
+    _srv.handle({"op": "search", "terms": qs[0]["terms"], "k": 10})  # warm
+    _lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        r = _srv.handle({"op": "search", "terms": q["terms"],
+                         "k": q["k"]})
+        assert r["ok"]
+        _lat.append(time.perf_counter() - t0)
+    timings["serve_search_p50_ms"] = round(
+        float(np.percentile(np.array(_lat) * 1e3, 50)), 3)
+    _srv.close()
+
     # ---- positional serving (phrase + proximity, round 2) ------------
     from hadoopsearchengine_ray.pipelines.positional import (
         phrase_counts,
