@@ -323,6 +323,16 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         fn()
         timings[label] = round((time.perf_counter() - t0) * 1e3, 3)
+    # bounded-driver-memory mode on a stopword-scale pattern: the full
+    # match set (O(matching docs) rows) is written to parquet by the
+    # workers — only a (path, n_rows) summary crosses the driver
+    _spill_dir = f"{out_root}/hse_bench_grepspill_{n_docs}_{ncpu}"
+    t0 = time.perf_counter()
+    _sp = grep_substring(tri_dir, grep_src, "return",
+                         output_path=_spill_dir)
+    timings["grep_spill_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    timings["grep_spill_rows"] = int(_sp["n_rows"][0].as_py())
+    shutil.rmtree(_spill_dir, ignore_errors=True)
     shutil.rmtree(tri_dir, ignore_errors=True)
 
     # ---- auxiliary pipelines over $GRAFT_SF_DIR ----------------------
