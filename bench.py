@@ -28,6 +28,33 @@ import time
 BENCH_QUERIES = 200
 
 
+def _cpu_stat():
+    """(busy, idle, steal) jiffies from /proc/stat; None off-Linux.
+
+    Hypervisor steal is the shared-box failure mode the sentinels exist
+    for — but steal only manifests UNDER load (observed 2026-08-19:
+    16-18% of requested cycles denied at 32-way load while the box
+    probed idle/healthy single-core).  Recording the steal fraction
+    next to the sentinels makes each run self-describing.
+    """
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+    # user nice system idle iowait irq softirq steal
+    return v[0] + v[1] + v[2] + v[5] + v[6], v[3] + v[4], v[7]
+
+
+def _steal_frac(before, after) -> float | None:
+    """Fraction of *requested* cycles stolen between two _cpu_stat()s."""
+    if before is None or after is None:
+        return None
+    busy = after[0] - before[0]
+    steal = after[2] - before[2]
+    return round(steal / max(busy + steal, 1), 4)
+
+
 def _quiet_ctx():
     from ray.data import DataContext
 
@@ -63,6 +90,7 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 
+    _run_st0 = _cpu_stat()
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     _quiet_ctx()
@@ -100,10 +128,14 @@ def run_bench() -> dict:
         y = r.integers(0, 2**62, size=4_000_000, dtype=_np.int64)
         return int(_np.sort(y)[0])
 
+    _st0 = _cpu_stat()
     t0 = time.perf_counter()
     ray.get([_spin.remote(i) for i in range(ncpu)])
     timings["sentinel_allcore_sort_sec"] = round(
         time.perf_counter() - t0, 3)
+    _sf = _steal_frac(_st0, _cpu_stat())
+    if _sf is not None:
+        timings["sentinel_steal_frac"] = _sf
 
     # ---- headline: full index build ----------------------------------
     # index output goes to shared memory when available: on one box, disk
@@ -181,6 +213,9 @@ def run_bench() -> dict:
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         # scaling mode: the efficiency criterion is about the BUILD; the
         # aux pipelines only add noise (and minutes at low cpu counts)
+        _sf = _steal_frac(_run_st0, _cpu_stat())
+        if _sf is not None:
+            timings["run_steal_frac"] = _sf
         result = {
             "metric": "index-build sec (headline only)",
             "value": timings["index_build"], "unit": "sec",
@@ -647,6 +682,9 @@ def run_bench() -> dict:
         "bench_docs": n_docs,
         "num_cpus": ncpu,
     }
+    _sf = _steal_frac(_run_st0, _cpu_stat())
+    if _sf is not None:
+        timings["run_steal_frac"] = _sf
     ray.shutdown()
     return result
 
@@ -701,6 +739,8 @@ def run_scaling() -> dict:
             "sentinel_allcore_sort_sec"),
         "sentinel_allcore_hi": r_hi["queries"].get(
             "sentinel_allcore_sort_sec"),
+        "steal_frac_lo": r_lo["queries"].get("run_steal_frac"),
+        "steal_frac_hi": r_hi["queries"].get("run_steal_frac"),
         "bench_docs": n_docs,
     }
 
