@@ -303,20 +303,30 @@ def _cmd_serve(a: argparse.Namespace) -> int:
     pool (+ optional ANN pool / grep index) ONCE, then answer NDJSON
     requests on stdin until EOF or {"op": "shutdown"} — the pool
     latencies the one-shot subcommands pay setup for on every call."""
-    from .pipelines.serve import SearchServer, serve_loop
+    from .pipelines.serve import SearchServer, serve_http, serve_loop
 
     _init_ray()
     server = SearchServer(a.index, corpus_path=a.corpus,
                           grep_index=a.grep_index,
                           ann_index=a.ann_index,
                           num_ranges=a.num_ranges)
-    print(json.dumps({"ready": True,
-                      **{k: v for k, v in server.handle(
-                          {"op": "stats"}).items() if k != "ok"}}),
-          file=sys.stderr, flush=True)
+    httpd = None
+    ready = {"ready": True,
+             **{k: v for k, v in server.handle(
+                 {"op": "stats"}).items() if k != "ok"}}
+    if a.http is not None:
+        httpd = serve_http(server, port=a.http)
+        ready["http"] = "http://%s:%d/" % httpd.server_address
+    print(json.dumps(ready), file=sys.stderr, flush=True)
     try:
-        n = serve_loop(server)
+        if httpd is not None:
+            httpd.serve_forever()
+            n = httpd.n_served
+        else:
+            n = serve_loop(server)
     finally:
+        if httpd is not None:
+            httpd.server_close()
         server.close()
     print(json.dumps({"served": n}), file=sys.stderr, flush=True)
     return 0
@@ -430,6 +440,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="built ANN index dir — enables ann op")
     sv.add_argument("--num-ranges", type=int, default=4,
                     help="doc-range scorer actors in the pool")
+    sv.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve HTTP on 127.0.0.1:PORT (0 = ephemeral; "
+                         "the bound address is printed on the ready "
+                         "line) instead of NDJSON on stdin/stdout")
     sv.set_defaults(fn=_cmd_serve)
 
     a = p.parse_args(argv)

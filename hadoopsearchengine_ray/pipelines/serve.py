@@ -17,13 +17,15 @@ subcommands do.
 Shape: ``SearchServer`` pins the pools once in ``__init__`` (the actor
 fleet is the cluster-resident state; the driver object is just
 handles), ``handle()`` dispatches one JSON-dict request to the right
-pool method, and ``serve_loop`` runs NDJSON over stdin/stdout — one
-request per line in, one response per line out.  A line protocol over
-pipes keeps the daemon transport-agnostic and sandbox-friendly (no
-sockets needed); anything that can spawn a process can talk to it, and
-an HTTP/socket front can wrap ``handle()`` without touching the
-dispatch.  Errors are per-request (``{"ok": false, "error": ...}``) —
-a bad request must never take the daemon down.
+pool method, and two transports wrap it: ``serve_loop`` runs NDJSON
+over stdin/stdout — one request per line in, one response per line
+out — and ``serve_http`` serves the same dict protocol as ``POST /``
+JSON bodies (the reference's actual transport: its query tier is CGI
+behind an HTTP daemon).  The line protocol stays the default because
+it is sandbox-friendly (no sockets); both fronts share ``handle()``
+so they cannot diverge.  Errors are per-request
+(``{"ok": false, "error": ...}``) — a bad request must never take the
+daemon down.
 
 Request reference (all fields besides ``op`` optional unless noted)::
 
@@ -260,6 +262,11 @@ class SearchServer:
             if fn is None:
                 raise ValueError(f"unknown op {op!r}")
             return {**base, "ok": True, **fn(self, req)}
+        except (ValueError, KeyError, TypeError) as e:
+            # request-shape errors (missing/mistyped fields, unknown
+            # op); transports may map these to a don't-retry status
+            return {**base, "ok": False, "bad_request": True,
+                    "error": f"{type(e).__name__}: {e}"}
         except Exception as e:          # noqa: BLE001 — per-request wall
             return {**base, "ok": False,
                     "error": f"{type(e).__name__}: {e}"}
@@ -268,6 +275,86 @@ class SearchServer:
         self.pool.shutdown()
         if self.ann is not None:
             self.ann.shutdown()
+
+
+def serve_http(server: SearchServer, host: str = "127.0.0.1",
+               port: int = 0):
+    """HTTP front over ``handle()`` — the reference's actual transport
+    (its query tier is CGI behind an HTTP daemon,
+    /root/reference/DyableRequest/DyableQuery/DyableQuery.cpp:70-100).
+
+    ``POST /`` with a JSON request body returns the ``handle()``
+    response as JSON; ``GET /ping`` answers without a body.  Requests
+    are served SERIALLY on purpose: ``handle()`` mutates per-server
+    counters and the reference fleet is likewise one-request-per-worker
+    — horizontal scale comes from running more daemons (each pinning
+    its own actor fleet), not threads in one.  ``{"op": "shutdown"}``
+    stops the listener after the response is written.
+
+    Returns the bound ``HTTPServer`` WITHOUT starting it, so callers
+    own the loop: the CLI calls ``serve_forever()``; a test reads
+    ``server_address`` for the ephemeral port and drives it from a
+    thread.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class _Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # The server is single-threaded, so one request per connection:
+        # a keep-alive client parked in readline() would otherwise hold
+        # accept() (and a pending shutdown) hostage.  The socket timeout
+        # bounds slow/short-bodied clients the same way.
+        timeout = 30
+
+        def _reply(self, obj: dict, code: int = 200) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            # also sets self.close_connection — one request per
+            # connection, advertised to the client
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            self.server.n_served += 1
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n))
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply({"ok": False, "error": f"bad json: {e}"},
+                            code=400)
+                return
+            resp = server.handle(req)
+            if resp.get("ok"):
+                code = 200
+            elif resp.get("bad_request"):
+                code = 400      # request-shape error: don't retry
+            else:
+                code = 500      # op failed server-side: retryable
+            self._reply(resp, code=code)
+            if server.shutdown_requested:
+                # shutdown() joins the serve_forever loop this handler
+                # runs inside — must be called from another thread
+                threading.Thread(target=self.server.shutdown,
+                                 daemon=True).start()
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/ping":
+                self._reply({"ok": True, "pong": True})
+            else:
+                self._reply({"ok": False,
+                             "error": "POST a JSON request to /"},
+                            code=404)
+
+        def log_message(self, *args):  # quiet: one line per request
+            pass                       # pollutes the daemon's stderr
+
+    httpd = HTTPServer((host, port), _Handler)
+    httpd.n_served = 0   # the HTTP analog of serve_loop's return value
+    return httpd
 
 
 def serve_loop(server: SearchServer, fin=None, fout=None) -> int:

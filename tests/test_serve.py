@@ -9,7 +9,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from hadoopsearchengine_ray.pipelines.serve import SearchServer, serve_loop
+from hadoopsearchengine_ray.pipelines.serve import (
+    SearchServer,
+    serve_http,
+    serve_loop,
+)
 
 
 @pytest.fixture(scope="module")
@@ -213,6 +217,110 @@ def test_cli_serve_roundtrip(serve_env, monkeypatch, capsys):
            for x in capsys.readouterr().out.strip().splitlines()]
     assert out[0]["ok"] and len(out[0]["hits"]) == 3
     assert out[1] == {"ok": True, "bye": True}
+
+
+def test_serve_http_roundtrip(serve_env, monkeypatch):
+    """HTTP front: POST JSON == handle(), GET /ping, malformed body is
+    a 400 (not a dead daemon), op failures are 500 (retryable, unlike
+    shape errors), connections are one-request (no keep-alive parking
+    the single-threaded server), shutdown stops the listener."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    srv = serve_env["server"]
+    srv.shutdown_requested = False   # earlier loop tests may leave it set
+    httpd = serve_http(srv, port=0)
+    base = "http://%s:%d" % httpd.server_address
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(obj=None, raw=None):
+            data = raw if raw is not None else json.dumps(obj).encode()
+            return urllib.request.urlopen(
+                urllib.request.Request(base + "/", data=data), timeout=30)
+
+        with post({"op": "search", "terms": ["spark", "merge"],
+                   "k": 5, "id": 3}) as resp:
+            assert resp.status == 200
+            # single-threaded server: every reply must close the
+            # connection, or a keep-alive client parks accept()
+            assert resp.headers.get("Connection") == "close"
+            body = json.loads(resp.read())
+        ref = srv.handle({"op": "search",
+                          "terms": ["spark", "merge"], "k": 5})
+        assert body["ok"] and body["id"] == 3
+        assert body["hits"] == ref["hits"]
+
+        with urllib.request.urlopen(base + "/ping", timeout=30) as resp:
+            assert json.loads(resp.read()) == {"ok": True, "pong": True}
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(raw=b"{not json")
+        assert ei.value.code == 400
+        assert "bad json" in json.loads(ei.value.read())["error"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"op": "nope"})        # shape error: don't-retry 400
+        assert ei.value.code == 400
+        assert json.loads(ei.value.read())["bad_request"]
+
+        # a server-side op failure (dead actor, bug) must surface as a
+        # retryable 500, not blame the well-formed request with a 400
+        def boom(self, req):
+            raise RuntimeError("actor died")
+        monkeypatch.setitem(type(srv)._OPS, "stats", boom)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"op": "stats"})
+        assert ei.value.code == 500
+        err = json.loads(ei.value.read())
+        assert "actor died" in err["error"] and "bad_request" not in err
+
+        # still alive after the errors, then shutdown ends the loop
+        with post({"op": "ping"}) as resp:
+            assert json.loads(resp.read())["ok"]
+        with post({"op": "shutdown"}) as resp:
+            assert json.loads(resp.read())["bye"]
+        t.join(timeout=30)
+        assert not t.is_alive()
+        # served-count mirrors serve_loop: every POST, including the
+        # malformed and failed ones (6 here), not handle() internals
+        assert httpd.n_served == 6
+    finally:
+        httpd.shutdown() if t.is_alive() else None
+        httpd.server_close()
+        srv.shutdown_requested = False     # module-scoped fixture
+
+
+def test_cli_serve_http_wiring(serve_env, monkeypatch, capsys):
+    """`serve --http PORT` builds the HTTP front (not the NDJSON loop)
+    and prints the bound address on the ready line."""
+    from hadoopsearchengine_ray import __main__ as cli
+
+    calls = {}
+
+    class FakeHTTPd:
+        server_address = ("127.0.0.1", 45678)
+        n_served = 0
+
+        def serve_forever(self):
+            calls["served"] = True
+
+        def server_close(self):
+            calls["closed"] = True
+
+    def fake_serve_http(server, host="127.0.0.1", port=0):
+        calls["port"] = port
+        return FakeHTTPd()
+
+    import hadoopsearchengine_ray.pipelines.serve as serve_mod
+    monkeypatch.setattr(serve_mod, "serve_http", fake_serve_http)
+    rc = cli.main(["serve", "--index", serve_env["index"],
+                   "--num-ranges", "2", "--http", "0"])
+    assert rc == 0
+    assert calls == {"port": 0, "served": True, "closed": True}
+    err = capsys.readouterr().err
+    ready = json.loads(err.strip().splitlines()[0])
+    assert ready["ready"] and ready["http"] == "http://127.0.0.1:45678/"
 
 
 def test_handle_serves_shutdown_for_any_transport(serve_env):
