@@ -272,6 +272,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                dtype="int64"),
         })
 
+    def q_serve_nrt(sf):
+        # near-real-time index mutation THROUGH the daemon: main index
+        # over the first 80% of docs, the rest delta-ingested via
+        # {"op": "ingest"}, doc_id % 13 == 0 tombstoned via
+        # {"op": "delete"} (exact N/avgdl/df correction served by the
+        # range pool's injected global stats), then a search — the SQL
+        # oracle is the ordinary BM25 over the surviving full corpus,
+        # so rank identity proves ingest+delete+serve end to end.
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.pipelines.build_index import build_index
+        from hadoopsearchengine_ray.pipelines.serve import SearchServer
+
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        n = tbl.num_rows
+        cut = (n * 4) // 5
+        key = hashlib.sha256(f"servenrt:{sf}".encode()).hexdigest()[:16]
+        root = os.path.join("/tmp/hse_servenrt_cache", key)
+        os.makedirs(root, exist_ok=True)
+        mainp = os.path.join(root, "main.parquet")
+        newp = os.path.join(root, "new.parquet")
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            srt = tbl.sort_by("doc_id")
+            pq.write_table(srt.slice(0, cut), mainp)
+            pq.write_table(srt.slice(cut), newp)
+            open(os.path.join(root, "_DONE"), "w").close()
+        idx = os.path.join(root, "idx")
+        build_index(mainp, idx, id_mode="column", text_col="text")
+        srv = SearchServer(idx, corpus_path=mainp, num_ranges=4)
+        try:
+            r = srv.handle({"op": "ingest", "corpus": newp})
+            assert r["ok"], r
+            r = srv.handle({"op": "delete",
+                            "doc_ids": [i for i in range(n)
+                                        if i % 13 == 0]})
+            assert r["ok"], r
+            r = srv.handle({"op": "search", "terms": BM25_TERMS,
+                            "k": 10})
+            assert r["ok"], r
+            hits = r["hits"]
+        finally:
+            srv.close()
+        return pd.DataFrame({
+            "rank": pd.array(range(1, 1 + len(hits)), dtype="int64"),
+            "doc_id": pd.array([h["doc_id"] for h in hits],
+                               dtype="int64"),
+        })
+
     def q_bm25_pool(sf):
         # the doc-range-partitioned serving tier (pool.py): N range-owner
         # actors each score their slice (range-local MaxScore since
@@ -2246,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # facet paths), then the r04-checked set.
         "phrase3_match": q_phrase3,
         "phrase_pool": q_phrase_pool,
+        "serve_nrt": q_serve_nrt,
         "serve_search": q_serve_search,
         "grep_regex_ci": q_grep_regex_ci,
         "grep_scan_spill": q_grep_scan_spill,
@@ -2657,6 +2710,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rank, doc_id FROM ranked
             WHERE rank BETWEEN 11 AND 20 ORDER BY rank
+        """,
+        # NRT mutation through the daemon: ingest(last 20%) +
+        # delete(doc_id % 13 == 0) + search == plain BM25 over the
+        # surviving full corpus (stats shift with N/avgdl/df — a
+        # results-only filter would NOT match)
+        "serve_nrt": f"""
+            WITH alive AS (SELECT * FROM documents WHERE doc_id % 13 != 0),
+            tok AS (
+              SELECT doc_id, t AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+                FROM alive
+              ) WHERE length(t) BETWEEN 2 AND 16
+                AND (NOT regexp_full_match(t, '[0-9]+') OR length(t) BETWEEN 4 AND 5)
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM alive) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM alive) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         # the serving daemon: two handle() pages stitched = the SQL
         # ranking's rows 1-20 (same scoring CTE, deeper window)

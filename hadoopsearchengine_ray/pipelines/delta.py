@@ -65,10 +65,21 @@ def list_delta_dirs(main_index_dir: str) -> list[str]:
 
 
 class MergedIndexReader:
-    """IndexReader-compatible view over a main index + delta indexes."""
+    """IndexReader-compatible view over a main index + delta indexes.
 
-    def __init__(self, index_dirs: list[str]):
-        readers = [IndexReader(d) for d in index_dirs]
+    ``doc_lo``/``doc_hi`` restrict the view to one GLOBAL doc-id range
+    (each segment reader applies the same global slice and returns
+    LOCAL ids = global - doc_lo), so a range-pool owner can serve a
+    delta-merged index: global stats (N, avgdl, per-term df summed over
+    segment dictionaries) are range-independent, so every doc's full
+    score still comes from exactly one owner and the per-range top-k
+    merge stays exact."""
+
+    def __init__(self, index_dirs: list[str], doc_lo: int = 0,
+                 doc_hi: int | None = None):
+        readers = [IndexReader(d, doc_lo=doc_lo, doc_hi=doc_hi)
+                   for d in index_dirs]
+        self.doc_lo = int(doc_lo)
         # order by ascending doc range (posting-list concatenation and
         # positional searchsorted both assume globally ascending doc ids)
         # and fail loudly on overlapping ranges — overlaps would silently
@@ -212,7 +223,141 @@ def add_documents(main_index_dir: str, corpus_path: str,
                 text_col=text_col,
                 with_positions=main_meta.get("with_positions", True),
                 **build_kwargs)
+    # record the delta's source corpus: tombstone df-correction for
+    # range-pool serving (nrt_serving_stats) re-reads deleted docs'
+    # text from it, and id-pruned reads need to know where ids live.
+    # tmp + os.replace (the tombstones.json pattern): a crash mid-write
+    # must not leave a complete delta with corrupt _SOURCE JSON.
+    src_path = os.path.join(delta_dir, "_SOURCE")
+    with open(src_path + ".tmp", "w") as f:
+        json.dump({"corpus_path": os.path.abspath(corpus_path),
+                   "text_col": text_col, "id_col": id_col}, f)
+    os.replace(src_path + ".tmp", src_path)
     return delta_dir
+
+
+def nrt_serving_stats(main_index_dir: str, corpus_path: str | None,
+                      delta_dirs: list[str] | None = None,
+                      tombstones: set[int] | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      cache: dict | None = None):
+    """Corrected GLOBAL BM25 stats for tombstoned serving, computed ONCE
+    (driver/daemon side) so every range-pool owner scores with identical
+    statistics: ``(N_corr, avgdl_corr, deleted_df)``.
+
+    Mirrors ``TombstoneReader``'s lazy arithmetic operation-for-operation
+    (same float op order) so pool scores are bit-identical to the
+    single merged reader's.  The per-term ``deleted_df`` map comes from
+    RE-TOKENIZING just the deleted docs' text (an id-pruned parquet read
+    of len(tombstones) rows — O(deleted docs), not O(index)); posting
+    membership equals the tokenizer's distinct-term set by construction
+    of the index, so ``df - deleted_df[t]`` equals the lazy path's
+    survivor count exactly.  Deleted docs are read from the main corpus
+    plus each delta's recorded ``_SOURCE``; ids not found in any source
+    fail loudly (a stale/moved corpus would silently skew stats).
+    Returns None when there are no tombstones."""
+    import pyarrow.dataset as pads
+
+    if delta_dirs is None:
+        delta_dirs = list_delta_dirs(main_index_dir)
+    if tombstones is None:
+        tombstones = load_tombstones(main_index_dir)
+    if not tombstones:
+        return None
+    if corpus_path is None:
+        raise ValueError(
+            "serving a tombstoned index through the range pool needs "
+            "the corpus path (deleted docs are re-tokenized for the "
+            "exact df correction) — pass corpus_path, or compact the "
+            "index (compact_index) and serve the result")
+    from ..tokenizer import tokenize_py
+
+    segments = [main_index_dir] + list(delta_dirs)
+    metas = []
+    for seg in segments:
+        with open(os.path.join(seg, "meta.json")) as f:
+            metas.append(json.load(f))
+    if len(segments) == 1:
+        base_n = metas[0]["num_docs"]
+        base_avgdl = metas[0]["avgdl"]          # IndexReader reads meta
+    else:
+        base_n = sum(m["num_docs"] for m in metas)
+        total = sum(m["total_tokens"] for m in metas)
+        base_avgdl = total / base_n if base_n else 0.0   # MergedIndexReader
+
+    tomb_sorted = sorted(int(t) for t in tombstones)
+    # ``cache`` (caller-owned, e.g. the serving daemon's) holds the
+    # per-doc I/O products — dl float + distinct-term set — so a stream
+    # of one-doc deletes pays corpus/doclen reads and tokenization only
+    # for the NEW ids; the final reductions below always run over the
+    # full sorted set so the float summation order (and thus avgdl)
+    # stays bit-identical to the uncached / lazy-TombstoneReader path.
+    if cache is None:
+        cache = {}
+    dl_by_id: dict[int, float] = cache.setdefault("dl", {})
+    terms_by_id: dict[int, frozenset] = cache.setdefault("terms", {})
+    need = [t for t in tomb_sorted if t not in terms_by_id]
+    need_set = set(need)
+
+    if need:
+        sources = [(corpus_path, text_col, id_col)]
+        for d in delta_dirs:
+            sp = os.path.join(d, "_SOURCE")
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    s = json.load(f)
+                sources.append((s["corpus_path"],
+                                s.get("text_col", text_col),
+                                s.get("id_col", id_col)))
+        found: set[int] = set()
+        for src, tcol, icol in sources:
+            dset = pads.dataset(src)
+            names = dset.schema.names
+            if tcol not in names and "content" in names:
+                tcol = "content"
+            if icol not in names:
+                raise ValueError(
+                    f"corpus {src} has no id column {icol!r} — tombstone "
+                    "serving needs corpus-stable doc ids")
+            tbl = dset.to_table(columns=[icol, tcol],
+                                filter=pads.field(icol).isin(need))
+            for i, txt in zip(tbl.column(icol).to_pylist(),
+                              tbl.column(tcol).to_pylist()):
+                if int(i) in need_set:
+                    terms_by_id[int(i)] = frozenset(tokenize_py(txt or ""))
+                    found.add(int(i))
+        missing = need_set - found
+        if missing:
+            for i in found:       # partial results must not poison the
+                terms_by_id.pop(i, None)   # cache for a later retry
+            raise ValueError(
+                f"{len(missing)} tombstoned doc ids not found in the "
+                f"corpus sources (e.g. {sorted(missing)[:5]}) — corpus "
+                "moved or delta _SOURCE missing; compact the index "
+                "instead")
+        # removed token mass: per-doc dl from the SEGMENT doclen tables
+        # (the exact float64 values TombstoneReader sums via
+        # base.dl[tomb]); zero-token docs are absent -> 0.0
+        for seg in segments:
+            dlt = pads.dataset(os.path.join(seg, "doclen")).to_table(
+                filter=pads.field("doc_id").isin(need))
+            for i, v in zip(dlt.column("doc_id").to_pylist(),
+                            dlt.column("dl").to_pylist()):
+                dl_by_id[int(i)] = float(np.float64(np.int64(v)))
+        for t in need:
+            dl_by_id.setdefault(t, 0.0)
+
+    arr = np.array([dl_by_id[t] for t in tomb_sorted], dtype=np.float64)
+    removed_dl = float(arr.sum())
+    total_f = base_avgdl * base_n
+    n_corr = base_n - len(tomb_sorted)
+    avgdl_corr = ((total_f - removed_dl) / n_corr) if n_corr else 0.0
+
+    deleted_df: dict[str, int] = {}
+    for t in tomb_sorted:
+        for term in terms_by_id[t]:
+            deleted_df[term] = deleted_df.get(term, 0) + 1
+    return n_corr, avgdl_corr, deleted_df
 
 
 def merged_scorer(main_index_dir: str,
@@ -271,7 +416,7 @@ class TombstoneReader:
     posting list (computed lazily per looked-up term), N and total
     tokens subtract the deleted docs' lengths."""
 
-    def __init__(self, base, tombstones: set[int]):
+    def __init__(self, base, tombstones: set[int], stats=None):
         self._base = base
         self._tomb = np.fromiter(sorted(tombstones), np.int64,
                                  len(tombstones))
@@ -280,12 +425,27 @@ class TombstoneReader:
                 f"tombstone id {int(self._tomb[-1])} outside the doc-id "
                 f"space ({base.doc_space}); only indexed doc ids may be "
                 "deleted (N/avgdl correction assumes real docs)")
-        removed_dl = float(base.dl[self._tomb].sum())
-        total = base.avgdl * base.N
-        self.N = base.N - len(self._tomb)
-        self.avgdl = ((total - removed_dl) / self.N) if self.N else 0.0
+        if stats is None:
+            # lazy mode (single full reader): N/avgdl from the base's
+            # dl array, per-term df by decoding + counting survivors
+            removed_dl = float(base.dl[self._tomb].sum())
+            total = base.avgdl * base.N
+            self.N = base.N - len(self._tomb)
+            self.avgdl = ((total - removed_dl) / self.N) if self.N else 0.0
+            self._deleted_df = None
+        else:
+            # injected mode (range-pool owners): the pool computed the
+            # corrected GLOBAL stats once — N, avgdl, and a per-term
+            # deleted-doc-count map (from tokenizing the deleted docs'
+            # text, nrt_serving_stats) — so every owner scores with
+            # identical global statistics without decoding full posting
+            # lists; tombstones here are BASE-LOCAL ids (global -
+            # doc_lo), matching what _alive compares against
+            self.N, self.avgdl, self._deleted_df = stats
         self.k1, self.b = base.k1, base.b
         self.doc_space = base.doc_space
+        # MaxScore phase-2 translates global skip-block ids by doc_lo
+        self.doc_lo = getattr(base, "doc_lo", 0)
         self.dl = base.dl.copy()
         self.dl[self._tomb] = 0.0
         self._df_cache: dict[str, tuple] = {}
@@ -321,7 +481,15 @@ class TombstoneReader:
         if base_ent is None:
             self._df_cache[term] = ()
             return None
-        tid, _ = base_ent
+        tid, base_df = base_ent
+        if self._deleted_df is not None:
+            # injected mode: df correction is a dict hit (the map counts
+            # deleted docs CONTAINING the term — identical to the lazy
+            # keep.sum() below because postings membership == the
+            # tokenizer's distinct-term set by construction of the index)
+            out = (tid, base_df - int(self._deleted_df.get(term, 0)))
+            self._df_cache[term] = out
+            return out
         d, f = self._base.decoded_postings(term)
         keep = self._alive(d)
         # cache the filtered decode: MaxScore's lookup would otherwise
@@ -348,7 +516,11 @@ class TombstoneReader:
         if len(d) == 0 or len(self._tomb) == 0:
             return d, f
         keep = self._alive(d)
-        return d[keep], f[keep]
+        out = (d[keep], f[keep])
+        # injected mode never warms the cache via lookup — store here so
+        # hot terms filter once per reader, not once per query
+        self._post_store(term, out)
+        return out
 
     def posting_rows(self, term: str) -> list[dict]:
         # rows keep tombstoned entries (block metadata would go stale

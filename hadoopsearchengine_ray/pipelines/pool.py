@@ -36,14 +36,35 @@ import ray
 class _RangeScorer:
     """One doc-range owner: scores its slice, returns GLOBAL doc ids."""
 
-    def __init__(self, index_dir: str, doc_lo: int, doc_hi: int):
+    def __init__(self, index_dir: str, doc_lo: int, doc_hi: int,
+                 delta_dirs: list[str] | None = None,
+                 tombstones: list[int] | None = None,
+                 nrt_stats: tuple | None = None):
+        from .delta import MergedIndexReader, TombstoneReader
         from .query import BM25Scorer, IndexReader
 
         self.lo = doc_lo
         self.hi = doc_hi
-        self.scorer = BM25Scorer(
-            index_dir, reader=IndexReader(index_dir, doc_lo=doc_lo,
-                                          doc_hi=doc_hi))
+        if delta_dirs:
+            # delta-merged range view: global stats (N/avgdl from
+            # segment metas, df summed over segment dictionaries) are
+            # range-independent, so the per-range merge stays exact
+            reader = MergedIndexReader([index_dir] + list(delta_dirs),
+                                       doc_lo=doc_lo, doc_hi=doc_hi)
+        else:
+            reader = IndexReader(index_dir, doc_lo=doc_lo, doc_hi=doc_hi)
+        if tombstones:
+            # tombstones arrive GLOBAL; the range reader speaks LOCAL
+            # ids.  nrt_stats carries the pool-computed corrected
+            # (N, avgdl, deleted_df) so this owner never decodes a full
+            # posting list to learn a global df.
+            local = [t - doc_lo for t in tombstones
+                     if doc_lo <= t < doc_hi]
+            if nrt_stats is None:
+                raise ValueError("range owners need pool-computed "
+                                 "global stats to serve tombstones")
+            reader = TombstoneReader(reader, set(local), stats=nrt_stats)
+        self.scorer = BM25Scorer(index_dir, reader=reader)
 
     def score(self, terms: list[str], k: int):
         d, s = self.scorer.score(terms, k)
@@ -143,18 +164,78 @@ class _RangeScorer:
 
 
 class RangePartitionedPool:
-    """N range-owner actors + exact driver-side top-k merge."""
+    """N range-owner actors + exact driver-side top-k merge.
 
-    def __init__(self, index_dir: str, num_ranges: int = 4):
+    Deltas and tombstones are auto-discovered (``serve_live=True``), so
+    a pool over an index that has seen ``add_documents`` /
+    ``delete_documents`` serves the SAME results as ``merged_scorer``
+    — the reference's servers likewise reload the current index
+    generation, never a stale one.  Tombstone serving needs
+    ``corpus_path`` (the exact df correction re-tokenizes just the
+    deleted docs, delta.nrt_serving_stats)."""
+
+    def __init__(self, index_dir: str, num_ranges: int = 4,
+                 corpus_path: str | None = None, serve_live: bool = True,
+                 nrt_cache: dict | None = None):
         import json
         import os
+
+        from .delta import (
+            list_delta_dirs,
+            load_tombstones,
+            nrt_serving_stats,
+        )
 
         with open(os.path.join(index_dir, "meta.json")) as f:
             meta = json.load(f)
         space = int(meta.get("doc_id_space", meta["num_docs"]))
+        live_n = int(meta["num_docs"])
+        live_avgdl = float(meta["avgdl"])
+        delta_dirs: list[str] = []
+        tomb: list[int] = []
+        nrt_stats = None
+        if serve_live:
+            delta_dirs = list_delta_dirs(index_dir)
+            total_tokens = int(meta["total_tokens"])
+            for d in delta_dirs:
+                with open(os.path.join(d, "meta.json")) as f:
+                    dm = json.load(f)
+                space = max(space,
+                            int(dm.get("doc_id_space", dm["num_docs"])))
+                live_n += int(dm["num_docs"])
+                total_tokens += int(dm["total_tokens"])
+            if delta_dirs:
+                live_avgdl = total_tokens / live_n if live_n else 0.0
+            tomb = sorted(load_tombstones(index_dir))
+            if tomb and (tomb[0] < 0 or tomb[-1] >= space):
+                # the same loud check TombstoneReader runs for the
+                # single reader — a never-indexed id would silently
+                # skew every owner's N/avgdl correction otherwise
+                bad = tomb[0] if tomb[0] < 0 else tomb[-1]
+                raise ValueError(
+                    f"tombstone id {bad} outside the served doc-id "
+                    f"space ({space}); only indexed doc ids may be "
+                    "deleted")
+            if tomb:
+                nrt_stats = nrt_serving_stats(
+                    index_dir, corpus_path, delta_dirs=delta_dirs,
+                    tombstones=set(tomb), cache=nrt_cache)
+                live_n, live_avgdl = nrt_stats[0], nrt_stats[1]
+        self.doc_space = space
+        self.live_n = live_n          # docs actually served (deltas in,
+        self.live_avgdl = live_avgdl  # tombstones out) — stats op truth
+        self.num_deltas = len(delta_dirs)
+        self.num_tombstones = len(tomb)
+        # broadcast the (possibly large) tombstone list + deleted-df map
+        # ONCE via the object store, not once per owner
+        tomb_ref = ray.put(tomb) if tomb else None
+        stats_ref = ray.put(nrt_stats) if nrt_stats is not None else None
         bounds = np.linspace(0, space, num_ranges + 1).astype(np.int64)
         self.actors = [
-            _RangeScorer.remote(index_dir, int(lo), int(hi))
+            _RangeScorer.remote(index_dir, int(lo), int(hi),
+                                delta_dirs=delta_dirs or None,
+                                tombstones=tomb_ref,
+                                nrt_stats=stats_ref)
             for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo
         ]
 

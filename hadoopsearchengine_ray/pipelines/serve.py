@@ -31,7 +31,9 @@ Request reference (all fields besides ``op`` optional unless noted)::
 
     {"op": "search", "terms": [...], "k": 10}
     {"op": "search", "terms": [...], "k": 10,
-     "after": [score, doc_id]}              # cursor from a prior page
+     "after": [score, doc_id, generation]}  # cursor from a prior page
+       # pass next_after back VERBATIM; a cursor minted before an
+       # ingest/delete is rejected as stale (scores shifted)
     {"op": "query", "q": "merge^2 +window -dup s*", "k": 10}
     {"op": "phrase", "terms": ["slow", "hash", "batch"], "limit": 100}
     {"op": "near", "a": "spark", "b": "merge", "slop": 3,
@@ -42,6 +44,14 @@ Request reference (all fields besides ``op`` optional unless noted)::
     {"op": "grep", "pattern": "for(", "mode": "docs", "limit": 100}
        # mode: docs | count | lines | regex; "output_path" spills the
        # full match set to parquet instead of returning rows
+    {"op": "ingest", "corpus": "/path/new.parquet",
+     "text_col": "text", "id_col": "doc_id"}
+       # near-real-time indexing: delta-build the new docs (ids must be
+       # disjoint above the served space) and refresh the pool — later
+       # searches see them, scored exactly as a full rebuild would
+    {"op": "delete", "doc_ids": [3, 17]}
+       # tombstone + refresh: deleted docs leave results AND the BM25
+       # statistics (exact N/avgdl/df correction; needs corpus_path)
     {"op": "stats"} | {"op": "ping"} | {"op": "shutdown"}
 
 Cursor contract (mirrors ``RangePartitionedPool.score_after``): page 1
@@ -83,8 +93,18 @@ class SearchServer:
         self.index_dir = index_dir
         self.corpus_path = corpus_path
         self.grep_index = grep_index
+        self.num_ranges = num_ranges
+        # per-doc dl/term products for tombstone stat corrections —
+        # persists across refreshes so one-doc deletes don't re-read
+        # and re-tokenize the whole tombstone history
+        self._nrt_cache: dict = {}
+        # live pool: deltas + tombstones already on disk are served
+        # from request 1 (a daemon over an updated index must never
+        # silently answer from the pre-update generation)
         self.pool = RangePartitionedPool(index_dir,
-                                         num_ranges=num_ranges)
+                                         num_ranges=num_ranges,
+                                         corpus_path=corpus_path,
+                                         nrt_cache=self._nrt_cache)
         try:
             self.ann = None
             if ann_index is not None:
@@ -108,6 +128,15 @@ class SearchServer:
 
     # -- op implementations -------------------------------------------------
 
+    def _generation(self) -> str:
+        """Index-generation token baked into cursors: every ingest /
+        delete changes it (delta count + tombstone count are both
+        monotonic between compactions), and it survives a daemon
+        restart — a cursor minted before a mutation compares floats
+        against RE-SCORED pages, silently dropping/duplicating docs,
+        so a stale one must be rejected loudly instead."""
+        return f"g{self.pool.num_deltas}.{self.pool.num_tombstones}"
+
     def _op_search(self, req: dict) -> dict:
         terms = req["terms"]
         k = int(req.get("k", 10))
@@ -117,13 +146,19 @@ class SearchServer:
             # is ULP-consistent with later pages (pool.score_after doc)
             d, s = self.pool.score_after(terms, k)
         else:
+            if len(after) >= 3 and str(after[2]) != self._generation():
+                raise ValueError(
+                    "stale cursor: the index changed (ingest/delete) "
+                    "since this page was minted — restart pagination "
+                    "from page 1")
             d, s = self.pool.score_after(terms, k,
                                          after_score=float(after[0]),
                                          after_doc=int(after[1]))
         hits = _hits(d, s)
         out = {"hits": hits}
         if hits and len(hits) == k:
-            out["next_after"] = [hits[-1]["score"], hits[-1]["doc_id"]]
+            out["next_after"] = [hits[-1]["score"], hits[-1]["doc_id"],
+                                 self._generation()]
         return out
 
     def _op_query(self, req: dict) -> dict:
@@ -218,17 +253,91 @@ class SearchServer:
         return {"rows": tbl.to_pylist(), "total": total}
 
     def _op_stats(self, req: dict) -> dict:
-        with open(f"{self.index_dir}/meta.json") as f:
-            meta = json.load(f)
+        # num_docs/avgdl are the LIVE serving values (deltas counted,
+        # tombstones subtracted), not the main segment's meta — a
+        # client sizing pages after an ingest must see the real corpus
         return {
-            "num_docs": meta["num_docs"],
-            "avgdl": meta["avgdl"],
+            "num_docs": self.pool.live_n,
+            "avgdl": self.pool.live_avgdl,
+            "generation": self._generation(),
             "num_ranges": len(self.pool.actors),
+            "num_deltas": self.pool.num_deltas,
+            "num_tombstones": self.pool.num_tombstones,
             "ann_owners": len(self.ann.owners) if self.ann else 0,
             "grep_index": self.grep_index,
             "uptime_sec": time.monotonic() - self._t0,
             "n_requests": self._n_requests,
         }
+
+    # -- live index mutation (NRT ingest / delete) ---------------------------
+
+    def _refresh_pool(self) -> None:
+        """Swap in a pool over the CURRENT index generation.  The new
+        fleet is built before the old one dies, so a refresh that fails
+        (bad corpus, missing _SOURCE) leaves the serving pool intact."""
+        from .pool import RangePartitionedPool
+
+        new = RangePartitionedPool(self.index_dir,
+                                   num_ranges=self.num_ranges,
+                                   corpus_path=self.corpus_path,
+                                   nrt_cache=self._nrt_cache)
+        old, self.pool = self.pool, new
+        old.shutdown()
+
+    def _op_ingest(self, req: dict) -> dict:
+        """Delta-index a new corpus and serve it — the reference's
+        incremental update cycle, but without a daemon restart."""
+        from .delta import add_documents
+
+        delta_dir = add_documents(self.index_dir, str(req["corpus"]),
+                                  text_col=str(req.get("text_col",
+                                                       "text")),
+                                  id_col=str(req.get("id_col",
+                                                     "doc_id")))
+        self._refresh_pool()
+        return {"delta_dir": delta_dir,
+                "num_deltas": self.pool.num_deltas}
+
+    def _op_delete(self, req: dict) -> dict:
+        from .delta import delete_documents
+
+        import json as _json
+        import os
+
+        ids = [int(d) for d in req["doc_ids"]]
+        if not ids:
+            raise ValueError("delete needs a non-empty doc_ids list")
+        # checks BEFORE writing tombstones: a tombstone the pool cannot
+        # serve would wedge every later refresh AND daemon restart
+        if self.corpus_path is None:
+            raise ValueError("delete needs the server started with a "
+                             "corpus_path (the exact df correction "
+                             "re-tokenizes the deleted docs)")
+        bad = [i for i in ids if i < 0 or i >= self.pool.doc_space]
+        if bad:
+            raise ValueError(
+                f"doc ids {bad[:5]} outside the served doc-id space "
+                f"({self.pool.doc_space}); only indexed docs may be "
+                "deleted")
+        from .delta import _tombstone_path, load_tombstones
+
+        before = load_tombstones(self.index_dir)
+        tomb = delete_documents(self.index_dir, ids)
+        try:
+            self._refresh_pool()
+        except BaseException:
+            # roll the on-disk tombstone set back so a failed delete
+            # (id not in the corpus, missing delta _SOURCE, ...) never
+            # poisons later mutations or restarts
+            tp = _tombstone_path(self.index_dir)
+            if before:
+                with open(tp + ".tmp", "w") as f:
+                    _json.dump(sorted(before), f)
+                os.replace(tp + ".tmp", tp)
+            elif os.path.exists(tp):
+                os.remove(tp)
+            raise
+        return {"num_tombstones": len(tomb)}
 
     # -- dispatch ------------------------------------------------------------
 
@@ -236,6 +345,7 @@ class SearchServer:
         "search": _op_search, "query": _op_query, "phrase": _op_phrase,
         "near": _op_near, "facets": _op_facets, "ann": _op_ann,
         "spell": _op_spell, "grep": _op_grep, "stats": _op_stats,
+        "ingest": _op_ingest, "delete": _op_delete,
     }
 
     def handle(self, req: dict) -> dict:

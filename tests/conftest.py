@@ -26,6 +26,20 @@ def ray_session():
 T1_DOCS = 600
 
 
+def doc_id_table(lo, hi):
+    """Deterministic (doc_id, text) table over the generator corpus —
+    the shared shape for delta / NRT-serving tests (explicit ids)."""
+    import pyarrow as pa
+
+    from hadoopsearchengine_ray import corpus
+
+    tbl = corpus.gen_rows(np.arange(lo, hi))
+    return pa.table({
+        "doc_id": pa.array(range(lo, hi), pa.int64()),
+        "text": tbl["content"],
+    })
+
+
 @pytest.fixture(scope="session")
 def t1_corpus_dir(tmp_path_factory, ray_session):
     from hadoopsearchengine_ray import corpus

@@ -169,3 +169,141 @@ def test_pool_phrase_and_near_match_single_reader(t1_index_dir,
                 assert c1.tolist() == c2.tolist(), (a, b, ordered)
     finally:
         pool.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# live (NRT) serving: the pool over a delta-ingested + tombstoned index
+# must equal merged_scorer (the proven single-reader path) EXACTLY
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def nrt_pool_env(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.delta import (
+        add_documents,
+        delete_documents,
+    )
+
+    from tests.conftest import doc_id_table as _doc_table
+
+    root = tmp_path_factory.mktemp("nrt_pool")
+    mainp = str(root / "main.parquet")
+    newp = str(root / "new.parquet")
+    pq.write_table(_doc_table(0, 400), mainp)
+    pq.write_table(_doc_table(400, 500), newp)
+    idx = str(root / "idx")
+    build_index(mainp, idx, id_mode="column", text_col="text")
+    add_documents(idx, newp)
+    # tombstones in BOTH the main range and the delta range
+    dels = [i for i in range(500) if i % 17 == 0]
+    delete_documents(idx, dels)
+    return idx, mainp, dels
+
+
+def test_nrt_pool_exact_vs_merged_scorer(nrt_pool_env, t1_oracle):
+    """Every pool op family — score, cursor paging, parsed query
+    strings, phrase, NEAR — returns bit-identical results to
+    merged_scorer over the same deltas + tombstones (the injected
+    global-stats path must mirror the lazy path's arithmetic)."""
+    from hadoopsearchengine_ray import oracle as omod
+    from hadoopsearchengine_ray.pipelines.delta import merged_scorer
+    from hadoopsearchengine_ray.pipelines.positional import (
+        near_counts,
+        phrase_counts,
+    )
+
+    idx, mainp, dels = nrt_pool_env
+    oidx, _ = t1_oracle
+    ms = merged_scorer(idx)
+    pool = RangePartitionedPool(idx, num_ranges=3, corpus_path=mainp)
+    try:
+        assert pool.num_deltas == 1 and pool.num_tombstones == len(dels)
+        deleted = set(dels)
+        for q in omod.make_queries(oidx, 25):
+            d1, s1 = ms.score(q["terms"], q["k"])
+            d2, s2 = pool.score(q["terms"], q["k"])
+            assert [int(x) for x in d1] == [int(x) for x in d2], q
+            assert [float(x) for x in s1] == [float(x) for x in s2], q
+            assert not deleted & {int(x) for x in d2}
+        # cursor paging across the whole result set
+        dm, sm = ms.score_after(["def", "return"], 7,
+                                after_score=float("inf"), after_doc=-1)
+        dp, sp = pool.score_after(["def", "return"], 7,
+                                  after_score=float("inf"), after_doc=-1)
+        assert dm.tolist() == dp.tolist()
+        assert sm.tolist() == sp.tolist()
+        if len(dm):
+            dm2, _ = ms.score_after(["def", "return"], 7,
+                                    after_score=float(sm[-1]),
+                                    after_doc=int(dm[-1]))
+            dp2, _ = pool.score_after(["def", "return"], 7,
+                                      after_score=float(sp[-1]),
+                                      after_doc=int(dp[-1]))
+            assert dm2.tolist() == dp2.tolist()
+        # parsed query string (wildcard expansion + required/excluded)
+        dm, sm = merged_scorer(idx).score_query("def +return -zz retu*", 8)
+        dp, sp = pool.score_query("def +return -zz retu*", 8)
+        assert dm.tolist() == dp.tolist()
+        assert sm.tolist() == sp.tolist()
+        # positional ops filter tombstoned docs identically
+        for ph in (["def", "main"], ["return", "the"]):
+            d1, c1 = phrase_counts(ms.rd, ph)
+            d2, c2 = pool.phrase_counts(ph)
+            assert d1.tolist() == d2.tolist()
+            assert c1.tolist() == c2.tolist()
+        d1, c1 = near_counts(ms.rd, "def", "return", slop=4,
+                             ordered=False)
+        d2, c2 = pool.near_counts("def", "return", slop=4,
+                                  ordered=False)
+        assert d1.tolist() == d2.tolist()
+        assert c1.tolist() == c2.tolist()
+    finally:
+        pool.shutdown()
+
+
+def test_nrt_pool_requires_corpus_for_tombstones(nrt_pool_env):
+    """Tombstoned index + no corpus_path must fail LOUDLY at pool
+    construction (the df correction needs the deleted docs' text) —
+    never silently serve stale statistics."""
+    idx, _, _ = nrt_pool_env
+    with pytest.raises(ValueError, match="corpus"):
+        RangePartitionedPool(idx, num_ranges=2)
+
+
+def test_nrt_pool_delta_only_no_corpus_needed(nrt_pool_env,
+                                              tmp_path_factory):
+    """Deltas WITHOUT tombstones serve without a corpus (global stats
+    come from segment metas alone)."""
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.delta import (
+        add_documents,
+        merged_scorer,
+    )
+
+    root = tmp_path_factory.mktemp("nrt_delta_only")
+
+    from tests.conftest import doc_id_table as _doc_table
+
+    mainp = str(root / "main.parquet")
+    newp = str(root / "new.parquet")
+    pq.write_table(_doc_table(0, 120), mainp)
+    pq.write_table(_doc_table(120, 150), newp)
+    idx = str(root / "idx")
+    build_index(mainp, idx, id_mode="column", text_col="text")
+    add_documents(idx, newp)
+    ms = merged_scorer(idx)
+    pool = RangePartitionedPool(idx, num_ranges=2)
+    try:
+        d1, s1 = ms.score(["def", "return"], 10)
+        d2, s2 = pool.score(["def", "return"], 10)
+        assert d1.tolist() == d2.tolist()
+        assert s1.tolist() == s2.tolist()
+        # delta docs actually reachable (ids >= 120 can win)
+        dd, _ = pool.score(["def"], 150)
+        assert any(int(x) >= 120 for x in dd)
+    finally:
+        pool.shutdown()

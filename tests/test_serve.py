@@ -377,3 +377,157 @@ def test_failed_constructor_reaps_pool_actors(serve_env, tmp_path):
     for a in spawned[0].actors:
         with pytest.raises(ray.exceptions.RayActorError):
             ray.get(a.score_after.remote(["merge"], 1, None, -1))
+
+
+def test_serve_nrt_ingest_and_delete(tmp_path_factory, ray_session):
+    """Live index mutation through the daemon: ingest makes new docs
+    searchable (scored exactly as a rebuild), delete removes docs AND
+    shifts the BM25 statistics; the pool refresh is atomic per request
+    and a daemon (re)start over the mutated index serves it correctly."""
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.delta import merged_scorer
+
+    from tests.conftest import doc_id_table as _doc_table
+
+    d = tmp_path_factory.mktemp("serve_nrt")
+    mainp, newp = str(d / "main.parquet"), str(d / "new.parquet")
+    pq.write_table(_doc_table(0, 150), mainp)
+    pq.write_table(_doc_table(150, 190), newp)
+    idx = str(d / "idx")
+    build_index(mainp, idx, id_mode="column", text_col="text")
+
+    srv = SearchServer(idx, corpus_path=mainp, num_ranges=3)
+    try:
+        base = srv.handle({"op": "stats"})
+        assert base["num_deltas"] == 0 and base["num_tombstones"] == 0
+
+        r = srv.handle({"op": "ingest", "corpus": newp})
+        assert r["ok"] and r["num_deltas"] == 1
+        r = srv.handle({"op": "search", "terms": ["def", "return"],
+                        "k": 190})
+        got = {h["doc_id"] for h in r["hits"]}
+        assert any(i >= 150 for i in got)   # delta docs searchable
+
+        dels = [i for i in range(190) if i % 13 == 0]
+        r = srv.handle({"op": "delete", "doc_ids": dels})
+        assert r["ok"] and r["num_tombstones"] == len(dels)
+        r = srv.handle({"op": "search", "terms": ["def", "return"],
+                        "k": 10})
+        ms = merged_scorer(idx)
+        dm, sm = ms.score(["def", "return"], 10)
+        assert [h["doc_id"] for h in r["hits"]] == [int(x) for x in dm]
+        assert [h["score"] for h in r["hits"]] == [float(x) for x in sm]
+        assert not {h["doc_id"] for h in r["hits"]} & set(dels)
+        st = srv.handle({"op": "stats"})
+        assert st["num_deltas"] == 1
+        assert st["num_tombstones"] == len(dels)
+
+        # a failed mutation must leave the serving pool intact
+        bad = srv.handle({"op": "ingest", "corpus": str(d / "nope.pq")})
+        assert not bad["ok"]
+        r2 = srv.handle({"op": "search", "terms": ["def", "return"],
+                         "k": 10})
+        assert r2["hits"] == r["hits"]
+    finally:
+        srv.close()
+
+    # restart: a NEW daemon over the mutated index serves the same
+    # generation from request 1 (no silent pre-update answers)
+    srv2 = SearchServer(idx, corpus_path=mainp, num_ranges=2)
+    try:
+        r3 = srv2.handle({"op": "search", "terms": ["def", "return"],
+                          "k": 10})
+        assert r3["hits"] == r["hits"]
+    finally:
+        srv2.close()
+
+
+def test_serve_delete_without_corpus_is_loud(tmp_path_factory,
+                                             ray_session):
+    """delete on a daemon started without corpus_path fails BEFORE
+    writing tombstones (a tombstone the pool can't serve would wedge
+    every later refresh)."""
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.delta import load_tombstones
+
+    from tests.conftest import doc_id_table as _doc_table
+
+    d = tmp_path_factory.mktemp("serve_del_nc")
+    mainp = str(d / "main.parquet")
+    pq.write_table(_doc_table(0, 60), mainp)
+    idx = str(d / "idx")
+    build_index(mainp, idx, id_mode="column", text_col="text")
+    srv = SearchServer(idx, num_ranges=2)
+    try:
+        r = srv.handle({"op": "delete", "doc_ids": [3]})
+        assert not r["ok"] and "corpus_path" in r["error"]
+        assert load_tombstones(idx) == set()
+        assert srv.handle({"op": "ping"})["ok"]
+    finally:
+        srv.close()
+
+
+def test_serve_nrt_cursor_and_stats_generation(tmp_path_factory,
+                                               ray_session):
+    """A cursor minted before an ingest/delete is rejected as stale
+    (scores shift with the statistics — comparing the old floats would
+    silently drop/duplicate docs across pages), and stats reports the
+    LIVE corpus (deltas counted, tombstones subtracted)."""
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.delta import merged_scorer
+
+    from tests.conftest import doc_id_table as _doc_table
+
+    d = tmp_path_factory.mktemp("serve_gen")
+    mainp, newp = str(d / "main.parquet"), str(d / "new.parquet")
+    pq.write_table(_doc_table(0, 120), mainp)
+    pq.write_table(_doc_table(120, 150), newp)
+    idx = str(d / "idx")
+    build_index(mainp, idx, id_mode="column", text_col="text")
+    srv = SearchServer(idx, corpus_path=mainp, num_ranges=2)
+    try:
+        st0 = srv.handle({"op": "stats"})
+        assert st0["num_docs"] == 120
+        p1 = srv.handle({"op": "search", "terms": ["def", "return"],
+                         "k": 5})
+        cur = p1["next_after"]
+        assert len(cur) == 3                       # score, doc, gen
+        # same generation: paging works
+        assert srv.handle({"op": "search", "terms": ["def", "return"],
+                           "k": 5, "after": cur})["ok"]
+
+        assert srv.handle({"op": "ingest", "corpus": newp})["ok"]
+        stale = srv.handle({"op": "search", "terms": ["def", "return"],
+                            "k": 5, "after": cur})
+        assert not stale["ok"] and "stale cursor" in stale["error"]
+        assert stale.get("bad_request")
+
+        st1 = srv.handle({"op": "stats"})
+        assert st1["num_docs"] == 150
+        assert st1["generation"] != st0["generation"]
+
+        assert srv.handle({"op": "delete", "doc_ids": [0, 130]})["ok"]
+        st2 = srv.handle({"op": "stats"})
+        assert st2["num_docs"] == 148
+        ms = merged_scorer(idx)
+        assert st2["avgdl"] == ms.rd.avgdl      # live == lazy, bitwise
+
+        # out-of-range delete: rejected BEFORE any mutation
+        r = srv.handle({"op": "delete", "doc_ids": [10**9]})
+        assert not r["ok"] and "doc-id space" in r["error"]
+        assert srv.handle({"op": "stats"})["num_tombstones"] == 2
+
+        # refresh failure rolls the tombstone file back
+        from hadoopsearchengine_ray.pipelines.delta import load_tombstones
+
+        real_refresh = srv._refresh_pool
+        srv._refresh_pool = lambda: (_ for _ in ()).throw(
+            RuntimeError("boom"))
+        r = srv.handle({"op": "delete", "doc_ids": [7]})
+        assert not r["ok"] and "boom" in r["error"]
+        assert load_tombstones(idx) == {0, 130}
+        srv._refresh_pool = real_refresh
+        assert srv.handle({"op": "search", "terms": ["def"],
+                           "k": 3})["ok"]
+    finally:
+        srv.close()
