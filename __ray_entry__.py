@@ -381,6 +381,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n": pd.array([int(x) for x in c], dtype="int64"),
         })
 
+    def q_cube_revenue(sf):
+        # GROUP BY CUBE(returnflag, linestatus): 2^k granularities from
+        # ONE input-scale shuffle (coarser levels re-aggregate the
+        # finest result map-side)
+        from hadoopsearchengine_ray.pipelines.relational import (
+            cube_aggregate,
+        )
+
+        ds = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        out = cube_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                             "l_quantity", alias="sum_qty")
+
+        def _round(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            i = b.schema.get_field_index("sum_qty")
+            return b.set_column(i, "sum_qty", _pc.round(b["sum_qty"], 2))
+
+        return out.map_batches(_round, batch_format="pyarrow",
+                               batch_size=None)
+
+    def q_ntile_orders(sf):
+        # NTILE(4) per customer by order value desc (orderkey tiebreak
+        # makes the ordering unique, so the bucket split is
+        # engine-independent)
+        from hadoopsearchengine_ray.pipelines.relational import (
+            ntile_per_key,
+        )
+
+        ds = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        out = ntile_per_key(ds, "o_custkey",
+                            ["o_totalprice", "o_orderkey"], 4,
+                            descending=[True, False], alias="tile")
+
+        def _drop(b: pa.Table) -> pa.Table:
+            return b.drop_columns(["o_totalprice"])
+
+        return out.map_batches(_drop, batch_format="pyarrow",
+                               batch_size=None)
+
+    def q_corr_price_qty(sf):
+        # per-returnflag Pearson corr + regression line of
+        # extendedprice on quantity (two-pass centered moments)
+        from hadoopsearchengine_ray.pipelines.relational import (
+            corr_regr_per_key,
+        )
+
+        ds = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+        return corr_regr_per_key(ds, "l_returnflag", "l_quantity",
+                                 "l_extendedprice")
+
+    def q_pivot_events(sf):
+        # PIVOT: per-user event counts, one int64 column per
+        # event_type (pre-aggregated crosstab partials -> one shuffle
+        # of key-cardinality rows)
+        from hadoopsearchengine_ray.pipelines.relational import (
+            pivot_counts,
+        )
+
+        ds = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type"])
+        return pivot_counts(ds, "user_id", "event_type", prefix="n_")
+
+    def q_bigram_logprob(sf):
+        # corpus-bigram conditional-LM mean logprob per doc — the
+        # order-sensitive fluency signal on top of unigram_logprob
+        from hadoopsearchengine_ray.functions.trainprep import (
+            bigram_logprob,
+        )
+
+        return bigram_logprob(f"{sf}/documents.parquet")
+
     def q_near_pairs(sf):
         # ordered NEAR predicate from in-index positions: exact count
         # of (pos_a, pos_b) pairs with 1 <= pos_b - pos_a <= 4
@@ -2298,6 +2375,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # facet paths), then the r04-checked set.
         "phrase3_match": q_phrase3,
         "phrase_pool": q_phrase_pool,
+        "cube_revenue": q_cube_revenue,
+        "ntile_orders": q_ntile_orders,
+        "corr_price_qty": q_corr_price_qty,
+        "pivot_events": q_pivot_events,
+        "bigram_logprob": q_bigram_logprob,
         "serve_nrt": q_serve_nrt,
         "serve_search": q_serve_search,
         "grep_regex_ci": q_grep_regex_ci,
@@ -3922,6 +4004,58 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
             WHERE a.t = 'slow' AND b.t = 'hash' AND c.t = 'batch'
             GROUP BY a.doc_id
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "ntile_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ntile(4) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                     AS tile
+            FROM orders ORDER BY o_orderkey
+        """,
+        "corr_price_qty": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(corr(l_extendedprice, l_quantity), 6) AS "corr",
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # bigram conditional LM: P(b|a) = n_ab / n_head(a); every doc
+        # pair exists in the corpus counts (trained on itself), so the
+        # LEFT JOIN only handles docs with < 2 tokens
+        "bigram_logprob": f"""
+            WITH {TOK_ORDERED_CTE},
+            big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+                    FROM toko a JOIN toko b
+                      ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            bc AS (SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2),
+            hc AS (SELECT w1, sum(n_ab) AS n_head FROM bc GROUP BY 1),
+            s AS (SELECT g.doc_id, count(*) AS n_pairs,
+                         sum(ln(c.n_ab / h.n_head)) AS lp
+                  FROM big g JOIN bc c USING (w1, w2) JOIN hc h USING (w1)
+                  GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   round(coalesce(s.lp / s.n_pairs, 0.0), 6) AS logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # NEAR predicates: pair counts over the ordered token stream —
         # rn deltas equal index position deltas (both number the KEPT

@@ -13,6 +13,8 @@ Operators:
     (duplicate-line fraction, top unigram/bigram fraction) + keep flag.
   * ``unigram_logprob``   — corpus-unigram-LM mean log-prob per doc, the
     deterministic stand-in for CCNet-style LM perplexity filtering.
+  * ``bigram_logprob``    — adjacent-pair conditional-LM mean log-prob,
+    the order-sensitive fluency signal the unigram bag can't see.
   * ``pii_redact``        — email/IPv4 scrubbing with per-doc counts
     (C4-style PII removal), regex parity with the SQL oracle.
   * ``contamination_table`` — train/test n-gram overlap (benchmark
@@ -717,3 +719,137 @@ def packed_shards(docs, text_col: str = "text",
         })
 
     return frags.groupby("seq_id").map_groups(_asm, batch_format="pandas")
+
+
+def bigram_logprob(docs, text_col: str = "text",
+                   broadcast_limit: int = 2_000_000) -> rd.Dataset:
+    """(doc_id, n_pairs, logprob): mean corpus-bigram conditional
+    log-probability ln P(b|a) over each doc's ADJACENT token pairs,
+    rounded to 6 decimals (0.0 for docs with < 2 tokens) — the order-
+    sensitive upgrade of ``unigram_logprob``'s bag-of-words LM (a
+    fluency/quality signal unigrams can't see: scrambled text keeps
+    its unigram score but craters here).
+
+    P(b|a) = n_ab / n_head(a), with n_head(a) = Σ_b n_ab derived from
+    the AGGREGATED bigram table (no second corpus scan) — so the model
+    normalizes exactly and, being trained on the scored corpus itself,
+    never needs smoothing.  Scale shape mirrors ``unigram_logprob``:
+    one bigram-cardinality aggregate, broadcast back via ``ray.put``
+    into a single per-doc map (docs are row-atomic, so the scoring
+    pass needs no shuffle at all).  Above ``broadcast_limit`` distinct
+    bigrams the log-probs attach via the co-partitioned ``hash_join``
+    and a doc-keyed aggregate instead.  Tokenization (and therefore
+    pair adjacency) is post-filter, byte-identical to the oracle's
+    TOK_ORDERED_CTE."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .text import _adjacent_bigrams
+
+    docs = _docs(docs, text_col)
+
+    def _pair_counts(batch: pa.Table) -> pa.Table:
+        big = _adjacent_bigrams(tokenize_column(batch[text_col]))
+        if len(big) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        d = big.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"bigram": d.dictionary.cast(pa.string()),
+                         "n_ab": pa.array(cnt, pa.int64())})
+
+    bc = (docs.map_batches(_pair_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+          .groupby("bigram").aggregate(Sum("n_ab", alias_name="n_ab"))
+          ).materialize()
+
+    # head counts from the aggregated table: tokens can't contain the
+    # joiner space, so the split is lossless
+    def _lp_table(bpdf: pd.DataFrame) -> pd.Series:
+        heads = bpdf["bigram"].str.split(" ", n=1).str[0]
+        n_head = bpdf.groupby(heads)["n_ab"].transform("sum")
+        # ln(n_ab / n_head) elementwise — the oracle's exact IEEE op
+        # order, so per-pair values are bit-identical and only the
+        # per-doc summation order differs (absorbed by round-6)
+        return pd.Series(
+            np.log(bpdf["n_ab"].to_numpy(np.float64)
+                   / n_head.to_numpy(np.float64)),
+            index=bpdf["bigram"])
+
+    def _pair_doc_index(offs: np.ndarray) -> np.ndarray:
+        return np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                         np.maximum(np.diff(offs) - 1, 0))
+
+    if bc.count() > broadcast_limit:
+        from ..pipelines.relational import hash_join
+
+        lp_ds = rd.from_arrow(pa.Table.from_pandas(
+            _lp_table(bc.to_pandas()).rename("lp").reset_index(),
+            preserve_index=False))
+        # (doc_id, bigram, tf) rows; join attaches lp, doc groupby sums
+        def _doc_pairs(batch: pa.Table) -> pa.Table:
+            toks = tokenize_column(batch[text_col])
+            big = _adjacent_bigrams(toks)
+            offs = toks.offsets.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            didx = _pair_doc_index(offs)
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids[didx]),
+                             "bigram": big})
+
+        joined = hash_join(
+            docs.map_batches(_doc_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True), lp_ds, on="bigram")
+        agg = (joined.map_batches(
+                   lambda b: pa.table({"doc_id": b["doc_id"],
+                                       "np_": pa.array(
+                                           np.ones(b.num_rows, np.int64)),
+                                       "lp": b["lp"]}),
+                   batch_format="pyarrow", batch_size=None)
+               .groupby("doc_id")
+               .aggregate(Sum("np_", alias_name="n_pairs"),
+                          Sum("lp", alias_name="lp")))
+        ids = docs.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        out = hash_join(ids, agg, on="doc_id", how="left")
+
+        def _fin(batch: pa.Table) -> pa.Table:
+            n = np.nan_to_num(np.asarray(batch["n_pairs"].to_numpy(
+                zero_copy_only=False), np.float64), nan=0.0)
+            w = np.nan_to_num(np.asarray(batch["lp"].to_numpy(
+                zero_copy_only=False), np.float64), nan=0.0)
+            lp = np.where(n > 0, np.round(w / np.maximum(n, 1), 6), 0.0)
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_pairs": pa.array(n.astype(np.int64)),
+                "logprob": pa.array(lp, pa.float64()),
+            })
+
+        return out.map_batches(_fin, batch_format="pyarrow",
+                               batch_size=None)
+
+    lut_ref = ray.put(_lp_table(bc.to_pandas()))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        lp_by_pair = ray.get(lut_ref)
+        n_docs = batch.num_rows
+        toks = tokenize_column(batch[text_col])
+        big = _adjacent_bigrams(toks)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        didx = _pair_doc_index(offs)
+        lp = big.to_pandas().map(lp_by_pair).to_numpy(np.float64)
+        sums = np.bincount(didx, weights=lp, minlength=n_docs)
+        n = np.bincount(didx, minlength=n_docs).astype(np.int64)
+        out = np.where(n > 0, np.round(sums / np.maximum(n, 1), 6), 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_pairs": pa.array(n),
+            "logprob": pa.array(out, pa.float64()),
+        })
+
+    return docs.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -958,3 +958,228 @@ def hopping_window_agg(events: rd.Dataset, ts_col: str, key: str,
                             _pc.round(b["total"], 2))
 
     return agg.map_batches(_round, batch_format="pyarrow", batch_size=None)
+
+
+def cube_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
+                   alias: str = "total") -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(keys)``: one sum per key SUBSET (2^k
+    granularities; ROLLUP's prefix chain is the special case), rolled-
+    away key columns null.  Same one-shuffle scale shape as
+    ``rollup_aggregate``: the finest groupby is the only input-scale
+    exchange; every coarser subset re-aggregates the dictionary-
+    cardinality finest result map-side.  The reference reaches this
+    shape by chaining KeyWeight passes, one full MapReduce per
+    granularity (/root/reference/ProcessSet.h:966-1043) — here the
+    input is scanned once."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    finest = (ds.groupby(keys)
+              .aggregate(Sum(value_col, alias_name=alias))).materialize()
+    fsch = _as_arrow_schema(finest.schema())
+    ktypes = {c: fsch.field(c).type for c in keys}
+    vtype = fsch.field(alias).type
+
+    def _pad(b: pa.Table) -> pa.Table:
+        return pa.table({
+            **{c: (b[c] if c in b.column_names
+                   else pa.nulls(b.num_rows, ktypes[c])) for c in keys},
+            alias: b[alias].cast(vtype),
+        })
+
+    levels = [finest.map_batches(_pad, batch_format="pyarrow",
+                                 batch_size=None)]
+    for depth in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, depth):
+            kept = list(kept)
+            if kept:
+                lvl = (finest.select_columns(kept + [alias])
+                       .groupby(kept)
+                       .aggregate(Sum(alias, alias_name=alias))
+                       .map_batches(_pad, batch_format="pyarrow",
+                                    batch_size=None))
+            else:
+                tot = finest.to_pandas()[alias].sum()
+                lvl = rd.from_arrow(pa.table({
+                    **{c: pa.nulls(1, ktypes[c]) for c in keys},
+                    alias: pa.array([tot]).cast(vtype),
+                }))
+            levels.append(lvl)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def ntile_per_key(ds: rd.Dataset, key: str, order_cols: list[str],
+                  n_tiles: int, descending: bool | list[bool] = False,
+                  alias: str = "tile", num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY ...)``: each
+    key's rows split into ``n_tiles`` ranked buckets, the first
+    ``count % n`` buckets one row larger (the SQL-standard fill rule).
+    ``order_cols`` must order each partition UNIQUELY — with ties the
+    bucket boundary falls between equal rows and every engine places
+    them differently, so duplicates raise instead of guessing.  Same
+    bucket composition as the other window ops: one hash shuffle, one
+    lexsort + a closed-form vectorized tile assignment per bucket."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    desc = ([descending] * len(order_cols) if isinstance(descending, bool)
+            else list(descending))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.select([key]).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def _ntile(g: pa.Table) -> pd.DataFrame:
+        df = g.drop_columns(["__bucket"]).to_pandas()
+        if df.empty:
+            df[alias] = pd.Series([], dtype="int64")
+            return df
+        df = df.sort_values([key] + order_cols,
+                            ascending=[True] + [not d for d in desc],
+                            kind="stable").reset_index(drop=True)
+        if df.duplicated(subset=[key] + order_cols).any():
+            raise ValueError(
+                f"ntile_per_key: duplicate ({key}, {order_cols}) rows — "
+                "NTILE over ties is engine-defined; add a tiebreak column")
+        codes = pd.factorize(df[key], use_na_sentinel=False)[0]
+        counts = np.bincount(codes)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(df)) - starts[codes]
+        n = counts[codes]
+        q, r = n // n_tiles, n % n_tiles
+        big = r * (q + 1)           # rows covered by the larger buckets
+        tile = np.where(pos < big,
+                        pos // np.maximum(q + 1, 1),
+                        r + (pos - big) // np.maximum(q, 1)) + 1
+        df[alias] = tile.astype(np.int64)
+        return df
+
+    return (_coalesce_for_buckets(
+                ds.map_batches(_bucket, batch_format="pyarrow",
+                               batch_size=None), num_buckets)
+            .groupby("__bucket")
+            .map_groups(_ntile, batch_format="pyarrow"))
+
+
+def corr_regr_per_key(ds: rd.Dataset, key: str, x: str, y: str,
+                      round_to: int = 6) -> rd.Dataset:
+    """Per-key Pearson correlation + least-squares line of y on x (SQL
+    ``corr`` / ``regr_slope`` / ``regr_intercept``), as
+    ``(key, n, corr, slope, intercept)`` rounded to ``round_to``.
+
+    Two passes, both map-side partial then one key-cardinality
+    aggregate: pass 1 computes per-key n/Σx/Σy (means, broadcast via
+    ``ray.put``); pass 2 sums CENTERED cross-moments (the textbook
+    two-pass algorithm — numerically agrees with the engines'
+    single-pass updating formulas to ~1e-12 relative, where raw
+    moments can lose half the mantissa).  Rows with NULL x or y drop
+    pairwise (SQL aggregate semantics).  Degenerate keys (n < 2 or a
+    zero-variance side) yield SQL NULLs."""
+
+    def _clean(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([key, x, y]).to_pandas()
+        return df.dropna(subset=[x, y])
+
+    def _p1(batch: pa.Table) -> pa.Table:
+        df = _clean(batch)
+        g = df.groupby(key, dropna=False)
+        out = g.size().rename("n").to_frame()
+        out["sx"] = g[x].sum()
+        out["sy"] = g[y].sum()
+        return pa.Table.from_pandas(out.reset_index(),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    p1 = (ds.map_batches(_p1, batch_format="pyarrow", batch_size=None)
+          .groupby(key)
+          .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                     Sum("sy", alias_name="sy"))).to_pandas()
+    p1["mx"] = p1["sx"] / p1["n"]
+    p1["my"] = p1["sy"] / p1["n"]
+    means_ref = ray.put(p1.set_index(key)[["mx", "my"]])
+
+    def _p2(batch: pa.Table) -> pd.DataFrame:
+        df = _clean(batch)
+        m = ray.get(means_ref)
+        dx = df[x].to_numpy(np.float64) - m["mx"].reindex(
+            df[key]).to_numpy(np.float64)
+        dy = df[y].to_numpy(np.float64) - m["my"].reindex(
+            df[key]).to_numpy(np.float64)
+        part = pd.DataFrame({key: df[key].to_numpy(),
+                             "sxx": dx * dx, "syy": dy * dy,
+                             "sxy": dx * dy})
+        return pa.Table.from_pandas(
+            part.groupby(key, dropna=False, as_index=False).sum(),
+            preserve_index=False)
+
+    p2 = (ds.map_batches(_p2, batch_format="pyarrow", batch_size=None)
+          .groupby(key)
+          .aggregate(Sum("sxx", alias_name="sxx"),
+                     Sum("syy", alias_name="syy"),
+                     Sum("sxy", alias_name="sxy"))).to_pandas()
+    out = p1.merge(p2, on=key)
+    ok = (out["n"] > 1) & (out["sxx"] > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where(ok & (out["syy"] > 0),
+                        out["sxy"] / np.sqrt(out["sxx"] * out["syy"]),
+                        np.nan)
+        slope = np.where(ok, out["sxy"] / out["sxx"], np.nan)
+        intercept = np.where(ok, out["my"] - slope * out["mx"], np.nan)
+    res = pd.DataFrame({
+        key: out[key],
+        "n": out["n"].astype("int64"),
+        "corr": np.round(corr, round_to),
+        "slope": np.round(slope, round_to),
+        "intercept": np.round(intercept, round_to),
+    }).sort_values(key).reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(res, preserve_index=False))
+
+
+def pivot_counts(ds: rd.Dataset, row_key: str, pivot_col: str,
+                 prefix: str = "n_",
+                 max_pivot_values: int = 1000) -> rd.Dataset:
+    """SQL PIVOT (conditional aggregation): one int64 count column per
+    distinct ``pivot_col`` value, one row per ``row_key``.  The pivot
+    dictionary is aggregated first — it becomes the OUTPUT SCHEMA, so
+    it must be small; more than ``max_pivot_values`` distinct values
+    raises (wide schemas don't scale; use the long groupby form).
+    Each batch emits per-key partial count VECTORS (one crosstab), so
+    the single shuffle carries key-cardinality pre-aggregated rows.
+    NULL pivot values drop (SQL ``CASE WHEN col = v`` never matches
+    NULL); NULL row keys also drop (crosstab semantics) — filter or
+    fill first if they must be kept."""
+    from ray.data.aggregate import Sum
+
+    vals = (ds.groupby(pivot_col).aggregate(Count(alias_name="__n"))
+            .to_pandas()[pivot_col].dropna().tolist())
+    if len(vals) > max_pivot_values:
+        raise ValueError(
+            f"pivot_counts: {len(vals)} distinct {pivot_col!r} values "
+            f"(> {max_pivot_values}); pivot output schema would be "
+            "unmanageably wide — keep the long form")
+    vals = sorted(str(v) for v in vals)
+    cols = [f"{prefix}{v}" for v in vals]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([row_key, pivot_col]).to_pandas()
+        ct = pd.crosstab(df[row_key], df[pivot_col].astype(str),
+                         dropna=False)
+        ct = ct.reindex(columns=vals, fill_value=0).astype("int64")
+        ct.columns = cols
+        ct.index.name = row_key
+        # arrow block, not pandas: Ray's sort-aggregate on pandas
+        # blocks measured 10x slower on the same partials
+        return pa.Table.from_pandas(ct.reset_index(),
+                                    preserve_index=False)
+
+    return (ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(row_key)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))

@@ -997,3 +997,152 @@ def test_ann_pool_with_empty_ivf_lists(tmp_path):
                     f"nprobe={nprobe} qid={qi}"
     finally:
         pool.shutdown()
+
+
+def test_cube_aggregate_all_subsets():
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "x", "y", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p", "p"], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    out = rel.cube_aggregate(ds, ["a", "b"], "v", alias="t").to_pandas()
+    rows = {(r.a, r.b): r.t for r in out.itertuples()}
+    # rollup levels PLUS the (None, b) slice rollup never produces
+    assert rows == {("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 7,
+                    ("x", None): 3, ("y", None): 7,
+                    (None, "p"): 8, (None, "q"): 2, (None, None): 10}
+    assert len(out) == 8
+
+
+def test_ntile_fill_rule_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    n = 997
+    df = pd.DataFrame({
+        "k": rng.integers(0, 13, size=n),
+        "o": rng.permutation(n),     # unique ordering per key
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (rel.ntile_per_key(ds, "k", ["o"], 4, descending=False,
+                             alias="tile")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT k, o, CAST(ntile(4) OVER (PARTITION BY k ORDER BY o)
+                          AS BIGINT) AS tile
+        FROM df ORDER BY k, o
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "tile"]], want[["k", "o", "tile"]],
+        check_dtype=False)
+
+
+def test_ntile_rejects_ties():
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "o": pa.array([5, 5], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="tie|duplicate"):
+        rel.ntile_per_key(ds, "k", ["o"], 2).materialize()
+
+
+def test_ntile_more_tiles_than_rows():
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "o": pa.array([30, 10, 20], pa.int64()),
+    }))
+    out = (rel.ntile_per_key(ds, "k", ["o"], 10).to_pandas()
+           .sort_values("o"))
+    # n < tiles: each row its own bucket, in order
+    assert out["tile"].tolist() == [1, 2, 3]
+
+
+def test_corr_regr_matches_duckdb_and_degenerates():
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    xs = rng.normal(10, 3, size=5000)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 2500),
+        "x": xs,
+        "y": 3.0 * xs + rng.normal(0, 2, size=5000),
+    })
+    # degenerate keys: single row, zero x-variance
+    extra = pd.DataFrame({"k": ["solo", "flat", "flat"],
+                          "x": [1.0, 2.0, 2.0], "y": [5.0, 1.0, 9.0]})
+    fdf = pd.concat([df, extra], ignore_index=True)
+    ds = rd.from_arrow(pa.Table.from_pandas(fdf, preserve_index=False))
+    got = (rel.corr_regr_per_key(ds, "k", "x", "y").to_pandas()
+           .set_index("k"))
+    want = duckdb.sql("""
+        SELECT k, CAST(count(*) AS BIGINT) AS n,
+               round(corr(y, x), 6) AS "corr",
+               round(regr_slope(y, x), 6) AS slope,
+               round(regr_intercept(y, x), 6) AS intercept
+        FROM fdf GROUP BY k
+    """).fetchdf().set_index("k")
+    for k in ["a", "b"]:
+        for c in ["n", "corr", "slope", "intercept"]:
+            assert got.loc[k, c] == pytest.approx(want.loc[k, c],
+                                                  abs=2e-6), (k, c)
+    # SQL NULL semantics on the degenerate keys (duckdb agrees)
+    for k in ["solo", "flat"]:
+        assert np.isnan(got.loc[k, "corr"])
+        assert np.isnan(got.loc[k, "slope"])
+        assert np.isnan(want.loc[k, "slope"])
+
+
+def test_pivot_counts_drops_null_pivot_values():
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "t": pa.array(["a", "b", "a", None, "a"], pa.string()),
+    }))
+    out = (rel.pivot_counts(ds, "u", "t").to_pandas()
+           .sort_values("u").reset_index(drop=True))
+    assert list(out.columns) == ["u", "n_a", "n_b"]
+    assert out.loc[0].tolist() == [1, 1, 1]
+    assert out.loc[1].tolist() == [2, 2, 0]   # the NULL never counted
+
+
+def test_pivot_counts_rejects_wide_schema():
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array(range(50), pa.int64()),
+        "t": pa.array([f"v{i}" for i in range(50)], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="distinct"):
+        rel.pivot_counts(ds, "u", "t", max_pivot_values=10)
+
+
+def test_bigram_logprob_hand_computed():
+    from hadoopsearchengine_ray.functions.trainprep import bigram_logprob
+
+    # corpus bigrams: "aa bb" x2 (docs 0,1), "bb aa" x1, "aa cc" x1
+    # heads: aa -> 3, bb -> 1
+    ds = _doc_ds(["aa bb aa cc", "aa bb", "zz"])
+    out = bigram_logprob(ds).to_pandas().set_index("doc_id")
+    lp_aabb = np.log(2 / 3)
+    lp_bbaa = np.log(1 / 1)
+    lp_aacc = np.log(1 / 3)
+    assert out.loc[0, "n_pairs"] == 3
+    assert out.loc[0, "logprob"] == pytest.approx(
+        round((lp_aabb + lp_bbaa + lp_aacc) / 3, 6), abs=1e-9)
+    assert out.loc[1, "n_pairs"] == 1
+    assert out.loc[1, "logprob"] == pytest.approx(round(lp_aabb, 6))
+    # single-token doc: no pairs, logprob pinned to 0.0
+    assert out.loc[2, "n_pairs"] == 0
+    assert out.loc[2, "logprob"] == 0.0
+
+
+def test_bigram_logprob_join_path_matches_broadcast():
+    from hadoopsearchengine_ray.functions.trainprep import bigram_logprob
+
+    texts = ["merge sort hash join scan filter",
+             "hash join merge sort",
+             "scan filter scan filter scan",
+             "solo"]
+    ds = _doc_ds(texts)
+    small = bigram_logprob(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    forced = bigram_logprob(_doc_ds(texts), broadcast_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, forced)
