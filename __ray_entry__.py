@@ -1046,6 +1046,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id": pd.array([int(x) for x in d], dtype="int64"),
         })
 
+    def q_query_string_phrase(sf):
+        # quoted-phrase front-end: the phrase is a required positional
+        # predicate (adjacent-pair doc set), its terms still score,
+        # exclusion composes — all in the same single scoring pass
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_query('"table hash" merge^2 -dup', 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
+    def q_query_string_near(sf):
+        # NEAR(a,b,slop) predicate in the query string: unordered
+        # proximity doc set from in-index positions gates the ranking
+        from hadoopsearchengine_ray.functions.search import index_for
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        scorer = BM25Scorer(index_for(f"{sf}/documents.parquet"))
+        d, _ = scorer.score_query("near(spark,merge,4) window^1.5", 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_packed_shards(sf):
         # materialized concat-and-chunk packing: every 256-token
         # training sequence's content is md5-hash-compared to the
@@ -2380,6 +2407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_price_qty": q_corr_price_qty,
         "pivot_events": q_pivot_events,
         "bigram_logprob": q_bigram_logprob,
+        "query_string_phrase": q_query_string_phrase,
+        "query_string_near": q_query_string_near,
         "serve_nrt": q_serve_nrt,
         "serve_search": q_serve_search,
         "grep_regex_ci": q_grep_regex_ci,
@@ -4004,6 +4033,79 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
             WHERE a.t = 'slow' AND b.t = 'hash' AND c.t = 'batch'
             GROUP BY a.doc_id
+        """,
+        # parsed front-end with a quoted phrase: candidates = docs
+        # containing the adjacent pair, minus the excluded term; the
+        # phrase terms score alongside the weighted OR term
+        "query_string_phrase": f"""
+            WITH {TOK_CTE}, {TOK_ORDERED_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term, w) AS (VALUES ('table', 1.0), ('hash', 1.0),
+                                  ('merge', 2.0)),
+            ph AS (SELECT DISTINCT a.doc_id
+                   FROM toko a JOIN toko b
+                     ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+                   WHERE a.t = 'table' AND b.t = 'hash'),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( q.w * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN q USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              WHERE tf.doc_id IN (SELECT doc_id FROM ph)
+                AND NOT EXISTS (SELECT 1 FROM tf t3
+                                WHERE t3.doc_id = tf.doc_id AND t3.term = 'dup')
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # NEAR predicate in the query string: unordered proximity pair
+        # within slop 4 gates the candidates (rn deltas = kept-sequence
+        # position deltas)
+        "query_string_near": f"""
+            WITH {TOK_CTE}, {TOK_ORDERED_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            q(term, w) AS (VALUES ('spark', 1.0), ('merge', 1.0),
+                                  ('window', 1.5)),
+            nr AS (SELECT DISTINCT a.doc_id
+                   FROM toko a JOIN toko b
+                     ON a.doc_id = b.doc_id
+                    AND abs(b.rn - a.rn) BETWEEN 1 AND 4
+                   WHERE a.t = 'spark' AND b.t = 'merge'),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( q.w * ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+              FROM tf
+              JOIN q USING (term)
+              JOIN df USING (term)
+              JOIN dl USING (doc_id), stats
+              WHERE tf.doc_id IN (SELECT doc_id FROM nr)
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,

@@ -366,15 +366,70 @@ def parse_query(qstr: str) -> dict:
         -term       excluded (NOT): docs containing it never rank
         prefix*     wildcard: every dictionary term with the prefix
                     scores (weight suffix allowed: ``p*^W``)
+        "a b ..."   exact phrase, REQUIRED (only docs containing the
+                    adjacent sequence rank); its terms also score
+                    (weight suffix after the close quote: ``"a b"^W``);
+                    a one-term phrase degenerates to ``+term``
+        near(a,b,N) unordered proximity, REQUIRED: some occurrence of
+                    ``b`` within N token positions of ``a``
+                    (``1 <= |pos_b - pos_a| <= N``); both terms score
+        onear(a,b,N) the ordered variant (``1 <= pos_b - pos_a <= N``)
 
     Returns ``{"weights": {term: w}, "required": [...],
-    "excluded": [...], "prefixes": [(prefix, w), ...]}`` — weights are
-    max-merged when a term is named more than once."""
+    "excluded": [...], "prefixes": [(prefix, w), ...],
+    "phrases": [[t1, t2, ...], ...],
+    "nears": [(a, b, slop, ordered), ...]}`` — weights are max-merged
+    when a term is named more than once.  Phrase and NEAR predicates
+    need the positional index (the v3 default build)."""
+    import re
+
     weights: dict[str, float] = {}
     required: list[str] = []
     excluded: list[str] = []
     prefixes: list[tuple[str, float]] = []
-    for tok in qstr.lower().split():
+    phrases: list[list[str]] = []
+    nears: list[tuple[str, str, int, bool]] = []
+    q = qstr.lower()
+
+    def _grab_phrase(m: "re.Match") -> str:
+        if m.group(1):
+            raise ValueError(
+                "phrases are already required; +/-\"...\" is not "
+                "supported (exclusion by phrase would need NOT-phrase "
+                "postings semantics)")
+        terms = m.group(2).split()
+        if not terms:
+            raise ValueError('empty phrase ""')
+        w = 1.0
+        if m.group(3):
+            w = float(m.group(3)[1:])
+            if w <= 0:
+                raise ValueError(f"weight must be > 0, got {w} on "
+                                 f"phrase {m.group(2)!r}")
+        if len(terms) == 1:
+            required.append(terms[0])
+        else:
+            phrases.append(terms)
+        for t in terms:
+            weights[t] = max(weights.get(t, 0.0), w)
+        return " "
+
+    q = re.sub(r'([+-]?)"([^"]*)"(\^[0-9.]+)?', _grab_phrase, q)
+    if '"' in q:
+        raise ValueError(f"unbalanced quote in query {qstr!r}")
+
+    near_re = re.compile(r"(o?)near\(([a-z0-9]+),([a-z0-9]+),([0-9]+)\)")
+    for tok in q.split():
+        m = near_re.fullmatch(tok)
+        if m:
+            slop = int(m.group(4))
+            if slop < 1:
+                raise ValueError(f"NEAR slop must be >= 1, got {slop}")
+            a, b = m.group(2), m.group(3)
+            nears.append((a, b, slop, m.group(1) == "o"))
+            weights[a] = max(weights.get(a, 0.0), 1.0)
+            weights[b] = max(weights.get(b, 0.0), 1.0)
+            continue
         kind = "or"
         if tok.startswith("+"):
             kind, tok = "and", tok[1:]
@@ -407,7 +462,8 @@ def parse_query(qstr: str) -> dict:
             required.append(tok)
         weights[tok] = max(weights.get(tok, 0.0), w)
     return {"weights": weights, "required": required,
-            "excluded": excluded, "prefixes": prefixes}
+            "excluded": excluded, "prefixes": prefixes,
+            "phrases": phrases, "nears": nears}
 
 
 def _topk_from_scores(doc_ids: np.ndarray, scores: np.ndarray, k: int):
@@ -878,7 +934,9 @@ class BM25Scorer:
         - every scoring term contributes ``max-merged weight x idf x
           tf-saturation`` (global corpus stats throughout);
         - candidates must contain ALL required terms (sorted posting
-          intersection) and NO excluded term;
+          intersection), match every quoted phrase and NEAR/ONEAR
+          predicate (positional doc sets, decoded range-locally), and
+          contain NO excluded term;
         - rank contract (-score, doc_id), as everywhere."""
         p = parse_query(qstr)
         r = self.rd
@@ -899,6 +957,21 @@ class BM25Scorer:
                 cand, d, assume_unique=True)
             if len(cand) == 0:
                 return empty
+        if p["phrases"] or p["nears"]:
+            # lazy import: positional.py imports this module
+            from .positional import near_counts, phrase_counts
+            for terms in p["phrases"]:
+                d, _ = phrase_counts(r, terms)
+                cand = d if cand is None else np.intersect1d(
+                    cand, d, assume_unique=True)
+                if len(cand) == 0:
+                    return empty
+            for a, b, slop, ordered in p["nears"]:
+                d, _ = near_counts(r, a, b, slop, ordered)
+                cand = d if cand is None else np.intersect1d(
+                    cand, d, assume_unique=True)
+                if len(cand) == 0:
+                    return empty
         ex_parts = []
         for t in sorted(set(p["excluded"])):
             if r.lookup(t):

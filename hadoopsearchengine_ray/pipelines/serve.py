@@ -35,6 +35,8 @@ Request reference (all fields besides ``op`` optional unless noted)::
        # pass next_after back VERBATIM; a cursor minted before an
        # ingest/delete is rejected as stale (scores shifted)
     {"op": "query", "q": "merge^2 +window -dup s*", "k": 10}
+       # also: '"hash table"' quoted-phrase and near(a,b,N) /
+       # onear(a,b,N) proximity predicates (positional, range-local)
     {"op": "phrase", "terms": ["slow", "hash", "batch"], "limit": 100}
     {"op": "near", "a": "spark", "b": "merge", "slop": 3,
      "ordered": false, "limit": 100}

@@ -75,11 +75,21 @@ def test_pool_score_query_matches_single_reader(t1_index_dir, t1_oracle):
     idx, _ = t1_oracle
     single = BM25Scorer(t1_index_dir)
     pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    # a real adjacent pair from the corpus, so the phrase/NEAR
+    # predicates match somewhere (positional decode is range-local)
+    from hadoopsearchengine_ray import corpus, oracle as om
+
+    toks = om.tokenize_py(corpus.gen_rows(np.arange(1))["content"][0]
+                          .as_py())
+    ph = f'"{toks[3]} {toks[4]}"'
+    nr = f"near({toks[0]},{toks[2]},4)"   # doc 0 delta 2: never empty
     try:
         for qstr in ("import^2 +return -class ret*",
                      "return import",
                      "+return +import del*",
-                     "-return imp*"):
+                     "-return imp*",
+                     f"{ph} import^2",
+                     f"{nr} return^1.5"):
             d1, s1 = single.score_query(qstr, 10)
             d2, s2 = pool.score_query(qstr, 10)
             assert [int(x) for x in d1] == [int(x) for x in d2], qstr

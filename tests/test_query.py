@@ -314,3 +314,104 @@ def test_feedback_topk_matches_bruteforce(tmp_path, ray_session,
     # the feedback must have re-ranked relative to the plain query
     plain = [d for d, _ in idx.bm25_topk(qterms, K)]
     assert exp and want != plain
+
+
+def test_parse_query_phrases_and_near():
+    from hadoopsearchengine_ray.pipelines.query import parse_query
+
+    p = parse_query('"big hash table"^2 near(a,b,3) onear(x,y,5) -dup w*')
+    assert p["phrases"] == [["big", "hash", "table"]]
+    assert p["weights"]["big"] == p["weights"]["hash"] == 2.0
+    assert p["nears"] == [("a", "b", 3, False), ("x", "y", 5, True)]
+    assert p["weights"]["a"] == p["weights"]["b"] == 1.0
+    assert p["excluded"] == ["dup"]
+    assert p["prefixes"] == [("w", 1.0)]
+    # one-term phrase degenerates to a required term
+    p1 = parse_query('"solo" other')
+    assert p1["required"] == ["solo"] and p1["phrases"] == []
+    import pytest as _pt
+    with _pt.raises(ValueError, match="required"):
+        parse_query('-"a b"')
+    with _pt.raises(ValueError, match="empty"):
+        parse_query('""')
+    with _pt.raises(ValueError, match="unbalanced"):
+        parse_query('"a b')
+    with _pt.raises(ValueError, match="slop"):
+        parse_query("near(a,b,0)")
+
+
+def _near_docs_brute(idx, a, b, slop, ordered):
+    out = set()
+    pa, pb = idx.positions.get(a, {}), idx.positions.get(b, {})
+    for d in set(pa) & set(pb):
+        for x in pa[d]:
+            for y in pb[d]:
+                delta = y - x
+                if (1 <= delta <= slop) or (
+                        not ordered and 1 <= -delta <= slop):
+                    out.add(d)
+                    break
+            if d in out:
+                break
+    return out
+
+
+def _brute_filtered_topk(idx, weights, cand, k=10):
+    scores = {}
+    for t, w in weights.items():
+        idf = idx.idf(t)
+        for doc_id, tf in idx.postings.get(t, ()):
+            if doc_id not in cand:
+                continue
+            dl = idx.doclen[doc_id]
+            scores[doc_id] = scores.get(doc_id, 0.0) + (
+                w * idf * tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * dl / idx.avgdl)))
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_score_query_phrase_composed(t1_index_dir, t1_oracle):
+    """Quoted phrase = positional required set; its terms still score
+    (shadow-checked per doc against the oracle positions)."""
+    from hadoopsearchengine_ray import corpus, oracle as om
+
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    tbl = corpus.gen_rows(np.arange(2))
+    toks = om.tokenize_py(tbl["content"][0].as_py())
+    ph = [toks[3], toks[4]]
+    qstr = f'"{ph[0]} {ph[1]}" import^2'
+    ph_docs = set(idx.phrase_counts(ph))
+    assert ph_docs, "fixture pair must occur somewhere"
+    weights = {}
+    for t in ph:
+        weights[t] = max(weights.get(t, 0.0), 1.0)
+    weights["import"] = max(weights.get("import", 0.0), 2.0)
+    exp = _brute_filtered_topk(idx, weights, ph_docs)
+    d, s = sc.score_query(qstr, 10)
+    assert [int(x) for x in d] == [x for x, _ in exp]
+    assert np.allclose(s, [v for _, v in exp])
+
+
+def test_score_query_near_composed(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray import corpus, oracle as om
+
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    tbl = corpus.gen_rows(np.arange(2))
+    toks = om.tokenize_py(tbl["content"][0].as_py())
+    # positions 0 and 2 of doc 0: delta 2, inside both slops — the
+    # brute candidate set can never be empty (no silent skip)
+    a, b = toks[0], toks[2]
+    for slop, ordered, fn in ((3, False, "near"), (5, True, "onear")):
+        cand = _near_docs_brute(idx, a, b, slop, ordered)
+        assert cand, (fn, slop)
+        weights = {a: 1.0, b: 1.0}
+        weights["return"] = max(weights.get("return", 0.0), 1.5)
+        exp = _brute_filtered_topk(idx, weights, cand)
+        d, s = sc.score_query(f"{fn}({a},{b},{slop}) return^1.5", 10)
+        assert [int(x) for x in d] == [x for x, _ in exp], (fn, slop)
+        assert np.allclose(s, [v for _, v in exp])
+    # unmatched predicate -> empty, not error
+    d, _ = sc.score_query("near(zzqx,notaterm,3) import", 10)
+    assert len(d) == 0
