@@ -140,6 +140,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_lm_dirichlet(sf):
+        # query-likelihood LM ranking with Dirichlet smoothing (Zhai &
+        # Lafferty 2001) over the same index BM25 serves from — the
+        # second ranking family; collection stats from the dictionary
+        # cf column, per-doc tf/dl from the postings
+        from hadoopsearchengine_ray.functions.search import lm_dirichlet_topk
+
+        return lm_dirichlet_topk(f"{sf}/documents.parquet", BM25_TERMS, 10)
+
+    def q_ltr_features(sf):
+        # learning-to-rank feature export: per matching doc, the integer
+        # features (dl, n_matched, tf_sum, tf_max, 1-based min_pos) read
+        # from postings + in-index positions — never re-tokenizing
+        from hadoopsearchengine_ray.functions.search import ltr_features
+
+        return ltr_features(f"{sf}/documents.parquet", BM25_TERMS)
+
     def q_fuzzy_topk(sf):
         # fuzzy retrieval: 'merg' / 'windoq' expand to every dictionary
         # term within Levenshtein distance 1, scored as disjunctive BM25
@@ -2400,6 +2417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r4 sample was drawn) plus everything new/changed this round
     # (serve daemon, casefolded regex, grep spill mode, pool-scored
     # facet paths), then the r04-checked set.
+        "lm_dirichlet_topk": q_lm_dirichlet,
+        "ltr_features": q_ltr_features,
         "phrase3_match": q_phrase3,
         "phrase_pool": q_phrase_pool,
         "cube_revenue": q_cube_revenue,
@@ -2622,6 +2641,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
                    doc_id
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # LM-Dirichlet (Zhai & Lafferty 2001): per matched (term, doc),
+        # ln(1 + tf*C/(mu*cf)) + ln(mu/(dl+mu)), mu=2000 — same IEEE op
+        # order as BM25Scorer.score_lm; rank contract (-score, doc_id)
+        "lm_dirichlet_topk": f"""
+            WITH {TOK_CTE},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+            stats AS (SELECT (SELECT sum(tf) FROM tf) * 1.0 AS c),
+            q(term) AS (VALUES {terms_values}),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum( ln(1.0 + tf.tf * stats.c / (2000.0 * cf.cf))
+                          + ln(2000.0 / (dl.dl + 2000.0)) ) AS s
+              FROM tf
+              JOIN (SELECT DISTINCT term FROM q) qq USING (term)
+              JOIN cf USING (term)
+              JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        # LTR feature export: integer features per doc matching >=1
+        # query term; rn is the 1-based VALID-token index, matching the
+        # engine's 0-based in-index positions + 1
+        "ltr_features": f"""
+            WITH {TOK_ORDERED_CTE},
+            q(term) AS (VALUES {terms_values}),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toko GROUP BY 1),
+            m AS (
+              SELECT doc_id, t AS term, count(*) AS tf,
+                     min(rn) AS mp
+              FROM toko JOIN (SELECT DISTINCT term FROM q) qq
+                ON toko.t = qq.term
+              GROUP BY 1, 2
+            )
+            SELECT m.doc_id,
+                   CAST(dl.dl AS BIGINT) AS dl,
+                   CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(sum(m.tf) AS BIGINT) AS tf_sum,
+                   CAST(max(m.tf) AS BIGINT) AS tf_max,
+                   CAST(min(m.mp) AS BIGINT) AS min_pos
+            FROM m JOIN dl USING (doc_id)
+            GROUP BY m.doc_id, dl.dl
+            ORDER BY m.doc_id
         """,
         # fuzzy retrieval: the expansion set is EVERY indexed term at
         # Levenshtein distance <= 1 from a query term (DuckDB's

@@ -143,6 +143,81 @@ def bm25_topk_table(parquet_path: str, terms: list[str], k: int = 10,
     })
 
 
+def lm_dirichlet_topk(parquet_path: str, terms: list[str], k: int = 10,
+                      mu: float = 2000.0,
+                      text_col: str = "text") -> pd.DataFrame:
+    """(rank, doc_id) under query-likelihood LM ranking with Dirichlet
+    smoothing (Zhai & Lafferty 2001 — public) — the alternative ranking
+    family over the SAME index BM25 serves from: collection stats (cf,
+    total tokens) come from the dictionary's cf column, per-doc tf/dl
+    from the postings, nothing re-tokenizes the corpus.  Rank contract
+    (-score, doc_id), mirrored by the SQL oracle."""
+    index_dir = index_for(parquet_path, text_col=text_col)
+    d, _ = BM25Scorer(index_dir).score_lm(terms, k, mu=mu)
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+        "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+    })
+
+
+def ltr_features(parquet_path: str, terms: list[str],
+                 text_col: str = "text") -> pd.DataFrame:
+    """Learning-to-rank feature extraction: one row per doc matching
+    >=1 query term, with the integer ranking features a downstream
+    model trains on — ``dl`` (doc length in valid tokens),
+    ``n_matched`` (distinct query terms present), ``tf_sum`` /
+    ``tf_max`` (total / max query-term occurrences) and ``min_pos``
+    (1-based earliest occurrence of any query term — the "hit near the
+    title" signal).  Everything is read from the index (postings +
+    in-index positions), never by re-tokenizing documents — the
+    reference assembles the same per-hit features (tf, position,
+    title-region flag) inside its ranker at serve time
+    (/root/reference/DyableRequest/CompileRankedList/CompileRankedList.h,
+    hit-type routing CompileHitList.h:142-177); here they are exported
+    as a training table.  All-integer columns keep the driver's
+    value-hash comparison exact.  Scale path: per-term decoded postings
+    are vocabulary-bounded (|terms| lists), the combine is one
+    np.unique + ufunc reductions — no corpus scan, no shuffle."""
+    from ..pipelines.query import IndexReader
+
+    index_dir = index_for(parquet_path, text_col=text_col)
+    r = IndexReader(index_dir)
+    docs_l, tf_l, fp_l = [], [], []
+    for t in sorted(set(terms)):
+        if not r.lookup(t):
+            continue
+        d, f, flat, offs = r.decoded_positions(t)
+        if len(d) == 0:
+            continue
+        docs_l.append(d.astype(np.int64))
+        tf_l.append(f.astype(np.int64))
+        # positions are ascending per doc: the slice head is the first
+        fp_l.append(np.asarray(flat, dtype=np.int64)[
+            np.asarray(offs[:-1], dtype=np.int64)])
+    cols = ("doc_id", "dl", "n_matched", "tf_sum", "tf_max", "min_pos")
+    if not docs_l:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tf_l)
+    fps = np.concatenate(fp_l)
+    uniq, inv, n_matched = np.unique(docs, return_inverse=True,
+                                     return_counts=True)
+    tf_sum = np.zeros(len(uniq), np.int64)
+    np.add.at(tf_sum, inv, tfs)
+    tf_max = np.zeros(len(uniq), np.int64)
+    np.maximum.at(tf_max, inv, tfs)
+    min_pos = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(min_pos, inv, fps)
+    return pd.DataFrame({
+        "doc_id": pd.array(uniq, dtype="int64"),
+        "dl": pd.array(r.dl[uniq].astype(np.int64), dtype="int64"),
+        "n_matched": pd.array(n_matched.astype(np.int64), dtype="int64"),
+        "tf_sum": pd.array(tf_sum, dtype="int64"),
+        "tf_max": pd.array(tf_max, dtype="int64"),
+        "min_pos": pd.array(min_pos + 1, dtype="int64"),  # 1-based
+    })
+
+
 def autocomplete(parquet_path: str, prefix: str, n: int = 10,
                  text_col: str = "text") -> pd.DataFrame:
     """Top-``n`` query completions for ``prefix``, ranked by collection

@@ -101,6 +101,27 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def lm_topk(self, terms: list[str], k: int = 10,
+                mu: float = 2000.0) -> list[tuple[int, float]]:
+        """Query-likelihood LM with Dirichlet smoothing (Zhai & Lafferty
+        2001), per-matched-term decomposition: ln(1 + tf*C/(mu*cf)) +
+        ln(mu/(dl+mu)).  Same IEEE op order as BM25Scorer.score_lm;
+        sorted-term accumulation, ties broken by doc_id asc."""
+        C = float(sum(self.doclen.values()))
+        scores: dict[int, float] = {}
+        for term in sorted(set(terms)):
+            pl = self.postings.get(term)
+            if not pl:
+                continue
+            cf = float(sum(tf for _, tf in pl))
+            for doc_id, tf in pl:
+                dl = self.doclen[doc_id]
+                s = (math.log(1.0 + tf * C / (mu * cf))
+                     + math.log(mu / (dl + mu)))
+                scores[doc_id] = scores.get(doc_id, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def phrase_counts(self, phrase: list[str]) -> dict[int, int]:
         """Per-doc count of exact phrase occurrences (consecutive valid
         tokens) — shadow of the positional index's phrase scan."""

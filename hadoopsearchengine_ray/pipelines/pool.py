@@ -74,6 +74,14 @@ class _RangeScorer:
         """Batched replay (one RPC per query batch, not per query)."""
         return [self.score(t, k) for t, k in queries]
 
+    def score_lm(self, terms: list[str], k: int, mu: float = 2000.0):
+        """LM-Dirichlet over this range: collection stats (cf, C) come
+        from the GLOBAL dictionary, per-doc tf/dl from the range-local
+        postings — each doc fully scored by its one owner, so the
+        driver merge is exact (same argument as BM25 ``score``)."""
+        d, s = self.scorer.score_lm(terms, k, mu=mu)
+        return d + self.lo, s
+
     def score_query(self, qstr: str, k: int):
         """Parsed query-string front-end over this range: required
         intersection / exclusion / wildcard expansion all act on the
@@ -259,6 +267,15 @@ class RangePartitionedPool:
         exact-merge argument as ``score`` (every doc scored by exactly
         one owner with global stats)."""
         parts = ray.get([a.score_query.remote(qstr, k)
+                         for a in self.actors])
+        return self._merge(parts, k)
+
+    def score_lm(self, terms: list[str], k: int, mu: float = 2000.0):
+        """LM-Dirichlet (Zhai & Lafferty 2001) through the range tier:
+        owners score with GLOBAL collection stats (cf/C from the shared
+        dictionary), so the per-range top-k merge is exact — same
+        argument as BM25 ``score``."""
+        parts = ray.get([a.score_lm.remote(terms, k, mu)
                          for a in self.actors])
         return self._merge(parts, k)
 

@@ -82,6 +82,7 @@ class IndexReader:
 
     def __init__(self, index_dir: str, cache_terms: int = 8192,
                  doc_lo: int = 0, doc_hi: int | None = None):
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.N = self.meta["num_docs"]
@@ -172,6 +173,25 @@ class IndexReader:
 
     def idf(self, df: int) -> float:
         return float(np.log((self.N - df + 0.5) / (df + 0.5) + 1.0))
+
+    def cf_stats(self) -> tuple[dict[str, int], int]:
+        """(term -> collection frequency, total collection tokens) —
+        lazy one-time read of the dictionary's ``cf`` column.  Only the
+        language-model scorer pays for it; BM25 paths never touch cf.
+        The dictionary is GLOBAL even on a range-restricted reader, so
+        LM collection statistics — like N/avgdl/df for BM25 — are
+        identical in every range owner and a per-range top-k merge is
+        exact."""
+        cf = getattr(self, "_cf_map", None)
+        if cf is None:
+            t = pads.dataset(os.path.join(self.index_dir, "dictionary")) \
+                .to_table(columns=["term", "cf"])
+            cf = dict(zip(t.column("term").to_pylist(),
+                          t.column("cf").to_pylist()))
+            self._cf_map = cf
+            cfs = t.column("cf").to_numpy(zero_copy_only=False)
+            self._total_cf = int(cfs.sum()) if len(cfs) else 0
+        return self._cf_map, self._total_cf
 
     def posting_rows(self, term: str) -> list[dict]:
         """Raw index rows (salt-ordered) for a term; term_id-filtered
@@ -571,6 +591,50 @@ class BM25Scorer:
     def score_exact(self, terms: list[str], k: int):
         docs, s = self._dense_scores(terms)
         return _topk_from_scores(docs, s, k)
+
+    def score_lm(self, terms: list[str], k: int, mu: float = 2000.0):
+        """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+        Lafferty 2001, SIGIR — public; the per-matched-term
+        decomposition Lucene's LMDirichletSimilarity uses): each query
+        term ``t`` present in doc ``d`` contributes
+
+            ln(1 + tf * C / (mu * cf_t)) + ln(mu / (dl_d + mu))
+
+        where ``cf_t`` is t's collection frequency and ``C`` the total
+        token count — both read once per actor from the global
+        dictionary (``IndexReader.cf_stats``), so the scorer reuses the
+        exact same decoded postings / dense-accumulator machinery as
+        BM25 and is range-exact on the pool (every doc fully scored by
+        its one range owner, global collection stats everywhere).
+        The alternative ranking function the reference's hit scorer
+        hard-codes away (SURVEY §2.8); rank contract (-score, doc_id),
+        IEEE op order mirrored by the ``lm_dirichlet_topk`` SQL
+        oracle."""
+        r = self.rd
+        cf_fn = getattr(r, "cf_stats", None)
+        if cf_fn is None:   # delta/tombstone wrappers: cf corrections
+            raise NotImplementedError(  # not implemented — fail loudly
+                f"LM-Dirichlet needs dictionary cf stats; reader "
+                f"{type(r).__name__} does not expose cf_stats()")
+        cf, C = cf_fn()
+        scores, touched = self._scratch()
+        parts: list[np.ndarray] = []
+        for t in sorted(set(terms)):
+            if not r.lookup(t):
+                continue
+            cft = float(cf[t])
+            docs, tfs = r.decoded_postings(t)
+            d = docs.astype(np.int64)
+            tf = tfs.astype(np.float64)
+            new = d[~touched[d]]
+            if len(new):
+                parts.append(new)
+            scores[d] += (np.log(1.0 + tf * float(C) / (mu * cft))
+                          + np.log(mu / (r.dl[d] + mu)))
+            touched[d] = True
+        docs = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        self._finish(docs)
+        return _topk_from_scores(docs, scores[docs], k)
 
     def score_after(self, terms: list[str], k: int,
                     after_score: float, after_doc: int):

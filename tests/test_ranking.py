@@ -113,3 +113,77 @@ def test_expected_reward_deterministic_and_shaped(ray_session):
         assert np.allclose(vals, vals[0])
     # hierarchy actually coarsened
     assert len(np.unique(lab1)) < n
+
+
+# ---- LM-Dirichlet ranking (Zhai & Lafferty 2001) -----------------------
+
+LM_QUERIES = [["merge"], ["spark", "window"],
+              ["merge", "window", "stream"], ["zzqqxxnotaterm0"]]
+
+
+def test_lm_dirichlet_matches_oracle(t1_index_dir, t1_oracle):
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    for terms in LM_QUERIES:
+        d, s = sc.score_lm(terms, 10)
+        gold = idx.lm_topk(terms, 10)
+        assert [int(x) for x in d] == [g[0] for g in gold], terms
+        assert np.allclose(s, [g[1] for g in gold], atol=1e-9), terms
+
+
+def test_lm_dirichlet_pool_parity(t1_index_dir):
+    from hadoopsearchengine_ray.pipelines.pool import RangePartitionedPool
+
+    single = BM25Scorer(t1_index_dir)
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    try:
+        for terms in LM_QUERIES:
+            d1, s1 = single.score_lm(terms, 10)
+            d2, s2 = pool.score_lm(terms, 10)
+            assert [int(x) for x in d1] == [int(x) for x in d2], terms
+            np.testing.assert_array_equal(s1, s2)  # bit-identical: one
+            # owner fully scores each doc with the same op order
+    finally:
+        pool.shutdown()
+
+
+def test_lm_dirichlet_reader_without_cf_stats_raises(t1_index_dir):
+    import pytest
+
+    sc = BM25Scorer(t1_index_dir)
+
+    class NoCf:   # delta/tombstone wrappers don't expose cf corrections
+        pass
+
+    sc.rd = NoCf()
+    with pytest.raises(NotImplementedError):
+        sc.score_lm(["merge"], 5)
+
+
+def test_ltr_features_matches_bruteforce(tmp_path, t1_oracle):
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.functions.search import ltr_features
+    from tests.conftest import T1_DOCS, doc_id_table
+
+    idx, _ = t1_oracle
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(doc_id_table(0, T1_DOCS), docs_path)
+    terms = ["merge", "window", "stream"]
+    got = ltr_features(docs_path, terms)
+    # brute force from the oracle's positional shadow
+    want: dict[int, list[int]] = {}
+    for t in sorted(set(terms)):
+        for doc_id, poss in idx.positions.get(t, {}).items():
+            f = want.setdefault(doc_id, [0, 0, 0, 1 << 60])
+            f[0] += 1                      # n_matched
+            f[1] += len(poss)              # tf_sum
+            f[2] = max(f[2], len(poss))    # tf_max
+            f[3] = min(f[3], poss[0] + 1)  # min_pos (1-based)
+    assert sorted(got["doc_id"]) == sorted(want)
+    g = got.set_index("doc_id")
+    for doc_id, (nm, ts, tm, mp) in want.items():
+        row = g.loc[doc_id]
+        assert (int(row["n_matched"]), int(row["tf_sum"]),
+                int(row["tf_max"]), int(row["min_pos"])) == (nm, ts, tm, mp)
+        assert int(row["dl"]) == idx.doclen[doc_id]
