@@ -86,7 +86,10 @@ def _cmd_query(a: argparse.Namespace) -> int:
     _init_ray()
     sc = BM25Scorer(a.index)
     for q in a.terms:
-        ids, scores = sc.score(q.split(), a.k)
+        if a.ranker == "lm":
+            ids, scores = sc.score_lm(q.split(), a.k, mu=a.mu)
+        else:
+            ids, scores = sc.score(q.split(), a.k)
         print(json.dumps({"query": q,
                           "hits": [{"doc_id": int(d), "score": round(float(s), 6)}
                                    for d, s in zip(ids, scores)]}))
@@ -356,6 +359,11 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", help="BM25 top-k against a built index")
     q.add_argument("--index", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--ranker", choices=["bm25", "lm"], default="bm25",
+                   help="lm = query-likelihood with Dirichlet smoothing "
+                        "(Zhai & Lafferty 2001)")
+    q.add_argument("--mu", type=float, default=2000.0,
+                   help="Dirichlet smoothing mass (lm ranker only)")
     q.add_argument("terms", nargs="+",
                    help="one or more queries, each a space-joined term list")
     q.set_defaults(fn=_cmd_query)

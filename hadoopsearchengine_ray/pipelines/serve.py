@@ -35,6 +35,7 @@ Request reference (all fields besides ``op`` optional unless noted)::
        # pass next_after back VERBATIM; a cursor minted before an
        # ingest/delete is rejected as stale (scores shifted)
     {"op": "query", "q": "merge^2 +window -dup s*", "k": 10}
+    {"op": "lm", "terms": [...], "k": 10, "mu": 2000}
        # also: '"hash table"' quoted-phrase and near(a,b,N) /
        # onear(a,b,N) proximity predicates (positional, range-local)
     {"op": "phrase", "terms": ["slow", "hash", "batch"], "limit": 100}
@@ -165,6 +166,16 @@ class SearchServer:
 
     def _op_query(self, req: dict) -> dict:
         d, s = self.pool.score_query(req["q"], int(req.get("k", 10)))
+        return {"hits": _hits(d, s)}
+
+    def _op_lm(self, req: dict) -> dict:
+        """LM-Dirichlet ranking (Zhai & Lafferty 2001) from the same
+        warm range pool BM25 serves from; ``mu`` optional (default
+        2000).  On a delta/tombstone-serving pool the scorer raises
+        NotImplementedError (cf corrections not implemented) and the
+        per-request wall maps it to an error response."""
+        d, s = self.pool.score_lm(req["terms"], int(req.get("k", 10)),
+                                  mu=float(req.get("mu", 2000.0)))
         return {"hits": _hits(d, s)}
 
     def _op_phrase(self, req: dict) -> dict:
@@ -344,7 +355,8 @@ class SearchServer:
     # -- dispatch ------------------------------------------------------------
 
     _OPS = {
-        "search": _op_search, "query": _op_query, "phrase": _op_phrase,
+        "search": _op_search, "query": _op_query, "lm": _op_lm,
+        "phrase": _op_phrase,
         "near": _op_near, "facets": _op_facets, "ann": _op_ann,
         "spell": _op_spell, "grep": _op_grep, "stats": _op_stats,
         "ingest": _op_ingest, "delete": _op_delete,

@@ -187,3 +187,16 @@ def test_ltr_features_matches_bruteforce(tmp_path, t1_oracle):
         assert (int(row["n_matched"]), int(row["tf_sum"]),
                 int(row["tf_max"]), int(row["min_pos"])) == (nm, ts, tm, mp)
         assert int(row["dl"]) == idx.doclen[doc_id]
+
+
+def test_cli_query_lm_ranker(t1_index_dir, t1_oracle, capsys):
+    import json
+
+    from hadoopsearchengine_ray.__main__ import main
+
+    idx, _ = t1_oracle
+    assert main(["query", "--index", t1_index_dir, "--ranker", "lm",
+                 "-k", "5", "merge window"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    gold = idx.lm_topk(["merge", "window"], 5)
+    assert [h["doc_id"] for h in out["hits"]] == [g[0] for g in gold]

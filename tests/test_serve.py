@@ -91,6 +91,13 @@ def test_serve_search_matches_scorer(serve_env):
     qd, qs = sc.score_query("merge^2 +window", 5)
     assert [h["doc_id"] for h in rq["hits"]] == [int(x) for x in qd]
 
+    # LM-Dirichlet op: same warm pool, second ranking family
+    rl = srv.handle({"op": "lm", "terms": ["spark", "merge"], "k": 10})
+    ld, ls = sc.score_lm(["spark", "merge"], 10)
+    assert rl["ok"]
+    assert [h["doc_id"] for h in rl["hits"]] == [int(x) for x in ld]
+    assert [h["score"] for h in rl["hits"]] == [float(x) for x in ls]
+
 
 def test_serve_phrase_near_facets_spell(serve_env):
     srv = serve_env["server"]
