@@ -140,6 +140,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bm25(sf):
         return bm25_topk_table(f"{sf}/documents.parquet", BM25_TERMS, 10)
 
+    def q_bm25_merged(sf):
+        # parallel-partial-build: shard the corpus by doc-id range,
+        # build each shard's index INDEPENDENTLY (the 100-TB story:
+        # per-shard build jobs with no cross-shard traffic), then
+        # merge_indexes folds them with the posting-level blob merge
+        # (no token shuffle).  Rank-identical to one full build, so
+        # the oracle is the same BM25 SQL as bm25_topk.
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        from hadoopsearchengine_ray.pipelines.build_index import build_index
+        from hadoopsearchengine_ray.pipelines.compaction import merge_indexes
+        from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+        tbl = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        n = tbl.num_rows
+        cut = n // 2
+        key = hashlib.sha256(f"merge:{sf}".encode()).hexdigest()[:16]
+        root = os.path.join("/tmp/hse_merge_cache", key)
+        os.makedirs(root, exist_ok=True)
+        pa_p = os.path.join(root, "a.parquet")
+        pb_p = os.path.join(root, "b.parquet")
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            srt = tbl.sort_by("doc_id")
+            pq.write_table(srt.slice(0, cut), pa_p)
+            pq.write_table(srt.slice(cut), pb_p)
+            open(os.path.join(root, "_DONE"), "w").close()
+        ia = os.path.join(root, "idx_a")
+        ib = os.path.join(root, "idx_b")
+        build_index(pa_p, ia, id_mode="column", text_col="text")
+        build_index(pb_p, ib, id_mode="column", text_col="text")
+        out = os.path.join(root, "merged")
+        meta = merge_indexes([ia, ib], out)
+        if meta["num_docs"] != n:
+            raise AssertionError(
+                f"merged num_docs {meta['num_docs']} != corpus {n}")
+        d, _ = BM25Scorer(out).score(BM25_TERMS, 10)
+        return pd.DataFrame({
+            "rank": pd.array(range(1, len(d) + 1), dtype="int64"),
+            "doc_id": pd.array([int(x) for x in d], dtype="int64"),
+        })
+
     def q_lm_dirichlet(sf):
         # query-likelihood LM ranking with Dirichlet smoothing (Zhai &
         # Lafferty 2001) over the same index BM25 serves from — the
@@ -2419,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # facet paths), then the r04-checked set.
         "lm_dirichlet_topk": q_lm_dirichlet,
         "ltr_features": q_ltr_features,
+        "bm25_merged_topk": q_bm25_merged,
         "phrase3_match": q_phrase3,
         "phrase_pool": q_phrase_pool,
         "cube_revenue": q_cube_revenue,
@@ -2594,7 +2640,7 @@ def oracle_sql() -> dict[str, str]:
     knn_ids = ",".join(str(i) for i in KNN_QUERY_IDS)
     stem_alt = "|".join(sorted(SUFFIXES, key=len, reverse=True))
     stem_re = f"^(.{{{MIN_STEM},}}?)({stem_alt})$"
-    return {
+    out = {
         "tokenize_tf": f"""
             WITH {TOK_CTE}
             SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
@@ -4784,3 +4830,7 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY o_totalprice DESC, o_orderkey) <= 3
         """,
     }
+    # merged shard indexes must be rank-identical to the full
+    # build, so the merge query shares the BM25 oracle verbatim
+    out["bm25_merged_topk"] = out["bm25_topk"]
+    return out

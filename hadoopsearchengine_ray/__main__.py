@@ -96,6 +96,18 @@ def _cmd_query(a: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_merge(a: argparse.Namespace) -> int:
+    from .pipelines.compaction import merge_indexes
+
+    _init_ray()
+    meta = merge_indexes(a.indexes, a.out)
+    print(json.dumps({"index": a.out,
+                      "num_docs": meta["num_docs"],
+                      "doc_id_space": meta["doc_id_space"],
+                      "total_tokens": meta["total_tokens"]}))
+    return 0
+
+
 def _cmd_compact(a: argparse.Namespace) -> int:
     from .pipelines.delta import compact_index
     from .state.manifest import Manifest
@@ -379,6 +391,13 @@ def main(argv: list[str] | None = None) -> int:
                         "shuffle); rebuild = token-level rerun of "
                         "stages 2-7; auto = merge with loud fallback")
     c.set_defaults(fn=_cmd_compact)
+
+    mg = sub.add_parser("merge", help="merge independently built shard "
+                                      "indexes (disjoint doc-id ranges) "
+                                      "into one standalone index")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("indexes", nargs="+", metavar="INDEX_DIR")
+    mg.set_defaults(fn=_cmd_merge)
 
     s = sub.add_parser("search", help="parsed query strings "
                                       "(weighted/required/excluded/wildcard)")

@@ -460,3 +460,76 @@ def merge_compact_index(main_index_dir: str, out_dir: str,
 
     with open(meta_path) as f:
         return json.load(f)
+
+
+def _doclen_doc_range(index_dir: str) -> tuple[int, int] | None:
+    """(min_doc_id, max_doc_id) of a segment from its doclen parquet
+    ROW-GROUP STATISTICS — O(file metadata), no data read; None for an
+    empty segment."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, "doclen")
+    lo, hi = None, None
+    for f in pads.dataset(d).files:
+        md = pq.ParquetFile(f).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col = ci["doc_id"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is None or not st.has_min_max:
+                # stats missing: fall back to reading just doc_id
+                t = pads.dataset(d).to_table(columns=["doc_id"])
+                if len(t) == 0:
+                    return None
+                arr = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return int(arr.min()), int(arr.max())
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
+    """Merge INDEPENDENTLY BUILT indexes over disjoint doc-id ranges
+    into one standalone index — the parallel-partial-build path at
+    scale: shard the corpus by doc-id range, build each shard's index
+    in its own job (embarrassingly parallel, no cross-shard traffic),
+    then fold the shard indexes together with the same posting-level
+    blob merge delta compaction uses (ONE streaming map over posting
+    rows, no token shuffle; global N/avgdl/df recomputed exactly).
+    The merged index is rank-identical to a single build over the
+    whole corpus (asserted in tests/test_compaction_kernel.py).
+    Reference analog: the external k-way merge of sorted hit runs
+    (SURVEY O3; /root/reference/DyableDatabase sorted-run merging),
+    lifted from intra-build runs to whole prebuilt indexes.
+
+    Loud validation (each a silent-corruption risk if skipped):
+    - >= 2 segments, none tombstoned (compact those first — this
+      merge carries no per-segment tombstone semantics),
+    - doc-id ranges pairwise DISJOINT (two rank-derived indexes both
+      starting at 0 would interleave, breaking the doc-ascending
+      posting invariant the blob merge relies on).
+    """
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs >= 2 index dirs")
+    for d in index_dirs:
+        if os.path.exists(os.path.join(d, "tombstones.json")):
+            raise ValueError(
+                f"{d} has tombstones — compact it first "
+                "(compact_index) and merge the compacted result")
+    ranges: list[tuple[int, int, str]] = []
+    for d in index_dirs:
+        r = _doclen_doc_range(d)
+        if r is not None:
+            ranges.append((r[0], r[1], d))
+    ranges.sort()
+    for (_, hi_a, a), (lo_b, _, b) in zip(ranges, ranges[1:]):
+        if lo_b <= hi_a:
+            raise ValueError(
+                f"doc-id ranges overlap: {a} ends at {hi_a}, {b} "
+                f"starts at {lo_b} — shard indexes must cover disjoint "
+                "doc-id ranges (build with explicit id column ranges)")
+    ordered = [d for _, _, d in ranges]
+    return merge_compact_index(ordered[0], out_dir,
+                               delta_dirs=ordered[1:])

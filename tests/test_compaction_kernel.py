@@ -118,3 +118,84 @@ def test_merge_batch_equals_filtered_input(ray_session, case):
         assert np.array_equal(flat, pos)
         assert got["cf"][i].as_py() == int(tfs.sum())
         assert got["acf"][i].as_py() == int(aux.sum())
+
+
+# ---- merge_indexes: independently built shard indexes -> one index ----
+
+def test_merge_indexes_rank_identical_to_full_build(tmp_path, ray_session):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray import oracle
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.compaction import merge_indexes
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+    from tests.conftest import doc_id_table
+
+    n, cut = 400, 170
+    full = doc_id_table(0, n)
+    pq.write_table(full.slice(0, cut), str(tmp_path / "a.parquet"))
+    pq.write_table(full.slice(cut), str(tmp_path / "b.parquet"))
+    for name in ("a", "b"):
+        build_index(str(tmp_path / f"{name}.parquet"),
+                    str(tmp_path / f"idx_{name}"),
+                    id_mode="column", text_col="text")
+    merged = str(tmp_path / "merged")
+    # input order deliberately REVERSED: merge_indexes sorts by range
+    meta = merge_indexes([str(tmp_path / "idx_b"), str(tmp_path / "idx_a")],
+                         merged)
+    assert meta["num_docs"] == n
+
+    # CLI wiring: `merge` subcommand produces the same meta
+    from hadoopsearchengine_ray.__main__ import main
+
+    assert main(["merge", "--out", str(tmp_path / "merged_cli"),
+                 str(tmp_path / "idx_a"), str(tmp_path / "idx_b")]) == 0
+    with open(str(tmp_path / "merged_cli" / "meta.json")) as f:
+        assert json.load(f)["num_docs"] == n
+
+    idx = oracle.OracleIndex(
+        [(i, full["text"][i].as_py()) for i in range(n)])
+    sc = BM25Scorer(merged)
+    for q in oracle.make_queries(idx, 30):
+        d, s = sc.score(q["terms"], q["k"])
+        gold = idx.bm25_topk(q["terms"], q["k"])
+        assert [int(x) for x in d] == [g[0] for g in gold], q["terms"]
+        assert np.allclose(s, [g[1] for g in gold], atol=1e-6)
+    # positions survive the merge: phrase counts match the shadow
+    from hadoopsearchengine_ray.pipelines.positional import phrase_counts
+
+    rd_ = sc.rd
+    toks = full["text"][0].as_py().split()[:2]
+    if all(len(t) >= 2 for t in toks):
+        dd, cc = phrase_counts(rd_, [t.lower() for t in toks])
+        want = idx.phrase_counts([t.lower() for t in toks])
+        assert {int(a): int(b) for a, b in zip(dd, cc)} == want
+
+
+def test_merge_indexes_rejects_overlap_and_tombstones(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hadoopsearchengine_ray.pipelines.build_index import build_index
+    from hadoopsearchengine_ray.pipelines.compaction import merge_indexes
+    from tests.conftest import doc_id_table
+
+    pq.write_table(doc_id_table(0, 60), str(tmp_path / "a.parquet"))
+    pq.write_table(doc_id_table(30, 90), str(tmp_path / "b.parquet"))
+    for name in ("a", "b"):
+        build_index(str(tmp_path / f"{name}.parquet"),
+                    str(tmp_path / f"idx_{name}"),
+                    id_mode="column", text_col="text")
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes([str(tmp_path / "idx_a"), str(tmp_path / "idx_b")],
+                      str(tmp_path / "m1"))
+    with open(str(tmp_path / "idx_a" / "tombstones.json"), "w") as f:
+        f.write("[1]")
+    with pytest.raises(ValueError, match="tombstones"):
+        merge_indexes([str(tmp_path / "idx_a"), str(tmp_path / "idx_b")],
+                      str(tmp_path / "m2"))
+    with pytest.raises(ValueError, match=">= 2"):
+        merge_indexes([str(tmp_path / "idx_a")], str(tmp_path / "m3"))
