@@ -148,7 +148,8 @@ def run_bench() -> dict:
     import glob
     for d in glob.glob(f"{out_root}/hse_bench_index_*") + \
             glob.glob(f"{out_root}/hse_bench_compact_*") + \
-            glob.glob(f"{out_root}/hse_bench_trigram_*"):
+            glob.glob(f"{out_root}/hse_bench_trigram_*") + \
+            glob.glob(f"{out_root}/hse_bench_merge_*"):
         shutil.rmtree(d, ignore_errors=True)
     index_dir = f"{out_root}/hse_bench_index_{n_docs}_{ncpu}"
     # best-of-2: single-box builds share page cache / scheduler state and
@@ -181,6 +182,17 @@ def run_bench() -> dict:
     lat_ms = np.array(lat) * 1000
     timings["bm25_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 3)
     timings["bm25_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 3)
+
+    # LM-Dirichlet ranking (round 5): same index, same query set, the
+    # second ranking family — first call pays the one-time cf read
+    scorer.score_lm(qs[0]["terms"], qs[0]["k"])   # warm (cf load)
+    _lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        scorer.score_lm(q["terms"], q["k"])
+        _lat.append(time.perf_counter() - t0)
+    timings["lm_p50_ms"] = round(
+        float(np.percentile(np.array(_lat) * 1000, 50)), 3)
 
     # parsed query-string front-end (round 4): weighted OR + required +
     # excluded + wildcard composed in one scoring pass, warm scorer
@@ -247,6 +259,38 @@ def run_bench() -> dict:
     shutil.rmtree(compact_dir, ignore_errors=True)
     # plain scorers below ignore tombstones, but leave the index pristine
     os.remove(os.path.join(index_dir, "tombstones.json"))
+
+    # ---- shard-merge: fold two independently built half-indexes ------
+    # (round 5) the parallel-partial-build path: the timed step is the
+    # posting-level merge alone — at scale the two shard builds run as
+    # independent jobs, so merge_sec is the serial tail a sharded
+    # deploy pays on top of max(shard build times).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_ray.pipelines.compaction import merge_indexes
+
+    mg_root = f"{out_root}/hse_bench_merge_{n_docs}_{ncpu}"
+    shutil.rmtree(mg_root, ignore_errors=True)
+    os.makedirs(mg_root)
+    _full = pads.dataset(corpus_dir).to_table().sort_by(
+        [("repo", "ascending"), ("path", "ascending"),
+         ("commit", "ascending")])
+    _full = _full.append_column(
+        "doc_id", pa.array(np.arange(len(_full)), pa.int64()))
+    _cut = len(_full) // 2
+    pq.write_table(_full.slice(0, _cut), f"{mg_root}/a.parquet")
+    pq.write_table(_full.slice(_cut), f"{mg_root}/b.parquet")
+    build_index(f"{mg_root}/a.parquet", f"{mg_root}/ia",
+                id_mode="column", text_col="content")
+    build_index(f"{mg_root}/b.parquet", f"{mg_root}/ib",
+                id_mode="column", text_col="content")
+    t0 = time.perf_counter()
+    mmeta = merge_indexes([f"{mg_root}/ia", f"{mg_root}/ib"],
+                          f"{mg_root}/merged")
+    timings["merge_shards_sec"] = round(time.perf_counter() - t0, 3)
+    assert mmeta["num_docs"] == len(_full)
+    shutil.rmtree(mg_root, ignore_errors=True)
 
     # ---- persistent serving daemon (round 5) --------------------------
     # SearchServer pins the range pool once; requests go through the
