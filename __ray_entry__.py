@@ -165,11 +165,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         os.makedirs(root, exist_ok=True)
         pa_p = os.path.join(root, "a.parquet")
         pb_p = os.path.join(root, "b.parquet")
-        if not os.path.exists(os.path.join(root, "_DONE")):
+        # _DONE carries the SOURCE lineage (store_for pattern): an
+        # in-place regeneration of documents.parquet must re-split —
+        # a bare existence marker would serve stale shards while the
+        # SQL oracle reads the fresh table
+        from hadoopsearchengine_ray.state.manifest import lineage_fingerprint
+
+        fp = lineage_fingerprint([f"{sf}/documents.parquet"])
+        done = os.path.join(root, "_DONE")
+        have = open(done).read() if os.path.exists(done) else None
+        if have != fp:
+            import shutil as _sh
+
+            for stale in ("idx_a", "idx_b", "merged"):
+                _sh.rmtree(os.path.join(root, stale), ignore_errors=True)
             srt = tbl.sort_by("doc_id")
             pq.write_table(srt.slice(0, cut), pa_p)
             pq.write_table(srt.slice(cut), pb_p)
-            open(os.path.join(root, "_DONE"), "w").close()
+            with open(done, "w") as f:
+                f.write(fp)
         ia = os.path.join(root, "idx_a")
         ib = os.path.join(root, "idx_b")
         build_index(pa_p, ia, id_mode="column", text_col="text")

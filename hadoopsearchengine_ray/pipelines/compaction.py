@@ -511,6 +511,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
       starting at 0 would interleave, breaking the doc-ascending
       posting invariant the blob merge relies on).
     """
+    from .delta import list_delta_dirs
+
     if len(index_dirs) < 2:
         raise ValueError("merge_indexes needs >= 2 index dirs")
     for d in index_dirs:
@@ -518,11 +520,18 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
             raise ValueError(
                 f"{d} has tombstones — compact it first "
                 "(compact_index) and merge the compacted result")
+        if list_delta_dirs(d):
+            raise ValueError(
+                f"{d} has pending delta segments (deltas/) — merging "
+                "would silently drop those docs; compact it first "
+                "(compact_index) and merge the compacted result")
     ranges: list[tuple[int, int, str]] = []
     for d in index_dirs:
         r = _doclen_doc_range(d)
         if r is not None:
             ranges.append((r[0], r[1], d))
+    if not ranges:
+        raise MergeIncompatible("no non-empty segments to merge")
     ranges.sort()
     for (_, hi_a, a), (lo_b, _, b) in zip(ranges, ranges[1:]):
         if lo_b <= hi_a:
@@ -530,6 +539,25 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                 f"doc-id ranges overlap: {a} ends at {hi_a}, {b} "
                 f"starts at {lo_b} — shard indexes must cover disjoint "
                 "doc-id ranges (build with explicit id column ranges)")
+    # merge_compact_index orders segments by meta doc_id_space (the
+    # invariant delta compaction relies on); a segment whose recorded
+    # space CEILING overhangs the next segment's live range (e.g. a
+    # compacted index keeps its pre-deletion ceiling) would be
+    # re-sorted past it, interleaving doc ids and silently corrupting
+    # the doc-ascending posting invariant — require space <= next lo.
+    spaces = []
+    for _, _, d in ranges:
+        with open(os.path.join(d, "meta.json")) as f:
+            spaces.append(json.load(f)["doc_id_space"])
+    for (sp_a, (_, _, a)), (lo_b, _, b) in zip(zip(spaces, ranges),
+                                               ranges[1:]):
+        if sp_a > lo_b:
+            raise ValueError(
+                f"{a} records doc_id_space {sp_a} overhanging {b}'s "
+                f"range start {lo_b} — its id-space ceiling exceeds its "
+                "live docs (e.g. post-deletion compaction kept the old "
+                "ceiling); rebuild that shard over a contiguous id "
+                "range before merging")
     ordered = [d for _, _, d in ranges]
     return merge_compact_index(ordered[0], out_dir,
                                delta_dirs=ordered[1:])

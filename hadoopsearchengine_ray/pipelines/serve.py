@@ -35,9 +35,10 @@ Request reference (all fields besides ``op`` optional unless noted)::
        # pass next_after back VERBATIM; a cursor minted before an
        # ingest/delete is rejected as stale (scores shifted)
     {"op": "query", "q": "merge^2 +window -dup s*", "k": 10}
-    {"op": "lm", "terms": [...], "k": 10, "mu": 2000}
        # also: '"hash table"' quoted-phrase and near(a,b,N) /
        # onear(a,b,N) proximity predicates (positional, range-local)
+    {"op": "lm", "terms": [...], "k": 10, "mu": 2000}
+       # LM-Dirichlet ranking: plain term list only (no query syntax)
     {"op": "phrase", "terms": ["slow", "hash", "batch"], "limit": 100}
     {"op": "near", "a": "spark", "b": "merge", "slop": 3,
      "ordered": false, "limit": 100}

@@ -192,6 +192,37 @@ def test_merge_indexes_rejects_overlap_and_tombstones(tmp_path, ray_session):
     with pytest.raises(ValueError, match="overlap"):
         merge_indexes([str(tmp_path / "idx_a"), str(tmp_path / "idx_b")],
                       str(tmp_path / "m1"))
+    # id-space ceiling overhang: a segment whose recorded doc_id_space
+    # exceeds the next segment's range start (e.g. post-deletion
+    # compaction kept the old ceiling) would be re-sorted past it by
+    # the blob merge — must refuse loudly
+    import json as _json
+
+    pq.write_table(doc_id_table(70, 130), str(tmp_path / "c.parquet"))
+    build_index(str(tmp_path / "c.parquet"), str(tmp_path / "idx_c"),
+                id_mode="column", text_col="text")
+    meta_p = str(tmp_path / "idx_a" / "meta.json")
+    with open(meta_p) as f:
+        meta_a = _json.load(f)
+    meta_a["doc_id_space"] = 75            # live docs end at 59
+    with open(meta_p, "w") as f:
+        _json.dump(meta_a, f)
+    with pytest.raises(ValueError, match="overhanging"):
+        merge_indexes([str(tmp_path / "idx_a"), str(tmp_path / "idx_c")],
+                      str(tmp_path / "m_ceil"))
+    meta_a["doc_id_space"] = 60
+    with open(meta_p, "w") as f:
+        _json.dump(meta_a, f)
+
+    # pending delta segments would be silently dropped — must refuse
+    ddir = tmp_path / "idx_c" / "deltas" / "abc123"
+    ddir.mkdir(parents=True)
+    with open(str(ddir / "meta.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(ValueError, match="delta"):
+        merge_indexes([str(tmp_path / "idx_a"), str(tmp_path / "idx_c")],
+                      str(tmp_path / "m_delta"))
+
     with open(str(tmp_path / "idx_a" / "tombstones.json"), "w") as f:
         f.write("[1]")
     with pytest.raises(ValueError, match="tombstones"):
