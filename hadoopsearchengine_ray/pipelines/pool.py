@@ -82,6 +82,11 @@ class _RangeScorer:
         d, s = self.scorer.score_lm(terms, k, mu=mu)
         return d + self.lo, s
 
+    def explain(self, terms: list[str], doc_id: int) -> dict:
+        """Score breakdown for one GLOBAL doc id (must live in this
+        range — the pool routes to the owning actor)."""
+        return self.scorer.explain(terms, int(doc_id))
+
     def score_query(self, qstr: str, k: int):
         """Parsed query-string front-end over this range: required
         intersection / exclusion / wildcard expansion all act on the
@@ -239,12 +244,15 @@ class RangePartitionedPool:
         tomb_ref = ray.put(tomb) if tomb else None
         stats_ref = ray.put(nrt_stats) if nrt_stats is not None else None
         bounds = np.linspace(0, space, num_ranges + 1).astype(np.int64)
+        self.bounds = [(int(lo), int(hi))
+                       for lo, hi in zip(bounds[:-1], bounds[1:])
+                       if hi > lo]
         self.actors = [
-            _RangeScorer.remote(index_dir, int(lo), int(hi),
+            _RangeScorer.remote(index_dir, lo, hi,
                                 delta_dirs=delta_dirs or None,
                                 tombstones=tomb_ref,
                                 nrt_stats=stats_ref)
-            for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo
+            for lo, hi in self.bounds
         ]
 
     @staticmethod
@@ -278,6 +286,18 @@ class RangePartitionedPool:
         parts = ray.get([a.score_lm.remote(terms, k, mu)
                          for a in self.actors])
         return self._merge(parts, k)
+
+    def explain(self, terms: list[str], doc_id: int) -> dict:
+        """Per-term score breakdown for one doc, answered by its ONE
+        owning range actor (no fan-out): bit-identical to the dense
+        pass because the owner explains with the same global stats and
+        op order the scorer uses."""
+        doc_id = int(doc_id)
+        for (lo, hi), a in zip(self.bounds, self.actors):
+            if lo <= doc_id < hi:
+                return ray.get(a.explain.remote(terms, doc_id))
+        raise ValueError(f"doc_id {doc_id} outside the served doc-id "
+                         f"space [0, {self.doc_space})")
 
     def score_after(self, terms: list[str], k: int,
                     after_score: float | None = None,

@@ -592,6 +592,48 @@ class BM25Scorer:
         docs, s = self._dense_scores(terms)
         return _topk_from_scores(docs, s, k)
 
+    def explain(self, terms: list[str], doc_id: int) -> dict:
+        """Per-term BM25 score breakdown for ONE doc — the serving
+        debug surface (the public Lucene/Elasticsearch 'explain' API
+        shape).  Each part carries the raw inputs (tf, df, dl, avgdl)
+        and the term's contribution; parts sum IN SORTED-TERM ORDER to
+        the exact dense-pass score (same IEEE op order as
+        ``_dense_scores``), asserted in tests/test_query.py.  Cost is
+        one searchsorted per query term over already-cached decoded
+        postings — no corpus access."""
+        r = self.rd
+        local = int(doc_id) - int(getattr(r, "doc_lo", 0))
+        if not (0 <= local < r.doc_space):
+            raise ValueError(f"doc_id {doc_id} outside this reader's "
+                             f"range")
+        dl = float(r.dl[local])
+        parts = []
+        total = 0.0
+        for t in sorted(set(terms)):
+            ent = r.lookup(t)
+            if not ent:
+                parts.append({"term": t, "matched": False, "df": 0,
+                              "tf": 0, "idf": 0.0, "contribution": 0.0})
+                continue
+            _, df = ent
+            docs, tfs = r.decoded_postings(t)
+            i = int(np.searchsorted(docs, np.uint64(local)))
+            if i >= len(docs) or int(docs[i]) != local:
+                parts.append({"term": t, "matched": False, "df": int(df),
+                              "tf": 0, "idf": r.idf(df),
+                              "contribution": 0.0})
+                continue
+            tf = float(tfs[i])
+            w = r.idf(df)
+            denom = tf + r.k1 * (1.0 - r.b + r.b * dl / r.avgdl)
+            contrib = w * tf * (r.k1 + 1.0) / denom
+            total += contrib
+            parts.append({"term": t, "matched": True, "df": int(df),
+                          "tf": int(tf), "idf": w,
+                          "contribution": contrib})
+        return {"doc_id": int(doc_id), "total": total, "dl": dl,
+                "avgdl": r.avgdl, "k1": r.k1, "b": r.b, "parts": parts}
+
     def score_lm(self, terms: list[str], k: int, mu: float = 2000.0):
         """Query-likelihood ranking with Dirichlet smoothing (Zhai &
         Lafferty 2001, SIGIR — public; the per-matched-term

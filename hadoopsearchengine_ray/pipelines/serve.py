@@ -39,6 +39,8 @@ Request reference (all fields besides ``op`` optional unless noted)::
        # onear(a,b,N) proximity predicates (positional, range-local)
     {"op": "lm", "terms": [...], "k": 10, "mu": 2000}
        # LM-Dirichlet ranking: plain term list only (no query syntax)
+    {"op": "explain", "terms": [...], "doc_id": 42}
+       # per-term BM25 breakdown for one doc (total == dense score)
     {"op": "phrase", "terms": ["slow", "hash", "batch"], "limit": 100}
     {"op": "near", "a": "spark", "b": "merge", "slop": 3,
      "ordered": false, "limit": 100}
@@ -168,6 +170,13 @@ class SearchServer:
     def _op_query(self, req: dict) -> dict:
         d, s = self.pool.score_query(req["q"], int(req.get("k", 10)))
         return {"hits": _hits(d, s)}
+
+    def _op_explain(self, req: dict) -> dict:
+        """Per-term score breakdown for one doc — the debug surface a
+        relevance engineer drives against a live server (public
+        Lucene/Elasticsearch explain-API shape); routed to the doc's
+        one owning range actor."""
+        return self.pool.explain(req["terms"], int(req["doc_id"]))
 
     def _op_lm(self, req: dict) -> dict:
         """LM-Dirichlet ranking (Zhai & Lafferty 2001) from the same
@@ -357,7 +366,7 @@ class SearchServer:
 
     _OPS = {
         "search": _op_search, "query": _op_query, "lm": _op_lm,
-        "phrase": _op_phrase,
+        "explain": _op_explain, "phrase": _op_phrase,
         "near": _op_near, "facets": _op_facets, "ann": _op_ann,
         "spell": _op_spell, "grep": _op_grep, "stats": _op_stats,
         "ingest": _op_ingest, "delete": _op_delete,

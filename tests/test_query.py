@@ -415,3 +415,51 @@ def test_score_query_near_composed(t1_index_dir, t1_oracle):
     # unmatched predicate -> empty, not error
     d, _ = sc.score_query("near(zzqx,notaterm,3) import", 10)
     assert len(d) == 0
+
+
+def test_explain_parts_sum_to_dense_score(t1_index_dir, t1_oracle):
+    """explain(): per-term contributions sum (sorted-term order) to the
+    exact dense-pass score, and the raw inputs match the oracle."""
+    from hadoopsearchengine_ray import oracle as omod
+
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    for q in omod.make_queries(idx, 15):
+        d, s = sc.score_exact(q["terms"], q["k"])
+        for doc, want in list(zip(d, s))[:3]:
+            ex = sc.explain(q["terms"], int(doc))
+            assert ex["total"] == float(want)     # bit-identical
+            assert ex["dl"] == idx.doclen[int(doc)]
+            for p in ex["parts"]:
+                if p["matched"]:
+                    assert p["df"] == len(idx.postings[p["term"]])
+                    assert dict(idx.postings[p["term"]])[int(doc)] == p["tf"]
+    # unknown + unmatched terms report matched=False, contribution 0
+    ex = sc.explain(["zzqqxxnotaterm0"], int(d[0]))
+    assert ex["total"] == 0.0 and not ex["parts"][0]["matched"]
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        sc.explain(["def"], 10**9)
+
+
+def test_explain_pool_routes_to_owner(t1_index_dir, t1_oracle):
+    from hadoopsearchengine_ray.pipelines.pool import RangePartitionedPool
+
+    idx, _ = t1_oracle
+    sc = BM25Scorer(t1_index_dir)
+    pool = RangePartitionedPool(t1_index_dir, num_ranges=3)
+    try:
+        terms = ["def", "return", "class"]
+        d, s = sc.score_exact(terms, 5)
+        for doc, want in zip(d, s):
+            ex = pool.explain(terms, int(doc))
+            assert ex["doc_id"] == int(doc)
+            assert ex["total"] == float(want)     # bit-identical across
+            # the pool boundary: owner uses global stats + same op order
+        import pytest
+
+        with pytest.raises(ValueError, match="outside"):
+            pool.explain(terms, 10**9)
+    finally:
+        pool.shutdown()

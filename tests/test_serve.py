@@ -538,3 +538,18 @@ def test_serve_nrt_cursor_and_stats_generation(tmp_path_factory,
                            "k": 3})["ok"]
     finally:
         srv.close()
+
+
+def test_serve_explain_matches_scorer(serve_env):
+    from hadoopsearchengine_ray.pipelines.query import BM25Scorer
+
+    srv = serve_env["server"]
+    sc = BM25Scorer(serve_env["index"])
+    d, s = sc.score_exact(["spark", "merge"], 3)
+    r = srv.handle({"op": "explain", "terms": ["spark", "merge"],
+                    "doc_id": int(d[0])})
+    assert r["ok"] and r["total"] == float(s[0])
+    assert any(p["matched"] for p in r["parts"])
+    bad = srv.handle({"op": "explain", "terms": ["spark"],
+                      "doc_id": 10**9})
+    assert not bad["ok"] and bad["bad_request"]
