@@ -599,13 +599,25 @@ class BM25Scorer:
         and the term's contribution; parts sum IN SORTED-TERM ORDER to
         the exact dense-pass score (same IEEE op order as
         ``_dense_scores``), asserted in tests/test_query.py.  Cost is
-        one searchsorted per query term over already-cached decoded
-        postings — no corpus access."""
+        one searchsorted per query term over the decoded postings
+        (decode is cached per actor, so a COLD actor pays one full
+        posting decode per term first — same warm-up any query pays);
+        no corpus access.  A tombstoned doc raises loudly; an id inside
+        the doc-id space that was never indexed (or tokenized to zero
+        tokens) explains as dl=0 with every term unmatched."""
         r = self.rd
         local = int(doc_id) - int(getattr(r, "doc_lo", 0))
         if not (0 <= local < r.doc_space):
             raise ValueError(f"doc_id {doc_id} outside this reader's "
                              f"range")
+        tomb = getattr(r, "_tomb", None)   # TombstoneReader: BASE-LOCAL ids
+        if tomb is not None and len(tomb):
+            i = int(np.searchsorted(tomb, local))
+            if i < len(tomb) and int(tomb[i]) == local:
+                raise ValueError(
+                    f"doc_id {doc_id} is deleted (tombstoned) — "
+                    "explain would report a misleading all-unmatched "
+                    "breakdown for it")
         dl = float(r.dl[local])
         parts = []
         total = 0.0

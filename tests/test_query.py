@@ -463,3 +463,17 @@ def test_explain_pool_routes_to_owner(t1_index_dir, t1_oracle):
             pool.explain(terms, 10**9)
     finally:
         pool.shutdown()
+
+
+def test_explain_tombstoned_doc_raises(t1_index_dir):
+    import pytest
+
+    from hadoopsearchengine_ray.pipelines.delta import TombstoneReader
+    from hadoopsearchengine_ray.pipelines.query import IndexReader
+
+    base = IndexReader(t1_index_dir)
+    sc = BM25Scorer(t1_index_dir, reader=TombstoneReader(base, {5}))
+    with pytest.raises(ValueError, match="tombstoned"):
+        sc.explain(["def"], 5)
+    ex = sc.explain(["def"], 6)      # neighbors still explain
+    assert ex["doc_id"] == 6
